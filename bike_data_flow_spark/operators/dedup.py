@@ -1,0 +1,316 @@
+"""Deduplication operators (north-star extension).
+
+Exact dedup, n-gram Jaccard, MinHash+LSH, SimHash — each designed as a
+shuffle-bounded DataFrame plan:
+
+- exact: one hash-groupBy shuffle on the content fingerprint.
+- n-gram Jaccard: shingle-explode → distinct → self-equi-join on the
+  shingle (co-partitioned by shingle hash) → per-pair count. The join
+  key is the shingle, so only docs *sharing* a shingle ever meet —
+  no O(n²) cross product.
+- MinHash LSH: K md5-derived hash functions → per-doc min-signature →
+  band keys → equi-join on band key. Candidate generation is linear in
+  data + quadratic only *within a band bucket*.
+- SimHash: bitwise majority vote over token hashes → one 48-bit
+  signature per doc; near-dup = small Hamming distance.
+
+Hash functions are md5-prefix arithmetic (conv(substr(md5(x),1,k),16,10))
+— chosen because the DuckDB oracle computes the identical value, making
+every step here verifiable against SQL (queries/textops.py).
+
+At 100 TB: shingle explosion is the dominant cost; it is map-local.
+The distinct + join shuffles partition by shingle/band hash which is
+near-uniform by construction (hash keys), so no skew handling needed;
+frequency-capping of pathological shingles (stop-shingles appearing in
+>F docs) is available via ``max_shingle_freq``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text, tokens
+
+# MinHash configuration — mirrored by the SQL oracle generator.
+MINHASH_K = 16  # hash functions
+MINHASH_BANDS = 4  # bands of 4 rows each
+SIMHASH_BITS = 48  # 12 hex chars of md5 → fits exactly in a BIGINT
+
+
+def md5_hash64(col: Column, salt: int | None = None, hex_chars: int = 8) -> Column:
+    """Deterministic 32/48-bit integer hash from an md5 prefix.
+
+    Engine-portable (Spark `conv` ≡ DuckDB `CAST('0x'||… AS BIGINT)`),
+    unlike xxhash64/murmur which differ across engines.
+    """
+    basis = F.concat(F.lit(f"{salt}|"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(basis), 1, hex_chars), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (empty when < n tokens)."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    return F.when(
+        cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Distinct (id, shingle) pairs. Optionally drop stop-shingles that
+    occur in more than ``max_shingle_freq`` docs (skew guard at scale)."""
+    out = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        freq = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        out = (
+            out.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle", "inner")
+            .drop("_f")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical (normalized) texts: fingerprint → keeper id + count.
+    One hash-partitioned shuffle; the md5 key is uniform so no skew."""
+    return (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep exactly the min-id row per identical content (deterministic)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Plan: distinct shingles → per-doc set size (broadcastable side
+    stats) → self-join on shingle (only co-occurring docs meet) →
+    per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = doc_shingles(df, id_col, text_col, n, max_shingle_freq).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns m0..m{k-1} = min_s h_i(s)."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(md5_hash64(F.col("shingle"), salt=i)).alias(f"m{i}") for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_keys(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """(id, band_idx, band_key): band_key = md5 of that band's rows."""
+    rows = k // bands
+    frames = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+        frames.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+    keys = minhash_band_keys(
+        minhash_signatures(df, id_col, text_col, n, k), id_col, k, bands
+    )
+    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """48-bit SimHash per doc: majority vote per bit over token hashes
+    (frequency-weighted: repeated tokens vote repeatedly).
+
+    Plan: explode tokens × explode bit index → per-(doc,bit) vote sum →
+    per-doc weighted bit sum. Two partial-agg shuffles, rows bounded by
+    docs × bits.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = tok.select(
+        F.col(id_col), md5_hash64(F.col("tok"), hex_chars=12).alias("h")
+    )
+    expanded = hashed.select(
+        F.col(id_col),
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    )
+    # column-valued shift amounts need SQL expressions (the Python API's
+    # shiftright/shiftleft only accept int literals)
+    votes = expanded.groupBy(id_col, "bit").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash signatures.
+
+    Blocked by signature bytes at scale (pigeonhole: two sigs within
+    hamming d share at least one of d+1 blocks); here the simple
+    variant joins on any shared 12-bit block then verifies exactly.
+    """
+    blocks = 4
+    width = SIMHASH_BITS // blocks
+    mask = (1 << width) - 1
+    block_col = lambda c, b: (  # noqa: E731
+        F.shiftright(F.col(c), b * width).bitwiseAND(mask)
+    )
+    rows = []
+    for b in range(blocks):
+        rows.append(
+            sig.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(b).alias("blk"),
+                block_col("simhash", b).alias("blk_val"),
+            )
+        )
+    keyed = rows[0]
+    for r in rows[1:]:
+        keyed = keyed.unionByName(r)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "blk", "blk_val"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "blk", "blk_val"
+    )
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,44 @@
+"""Query registry.
+
+Every operator the engine claims (SURVEY.md §2 + the LLM-data-pipeline
+extensions) registers here as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, the exact
+ANSI-SQL oracle DuckDB runs on the same parquet tables. The driver's
+correctness gate executes both and hash-compares values, so column
+names/aliases must match on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, bench: bool = False):
+    """Decorator registering a query + its DuckDB oracle SQL."""
+
+    def wrap(fn):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return wrap
+
+
+def load_all() -> dict[str, Query]:
+    """Import all query modules (side effect: fills REGISTRY)."""
+    from . import relational, textops, vectors  # noqa: F401
+
+    return REGISTRY

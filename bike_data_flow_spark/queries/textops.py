@@ -1,0 +1,238 @@
+"""Text-analysis + dedup queries over the `documents` table, each with
+a DuckDB oracle generated from the SAME constants as the Spark
+operators (operators/text.py, operators/dedup.py) so both engines
+compute identical values.
+
+SQL building blocks (DuckDB 1.0): string_split_regex, list
+comprehensions with generate_series, list_filter lambdas,
+md5-prefix→BIGINT casts, >>/&/<< bit ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as T
+from ..tables import load
+from . import query
+
+# --- shared SQL fragments --------------------------------------------------
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _sql_in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{i}'" for i in items)
+
+
+def _sql_hash(expr: str, salt: int | None = None, hex_chars: int = 8) -> str:
+    basis = f"'{salt}|' || {expr}" if salt is not None else expr
+    return f"CAST(('0x' || substr(md5({basis}), 1, {hex_chars})) AS BIGINT)"
+
+
+_SHINGLES = f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+"""
+
+# --- queries ---------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+           len(regexp_extract_all(lower(text), '{T.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           len(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.bpe_ish_count(c).alias("n_bpe_tokens"),
+        F.length(c).alias("n_chars_actual"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id, alpha_ratio, stopword_ratio, avg_token_len,
+           round((alpha_ratio
+                  + least(stopword_ratio * 5, 1.0)
+                  + CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                         THEN 1.0 ELSE 0.0 END) / 3, 4) AS quality_score
+    FROM (
+      SELECT doc_id,
+             round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   / len(lower(text)), 4) AS alpha_ratio,
+             round(len(list_filter({_TOKS}, t -> t IN ({_sql_in_list(T.STOPWORDS)})))
+                   / len({_TOKS}), 4) AS stopword_ratio,
+             round(list_sum(list_transform({_TOKS}, t -> len(t)))
+                   / len({_TOKS}), 4) AS avg_token_len
+      FROM documents
+    )
+    """,
+    bench=True,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.alpha_ratio(c).alias("alpha_ratio"),
+        T.stopword_ratio(c).alias("stopword_ratio"),
+        T.avg_token_len(c).alias("avg_token_len"),
+        T.quality_score(c).alias("quality_score"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, en_hits, es_hits, zh_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= zh_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= zh_hits AND es_hits > 0 THEN 'es'
+                WHEN zh_hits > 0 THEN 'zh'
+                ELSE 'und' END AS predicted_lang
+    FROM (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, t -> t IN ({_sql_in_list(T.LANG_MARKERS["en"])}))) AS en_hits,
+             len(list_filter({_TOKS}, t -> t IN ({_sql_in_list(T.LANG_MARKERS["es"])}))) AS es_hits,
+             len(list_filter({_TOKS}, t -> t IN ({_sql_in_list(T.LANG_MARKERS["zh"])}))) AS zh_hits
+      FROM documents
+    )
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    scores = T.lang_scores(c)
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("en_hits"),
+        scores["es"].alias("es_hits"),
+        scores["zh"].alias("zh_hits"),
+        T.predicted_lang(c).alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    bench=True,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter_size / (sa.set_size + sb.set_size - inter_size), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter_size / (sa.set_size + sb.set_size - inter_size), 4) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.05
+    )
+
+
+def _minhash_oracle() -> str:
+    k, bands = D.MINHASH_K, D.MINHASH_BANDS
+    rows = k // bands
+    mins = ",\n             ".join(
+        f"min({_sql_hash('shingle', salt=i)}) AS m{i}" for i in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || ',' || ".join(f"m{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    """
+
+
+@query("minhash_lsh_pairs", oracle=_minhash_oracle(), bench=True)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, {_sql_hash("tok", hex_chars=12)} AS h,
+             unnest(generate_series(0, {D.SIMHASH_BITS - 1})) AS bit
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load(spark, sf_dir, "documents"))

@@ -1,0 +1,111 @@
+"""Vector similarity queries over `embeddings`, with DuckDB oracles.
+
+Both engines compute dot products as left-to-right folds in DOUBLE
+(Spark: zip_with + aggregate; DuckDB: list comprehension + list_sum),
+so values agree bit-for-bit before the final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity as S
+from ..tables import load
+from . import query
+
+_QUERY_VEC_ID = 0
+_K = 10
+_NPROBE = 2
+
+# Σ CAST(a[i])·CAST(b[i]) over 1..len as a DuckDB list fold.
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, len({a}))])"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           round({_sql_cos("e.embedding", "q.qe")}, 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {_K}
+    """,
+    bench=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(load(spark, sf_dir, "embeddings"), vec_id=_QUERY_VEC_ID, k=_K)
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, idx, round(avg(CAST(val AS DOUBLE)), 6) AS centroid_val
+    FROM (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS idx,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    GROUP BY label, idx
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT label, idx, round(avg(CAST(val AS DOUBLE)), 6) AS centroid_val
+      FROM (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS idx,
+               unnest(embedding) AS val
+        FROM embeddings
+      )
+      GROUP BY label, idx
+    ),
+    qv AS (
+      SELECT idx, CAST(val AS DOUBLE) AS qval
+      FROM (
+        SELECT unnest(generate_series(1, len(embedding))) AS idx,
+               unnest(embedding) AS val
+        FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+      )
+    ),
+    probe AS (
+      SELECT label
+      FROM cents JOIN qv USING (idx)
+      GROUP BY label
+      ORDER BY sum((centroid_val - qval) * (centroid_val - qval)) ASC, label ASC
+      LIMIT {_NPROBE}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           round({_sql_cos("e.embedding", "q.qe")}, 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.label IN (SELECT label FROM probe)
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {_K}
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(
+        load(spark, sf_dir, "embeddings"),
+        vec_id=_QUERY_VEC_ID,
+        k=_K,
+        nprobe=_NPROBE,
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Replaces the reference's ad-hoc engine wiring (DuckDB connect +
+httpfs/S3 config at create_enhanced_views.py:14-33, pandas in assets)
+with one tuned SparkSession. Settings chosen for correctness parity
+with the DuckDB oracle (UTC session time zone) and for scale (AQE,
+dynamic partition overwrite for day rebuilds, Arrow for the few
+pandas-UDF paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bike-data-flow-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N from SPARK_GRAFT_CPUS (driver
+    contract) or all cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Oracle parity: DuckDB returns naive UTC timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Scale: adaptive execution re-plans shuffles/joins/skew at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Day-rebuild semantics (SURVEY ST4): overwrite only touched dt= partitions.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Arrow for pandas interchange / pandas UDFs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,65 @@
+"""Test-data table loaders.
+
+The driver's synthetic tables (TESTDATA.md) live as one parquet file
+per table under an sf directory. At 100 TB each of these would be a
+partitioned/bucketed table; ``load`` keeps the call-site identical
+either way (spark.read.parquet handles a file, a directory, or a
+partitioned layout transparently, with column pruning + predicate
+pushdown from the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Oracle parity even under a caller-provided vanilla session: DuckDB
+    # treats parquet timestamps as naive UTC, so collection must too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's TimestampType
+    (µs) cannot hold natively. Read nanos as long (legacy conf) and
+    downcast to a µs timestamp — plus keep `ts_ns` so nothing is lost.
+    Queries that must hash-match the DuckDB oracle expose epoch-millis
+    BIGINTs instead of raw timestamps.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.select(
+        "event_id",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() works too."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
