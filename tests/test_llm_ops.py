@@ -1,0 +1,123 @@
+"""Dedup / similarity / text / multimodal operator contracts on tiny,
+hand-checkable data."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_data_flow_spark.operators import dedup as D
+from bike_data_flow_spark.operators import multimodal as M
+from bike_data_flow_spark.operators import similarity as S
+from bike_data_flow_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "THE  quick brown fox jumps over the lazy dog"),  # exact after norm
+        (4, "completely different words appear here today"),
+        (5, "el perro y la casa de la playa que es grande"),  # spanish-y
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    dup = [g for g in groups if g["dup_count"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1  # docs 1 & 3 identical
+    kept = D.drop_exact_duplicates(docs)
+    assert kept.count() == 4
+    assert 3 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 3) in got  # identical → jaccard 1.0
+    assert (1, 2) in got  # 1-word difference in 9 → high overlap
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_minhash_lsh_candidates(docs):
+    cands = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_candidates(docs).collect()}
+    assert (1, 3) in cands  # identical shingle sets share every band
+    assert (1, 4) not in cands and (1, 5) not in cands
+
+
+def test_simhash_near_pairs(docs):
+    sig = D.simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert vals[1] == vals[3]  # same normalized tokens → same signature
+    assert 0 <= vals[1] < (1 << D.SIMHASH_BITS)
+    # 4 blocks guarantee recall only for hamming ≤ 3 (pigeonhole);
+    # docs 1/2 differ by 9 bits (one token of nine changed) — outside it.
+    near = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            D.simhash_near_pairs(sig, max_hamming=3).collect()}
+    assert near == {(1, 3): 0}
+    assert bin(vals[1] ^ vals[2]).count("1") == 9
+
+
+def test_max_shingle_freq_guard(docs):
+    unfiltered = D.doc_shingles(docs).count()
+    filtered = D.doc_shingles(docs, max_shingle_freq=1).count()
+    assert filtered < unfiltered  # shared shingles dropped
+
+
+def test_text_stats(docs, spark):
+    out = {r["doc_id"]: r for r in T.with_text_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["predicted_lang"] == "en"
+    assert out[5]["predicted_lang"] == "es"
+    assert out[4]["stopword_ratio"] == 0.0
+    assert out[1]["fingerprint"] == out[3]["fingerprint"]
+    assert 0 <= out[1]["quality_score"] <= 1
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    top = S.cosine_topk(df, vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2]
+    assert top[0]["cos_sim"] == 1.0
+    assert math.isclose(top[1]["cos_sim"], 0.9 / math.sqrt(0.82), rel_tol=1e-4)
+
+
+def test_ivf_probes_nearest_labels(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.95, 0.05], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.1, 0.9], 1),
+        (4, [-1.0, -1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = S.ivf_topk(df, vec_id=0, k=10, nprobe=2).collect()
+    ids = {r["vec_id"] for r in got}
+    assert ids == {0, 1, 2, 3}  # label 2 never probed
+
+
+def test_multimodal_features_and_stub(spark):
+    rows = [
+        ("a", "image", bytearray(b"\x10" * 100)),
+        ("b", "image", bytearray(b"")),
+        ("v", "video", bytearray(b"\x01" * 55)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media_type string, content binary")
+    feats = {r["media_id"]: r for r in M.extract_image_features(df).collect()}
+    assert feats["a"]["decoded_width"] == 1 + 0x10 % 64
+    assert feats["a"]["n_bytes"] == 100
+    assert feats["b"]["decoded_width"] is None  # decoder error → nulls
+    stats = {r["media_id"]: r for r in M.with_byte_stats(df).collect()}
+    assert stats["b"]["is_empty"] is True
+    frames = M.sample_frames(df, every_nth=10).collect()
+    assert {r["frame_idx"] for r in frames} == set(range(5))  # 55 bytes → 5 frames
