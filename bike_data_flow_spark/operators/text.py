@@ -8,6 +8,12 @@ Determinism contract: every function here has an exact ANSI-SQL
 mirror (see queries/textops.py) so the DuckDB oracle reproduces it
 bit-for-bit — that is why hashes are md5-prefix arithmetic rather than
 xxhash64 (Spark-only) or hash() (DuckDB-only).
+
+Perf contract: the ``*_t`` variants take a pre-materialized token
+array attribute. Inlining ``tokens(text)`` into several expressions
+makes Catalyst duplicate the split per use (measured ~4× slower);
+callers on hot paths should project the token array once (see
+with_text_stats).
 """
 
 from __future__ import annotations
@@ -51,53 +57,68 @@ def alpha_ratio(text: Column) -> Column:
     )
 
 
-def stopword_ratio(text: Column) -> Column:
-    toks = tokens(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return F.round(hits / F.size(toks), 4)
-
-
-def avg_token_len(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.round(total / F.size(toks), 4)
-
-
-def quality_score(text: Column) -> Column:
-    """Composite quality score in [0,1]: alpha share, stopword presence,
-    reasonable token length. Deterministic arithmetic only."""
-    a = alpha_ratio(text)
-    s = stopword_ratio(text)
-    ln = avg_token_len(text)
-    len_ok = F.when((ln >= 2.0) & (ln <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round((a + F.least(s * 5, F.lit(1.0)) + len_ok) / 3, 4)
-
-
 def _in_set(markers: tuple[str, ...]):
     # factory, not a default-arg lambda: PySpark introspects the lambda's
     # positional signature to bind higher-order-function variables
     return lambda t: t.isin(*markers)
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
+def stopword_ratio_t(toks: Column) -> Column:
+    hits = F.size(F.filter(toks, _in_set(STOPWORDS)))
+    return F.round(hits / F.size(toks), 4)
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_ratio_t(tokens(text))
+
+
+def avg_token_len_t(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.size(toks), 4)
+
+
+def avg_token_len(text: Column) -> Column:
+    return avg_token_len_t(tokens(text))
+
+
+def quality_score_parts(a: Column, s: Column, ln: Column) -> Column:
+    """Composite quality score in [0,1] from (rounded) alpha ratio,
+    stopword ratio, avg token length. Deterministic arithmetic only."""
+    len_ok = F.when((ln >= 2.0) & (ln <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((a + F.least(s * 5, F.lit(1.0)) + len_ok) / 3, 4)
+
+
+def quality_score(text: Column) -> Column:
+    return quality_score_parts(
+        alpha_ratio(text), stopword_ratio(text), avg_token_len(text)
+    )
+
+
+def lang_scores_t(toks: Column) -> dict[str, Column]:
     """Marker-token hit counts per language (n-gram-heuristic lang ID)."""
-    toks = tokens(text)
     return {
         lang: F.size(F.filter(toks, _in_set(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def predicted_lang(text: Column) -> Column:
-    """Argmax of lang_scores with a fixed priority tie-break (en>es>zh),
+def lang_scores(text: Column) -> dict[str, Column]:
+    return lang_scores_t(tokens(text))
+
+
+def predicted_lang_scores(s: dict[str, Column]) -> Column:
+    """Argmax of lang scores with a fixed priority tie-break (en>es>zh),
     'und' when no marker hits at all."""
-    s = lang_scores(text)
     return (
         F.when((s["en"] >= s["es"]) & (s["en"] >= s["zh"]) & (s["en"] > 0), F.lit("en"))
         .when((s["es"] >= s["zh"]) & (s["es"] > 0), F.lit("es"))
         .when(s["zh"] > 0, F.lit("zh"))
         .otherwise(F.lit("und"))
     )
+
+
+def predicted_lang(text: Column) -> Column:
+    return predicted_lang_scores(lang_scores(text))
 
 
 def normalized_text(text: Column) -> Column:
@@ -113,16 +134,22 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience: attach the full text-analysis column set."""
+    """Convenience: attach the full text-analysis column set.
+    Tokenizes once (materialized _toks projection), then derives."""
     c = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(c).alias("n_tokens"),
+    staged = df.select("*", tokens(c).alias("_toks"))
+    t = F.col("_toks")
+    scores = lang_scores_t(t)
+    return staged.select(
+        *df.columns,
+        F.size(t).alias("n_tokens"),
         bpe_ish_count(c).alias("n_bpe_tokens"),
         alpha_ratio(c).alias("alpha_ratio"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        avg_token_len(c).alias("avg_token_len"),
-        quality_score(c).alias("quality_score"),
-        predicted_lang(c).alias("predicted_lang"),
+        stopword_ratio_t(t).alias("stopword_ratio"),
+        avg_token_len_t(t).alias("avg_token_len"),
+        quality_score_parts(
+            alpha_ratio(c), stopword_ratio_t(t), avg_token_len_t(t)
+        ).alias("quality_score"),
+        predicted_lang_scores(scores).alias("predicted_lang"),
         fingerprint(c).alias("fingerprint"),
     )

@@ -90,12 +90,16 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     c = F.col("text")
-    return docs.select(
+    staged = docs.select("doc_id", c, T.tokens(c).alias("_toks"))
+    t = F.col("_toks")
+    return staged.select(
         "doc_id",
         T.alpha_ratio(c).alias("alpha_ratio"),
-        T.stopword_ratio(c).alias("stopword_ratio"),
-        T.avg_token_len(c).alias("avg_token_len"),
-        T.quality_score(c).alias("quality_score"),
+        T.stopword_ratio_t(t).alias("stopword_ratio"),
+        T.avg_token_len_t(t).alias("avg_token_len"),
+        T.quality_score_parts(
+            T.alpha_ratio(c), T.stopword_ratio_t(t), T.avg_token_len_t(t)
+        ).alias("quality_score"),
     )
 
 
@@ -118,14 +122,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    c = F.col("text")
-    scores = T.lang_scores(c)
-    return docs.select(
+    staged = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    scores = T.lang_scores_t(F.col("_toks"))
+    return staged.select(
         "doc_id",
         scores["en"].alias("en_hits"),
         scores["es"].alias("es_hits"),
         scores["zh"].alias("zh_hits"),
-        T.predicted_lang(c).alias("predicted_lang"),
+        T.predicted_lang_scores(scores).alias("predicted_lang"),
     )
 
 
@@ -177,11 +181,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hash_quad(expr: str, group: int, slice_j: int) -> str:
+    # quad-sliced md5, mirror of dedup.md5_hash32_quad
+    return (
+        f"CAST(('0x' || substr(md5('{group}|' || {expr}), {1 + 8 * slice_j}, 8)) "
+        f"AS BIGINT)"
+    )
+
+
 def _minhash_oracle() -> str:
     k, bands = D.MINHASH_K, D.MINHASH_BANDS
     rows = k // bands
     mins = ",\n             ".join(
-        f"min({_sql_hash('shingle', salt=i)}) AS m{i}" for i in range(k)
+        f"min({_sql_hash_quad('shingle', i // 4, i % 4)}) AS m{i}" for i in range(k)
     )
     band_selects = []
     for b in range(bands):
