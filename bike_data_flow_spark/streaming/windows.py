@@ -1,0 +1,167 @@
+"""Event-time windowed aggregations + streaming dedup + stateful ops.
+
+The reference has no event-time processing (its daily dt= partitions
+are a 1-day processing-time tumbling window, SURVEY ST6); this module
+supplies the event-time generalization the engine surface needs:
+
+- tumbling/sliding window aggregation with watermark-bounded state
+- streaming duplicate suppression (content hash + watermark — the
+  streaming spelling of the ingest SHA-256 gate, ST5)
+- arbitrary stateful processing via applyInPandasWithState (running
+  per-key counters that survive across micro-batches)
+
+All operators take/return streaming DataFrames so they compose with
+streaming/pipeline.py. State size is bounded by the watermark: at
+100 TB/day, state per window = |keys| rows, dropped once the watermark
+passes window end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "station_id",
+    window_duration: str = "10 minutes",
+    slide_duration: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, if slide_duration given) per-key counts with
+    event-time watermark. Late rows beyond the watermark are dropped —
+    bounded state, unlike an unwatermarked stream."""
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def windowed_bike_stats(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    window_duration: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding availability stats — the streaming twin of the batch daily
+    summary (A5)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col("station_id"))
+        .agg(
+            F.avg("bikes").alias("bikes_mean"),
+            F.min("bikes").alias("bikes_min"),
+            F.max("bikes").alias("bikes_max"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "station_id",
+            "bikes_mean",
+            "bikes_min",
+            "bikes_max",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    hash_cols: list[str],
+    ts_col: str = "timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST5 in-stream: drop rows whose content hash was already seen within
+    the watermark horizon. State = one hash per distinct payload per
+    horizon — the streaming equivalent of the ingest gate, but keyed and
+    distributed rather than a driver-side latch."""
+    hashed = events.withColumn(
+        "_content_hash", F.sha2(F.concat_ws("\x1f", *hash_cols), 256)
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicates(["_content_hash"])
+        .drop("_content_hash")
+    )
+
+
+RUNNING_STATE_SCHEMA = StructType(
+    [StructField("total", LongType()), StructField("max_bikes", LongType())]
+)
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("station_id", StringType()),
+        StructField("batch_rows", LongType()),
+        StructField("running_total", LongType()),
+        StructField("running_max_bikes", LongType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+
+def running_station_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-station
+    running row count + max bikes across micro-batches, with idle-key
+    state eviction via processing-time timeout."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (station_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, max_bikes = state.get if state.exists else (0, 0)
+        rows = 0
+        last_seen = None
+        for pdf in pdfs:
+            rows += len(pdf)
+            if len(pdf):
+                max_bikes = max(max_bikes, int(pdf["bikes"].max()))
+                last = pdf["timestamp"].max()
+                last_seen = last if last_seen is None else max(last_seen, last)
+        total += rows
+        state.update((total, max_bikes))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [
+                {
+                    "station_id": station_id,
+                    "batch_rows": rows,
+                    "running_total": total,
+                    "running_max_bikes": max_bikes,
+                    "last_seen": last_seen,
+                }
+            ]
+        )
+
+    return events.groupBy("station_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,150 @@
+"""Event-time windows, streaming dedup, and stateful operator tests.
+
+Driven through real streaming queries over a file source (parquet
+micro-batches) — the same execution path production would use.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bike_data_flow_spark.streaming.windows import (
+    dedup_stream,
+    running_station_totals,
+    windowed_counts,
+)
+
+SCHEMA = "station_id string, timestamp timestamp, bikes long"
+
+
+def _rows():
+    t = lambda m, s=0: datetime(2025, 5, 1, 10, m, s)  # noqa: E731
+    return [
+        ("001", t(0), 5),
+        ("001", t(4), 6),
+        ("001", t(11), 7),  # second 10-min window
+        ("002", t(2), 1),
+        ("002", t(2), 1),  # exact duplicate row (for dedup test)
+        ("002", t(25), 2),
+    ]
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    src = tmp_path / "events_src"
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.parquet(str(src))
+    return str(src)
+
+
+def _stream(spark, source_dir):
+    return spark.readStream.schema(SCHEMA).parquet(source_dir)
+
+
+def _run_to_memory(spark, df, name, tmp_path, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_window_counts(spark, source_dir, tmp_path):
+    # complete mode: every window state emitted each trigger (append mode
+    # only emits once the watermark passes a window's end — see
+    # test_append_mode_finalizes_windows_via_watermark)
+    agg = windowed_counts(
+        _stream(spark, source_dir), window_duration="10 minutes", watermark="30 minutes"
+    )
+    out = _run_to_memory(spark, agg, "win_counts", tmp_path, "complete")
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["station_id"]): r["n_events"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("10:00", "001"): 2,
+        ("10:10", "001"): 1,
+        ("10:00", "002"): 2,
+        ("10:20", "002"): 1,
+    }
+
+
+def test_sliding_window_counts(spark, source_dir, tmp_path):
+    agg = windowed_counts(
+        _stream(spark, source_dir),
+        window_duration="10 minutes",
+        slide_duration="5 minutes",
+        watermark="30 minutes",
+    )
+    out = _run_to_memory(spark, agg, "win_slide", tmp_path, "complete")
+    rows = [r for r in out.collect() if r["station_id"] == "001"]
+    # event at 10:00 belongs to windows [09:55,10:05) and [10:00,10:10)
+    starts = {r["window_start"].strftime("%H:%M") for r in rows}
+    assert "09:55" in starts and "10:00" in starts
+
+
+def test_append_mode_finalizes_windows_via_watermark(spark, tmp_path):
+    # batch 1: the real events; batch 2: a sentinel far in the future that
+    # advances the watermark past every window end → batch-1 windows emit
+    src = tmp_path / "append_src"
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        str(src)
+    )
+    agg = windowed_counts(stream, window_duration="10 minutes", watermark="30 minutes")
+    out_dir = str(tmp_path / "win_out")
+
+    def run():
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out_dir).count() == 0  # nothing finalized yet
+
+    sentinel = [("zzz", datetime(2025, 5, 1, 12, 0), 0)]
+    spark.createDataFrame(sentinel, SCHEMA).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run()
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["station_id"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("10:00", "001")] == 2 and got[("10:20", "002")] == 1
+
+
+def test_dedup_stream_drops_exact_duplicates(spark, source_dir, tmp_path):
+    dd = dedup_stream(
+        _stream(spark, source_dir),
+        hash_cols=["station_id", "timestamp", "bikes"],
+        watermark="1 hour",
+    )
+    out = _run_to_memory(spark, dd, "dedup_out", tmp_path, "append")
+    assert out.count() == 5  # 6 rows, one exact dup removed
+    assert (
+        out.filter((F.col("station_id") == "002") & (F.col("bikes") == 1)).count() == 1
+    )
+
+
+def test_running_station_totals_state(spark, source_dir, tmp_path):
+    st = running_station_totals(_stream(spark, source_dir))
+    out = _run_to_memory(spark, st, "running_tot", tmp_path, "update")
+    got = {r["station_id"]: r for r in out.collect()}
+    assert got["001"]["running_total"] == 3
+    assert got["001"]["running_max_bikes"] == 7
+    assert got["002"]["running_total"] == 3
+    assert got["002"]["running_max_bikes"] == 2
