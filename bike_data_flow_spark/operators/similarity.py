@@ -45,6 +45,95 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Few planes → big buckets → high recall; many planes → tiny buckets →
+# fast probes, low recall. 4 planes ≈ corpus/16 per probe; tune with
+# corpus size (rule of thumb: 2^planes ≈ corpus_size / desired_bucket).
+N_HYPERPLANES = 4
+
+
+def hyperplane_component(plane: int, dim_idx: int) -> int:
+    """Deterministic pseudo-random hyperplane component in [-1000, 1000].
+
+    Computed with md5 so the DuckDB oracle can regenerate the identical
+    plane from SQL: CAST('0x'||substr(md5('hp{p}|{i}'),1,8) AS BIGINT)
+    % 2001 - 1000. Evaluated ONCE at plan-build time (driver) and
+    embedded as literals — zero per-row hashing.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"hp{plane}|{dim_idx}".encode()).hexdigest()[:8], 16)
+    return h % 2001 - 1000
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, n_planes: int = N_HYPERPLANES
+) -> Column:
+    """Sign-of-dot-product LSH bucket id (cosine-preserving): bit p =
+    [v · h_p > 0]. Vectors in the same bucket are likely cosine-close;
+    at scale, partition the corpus by bucket and probe the query's
+    bucket (plus Hamming-1 neighbors for recall)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(hyperplane_component(p, i)) for i in range(1, dim + 1)]
+        )
+        dot_p = F.aggregate(
+            F.zip_with(vec, plane, lambda x, h: _d(x) * _d(h)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_counts(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = N_HYPERPLANES,
+) -> DataFrame:
+    """Corpus histogram over hyperplane buckets (the partition layout a
+    bucket-partitioned ANN table would have)."""
+    return (
+        df.select(hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_id: int,
+    dim: int,
+    k: int = 10,
+    n_planes: int = N_HYPERPLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search: exact cosine only within the query's LSH bucket.
+    Scans |corpus| / 2^planes of the data in expectation."""
+    with_bucket = df.withColumn(
+        "_bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    )
+    qb = with_bucket.filter(F.col(id_col) == vec_id).select(
+        F.col("_bucket").alias("_qbucket")
+    )
+    q = query_vector(df, vec_id, id_col, vec_col)
+    return (
+        with_bucket.join(
+            F.broadcast(qb), F.col("_bucket") == F.col("_qbucket"), "left_semi"
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def query_vector(df: DataFrame, vec_id: int, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """One-row DataFrame holding the query embedding (broadcast side)."""

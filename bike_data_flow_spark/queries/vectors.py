@@ -48,6 +48,60 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(load(spark, sf_dir, "embeddings"), vec_id=_QUERY_VEC_ID, k=_K)
 
 
+_DIM = 64
+
+
+def _sql_bucket(vec: str, n_planes: int = S.N_HYPERPLANES) -> str:
+    """Hyperplane LSH bucket as SQL, with plane components embedded as
+    literals (same Python-side md5 precompute as the Spark plan)."""
+    terms = []
+    for p in range(n_planes):
+        comps = ", ".join(
+            str(S.hyperplane_component(p, i)) for i in range(1, _DIM + 1)
+        )
+        dot = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ([{comps}])[i] "
+            f"FOR i IN generate_series(1, {_DIM})])"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT {_sql_bucket("embedding")} AS bucket, count(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_bucket_counts(load(spark, sf_dir, "embeddings"), dim=_DIM)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, embedding,
+             {_sql_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT bucket FROM bucketed WHERE vec_id = {_QUERY_VEC_ID}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           round({_sql_cos("e.embedding", "q.qe")}, 6) AS cos_sim
+    FROM bucketed e, q
+    WHERE e.bucket IN (SELECT bucket FROM qb)
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_topk(
+        load(spark, sf_dir, "embeddings"), vec_id=_QUERY_VEC_ID, dim=_DIM, k=_K
+    )
+
+
 @query(
     "label_centroids",
     oracle="""

@@ -106,6 +106,31 @@ def test_ivf_probes_nearest_labels(spark):
     assert ids == {0, 1, 2, 3}  # label 2 never probed
 
 
+def test_hyperplane_lsh(spark):
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),  # nearly parallel to 0 → same bucket
+        (2, [-1.0, 0.0, 0.0], 1),  # antipodal → different bucket
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", S.hyperplane_bucket(F.col("embedding"), dim=3).alias("b")
+        ).collect()
+    }
+    assert buckets[0] == buckets[1] != buckets[2]
+    top = S.lsh_topk(df, vec_id=0, dim=3, k=5).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and 1 in ids and 2 not in ids  # antipode pruned
+    assert math.isclose(top[0]["cos_sim"], 1.0)
+    counts = {r["bucket"]: r["n_vectors"] for r in
+              S.lsh_bucket_counts(df, dim=3).collect()}
+    assert sum(counts.values()) == 3
+
+
 def test_multimodal_features_and_stub(spark):
     rows = [
         ("a", "image", bytearray(b"\x10" * 100)),
