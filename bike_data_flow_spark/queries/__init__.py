@@ -39,6 +39,13 @@ def query(name: str, oracle: str | None, bench: bool = False):
 
 def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY)."""
-    from . import relational, relational2, relational3, textops, vectors  # noqa: F401
+    from . import (  # noqa: F401
+        relational,
+        relational2,
+        relational3,
+        relational4,
+        textops,
+        vectors,
+    )
 
     return REGISTRY
