@@ -77,6 +77,15 @@ def avg_token_len_t(toks: Column) -> Column:
     return F.round(total / F.size(toks), 4)
 
 
+def avg_token_len_fast(text: Column, toks: Column) -> Column:
+    """Fold-free equivalent of avg_token_len_t: in the whitespace-collapsed
+    normal form, Σ len(tok) = len(normalized) − (n_tokens − 1). Pure
+    string/int arithmetic — identical values, no per-element lambda."""
+    n = F.size(toks)
+    total = F.length(normalized_text(text)) - (n - 1)
+    return F.round(total / n, 4)
+
+
 def avg_token_len(text: Column) -> Column:
     return avg_token_len_t(tokens(text))
 

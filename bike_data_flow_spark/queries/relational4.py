@@ -118,6 +118,64 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q13-style two-level aggregation: distribution of customers by
+# their order count (incl. zero-order customers via left join).
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# TPC-H Q2-style correlated min: parts at their per-(brand,type) minimum
+# retail price — decorrelated as a groupBy + equi-join on (group, min).
+@query(
+    "cheapest_parts_per_brand_type",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_type, round(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT min(p2.p_retailprice) FROM part p2
+      WHERE p2.p_brand = p.p_brand AND p2.p_type = p.p_type
+    )
+    """,
+)
+def cheapest_parts_per_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    mins = p.groupBy(
+        F.col("p_brand").alias("b"), F.col("p_type").alias("t")
+    ).agg(F.min("p_retailprice").alias("min_price"))
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_brand == mins.b)
+            & (p.p_type == mins.t)
+            & (p.p_retailprice == mins.min_price),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+    )
+
+
 # Conditional distinct: distinct purchasers vs clickers per day-of-week.
 @query(
     "distinct_users_by_dow",

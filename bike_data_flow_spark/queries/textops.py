@@ -96,9 +96,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.alpha_ratio(c).alias("alpha_ratio"),
         T.stopword_ratio_t(t).alias("stopword_ratio"),
-        T.avg_token_len_t(t).alias("avg_token_len"),
+        T.avg_token_len_fast(c, t).alias("avg_token_len"),
         T.quality_score_parts(
-            T.alpha_ratio(c), T.stopword_ratio_t(t), T.avg_token_len_t(t)
+            T.alpha_ratio(c), T.stopword_ratio_t(t), T.avg_token_len_fast(c, t)
         ).alias("quality_score"),
     )
 
