@@ -17,6 +17,39 @@ from . import query
 
 
 @query(
+    "tumbling_event_counts",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch spelling of the ST6 tumbling window (same F.window operator
+    the streaming path uses); oracle via DuckDB time_bucket."""
+    from ..tables import load
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("win.start").cast("timestamp")).alias(
+                "window_start_ms"
+            ),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@query(
     "streamed_event_type_counts",
     oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
 )
