@@ -102,6 +102,59 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_DUP_TAU = 0.4
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                            FOR i IN generate_series(1, len(embedding))])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                           FOR i IN generate_series(1, len(a.embedding))])
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                          FOR i IN generate_series(1, len(a.embedding))])
+                / (a.nrm * b.nrm), 6) >= {_NEAR_DUP_TAU}
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the LSH-bucketed scale path is ann_lsh_*). Norms precomputed once
+    per vector; the a<b self-join halves the pair space."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import dot, norm
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
+    )
+
+
 @query(
     "label_centroids",
     oracle="""
