@@ -109,15 +109,21 @@ def poll_forever(
     interval_s: float = 30.0,
     max_polls: int | None = None,
     sleep=time.sleep,
+    breaker=None,
 ) -> int:
     """Sensor cadence (sensors/stations.py:10): fetch → gate → land every
-    30 s. Failures are logged-and-skipped (SkipReason semantics)."""
+    30 s. Failures are logged-and-skipped (SkipReason semantics). An
+    optional CircuitBreaker (streaming/breaker.py) short-circuits polls
+    while the upstream API is down."""
     landed = 0
     polls = 0
     while max_polls is None or polls < max_polls:
         polls += 1
         try:
-            payload = fetch_with_retry(fetch, sleep=sleep)
+            if breaker is not None:
+                payload = breaker.call(fetch_with_retry, fetch, sleep=sleep)
+            else:
+                payload = fetch_with_retry(fetch, sleep=sleep)
             if landing.land(payload) is not None:
                 landed += 1
         except Exception:  # noqa: BLE001 — sensor keeps polling
