@@ -219,6 +219,33 @@ def _minhash_oracle() -> str:
     """
 
 
+# Binary-column path (multimodal plumbing, gate-checked): documents'
+# text treated as an opaque UTF-8 blob — byte length, content digest,
+# hex prefix. Same expressions operators/multimodal.with_byte_stats
+# applies to real media blobs.
+@query(
+    "media_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256,
+           lower(substr(hex(encode(text)), 1, 16)) AS hex_prefix,
+           octet_length(encode(text)) = 0 AS is_empty
+    FROM documents
+    """,
+)
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha256"),
+        F.lower(F.substring(F.hex(blob), 1, 16)).alias("hex_prefix"),
+        (F.length(blob) == 0).alias("is_empty"),
+    )
+
+
 @query("minhash_lsh_pairs", oracle=_minhash_oracle(), bench=True)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
