@@ -145,6 +145,25 @@ def with_lineage(df: DataFrame) -> DataFrame:
     )
 
 
+def process_partition(
+    spark: SparkSession, landing_dir: str, dt: str
+) -> DataFrame:
+    """Strict batch entry point with the reference's failure contract
+    (test_processed.py:219-301): missing partition → FileNotFoundError;
+    partition whose files yield zero valid rows → ValueError("No valid
+    data found after processing"). `read_raw_partition` stays lazy and
+    tolerant for the streaming path (ST7: log-and-continue)."""
+    import os
+
+    path = f"{landing_dir}/dt={dt}"
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"raw partition not found: {path}")
+    df = read_raw_partition(spark, landing_dir, dt)
+    if df.limit(1).count() == 0:
+        raise ValueError("No valid data found after processing")
+    return df
+
+
 def read_raw_partition(
     spark: SparkSession, landing_dir: str, dt: str | None = None
 ) -> DataFrame:

@@ -1,0 +1,58 @@
+"""UDF escape-hatch surface (SURVEY §2.10).
+
+The reference's "UDFs" were arbitrary pandas code inside assets; here
+every hot-path computation is a native expression, and this module is
+the sanctioned drop-into-Python surface:
+
+- `haversine_native`: the preferred spelling — pure Column math.
+- `haversine_pandas_udf`: the same function as an Arrow-vectorized
+  pandas UDF (tests pin it equal to the native one) — the template for
+  math Spark genuinely can't express.
+- `register_sql_udf`: spark.udf.register passthrough so SQL users get
+  the same hatch (`SELECT my_fn(col) FROM t`).
+
+Row-at-a-time `F.udf` is deliberately NOT wrapped: at 100 TB the
+ser/de tax per row is the difference between hours and days; Arrow
+batches are the floor.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+EARTH_RADIUS_M = 6371000.0
+
+
+def haversine_native(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters, as whole-stage-codegen math."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+@F.pandas_udf(DoubleType())
+def haversine_pandas_udf(
+    lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+) -> pd.Series:
+    import numpy as np
+
+    dlat = np.radians(lat2 - lat1)
+    dlon = np.radians(lon2 - lon1)
+    a = (
+        np.sin(dlat / 2) ** 2
+        + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2)) * np.sin(dlon / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+def register_sql_udf(spark: SparkSession, name: str = "haversine_m"):
+    """Expose the pandas UDF to SQL: SELECT haversine_m(a,b,c,d)."""
+    spark.udf.register(name, haversine_pandas_udf)
+    return name

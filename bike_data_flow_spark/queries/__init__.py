@@ -44,6 +44,7 @@ def load_all() -> dict[str, Query]:
         relational2,
         relational3,
         relational4,
+        relational5,
         streaming_q,
         textops,
         vectors,

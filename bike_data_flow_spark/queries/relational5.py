@@ -1,0 +1,171 @@
+"""Fifth wave: TPC-H-flavored join/subquery shapes adapted to the
+driver schema — returned-item revenue (Q10), supplier-part distribution
+with exclusion (Q16), large-volume orders via HAVING-subquery (Q18),
+disjunctive multi-range predicates (Q19), idle high-balance customers
+(Q22). All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    bench=True,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "supplier_part_distribution",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT IN ('ECONOMY')
+    GROUP BY p_brand, p_type
+    """,
+)
+def supplier_part_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").isin("ECONOMY"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, sum_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big ON big.l_orderkey = o_orderkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+    )
+    orders = load(spark, sf_dir, "orders")
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "sum_qty",
+    )
+
+
+@query(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity < 10)
+       OR (p_type = 'SMALL' AND l_discount > 0.05)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") < 10)
+        )
+        | ((F.col("p_type") == "SMALL") & (F.col("l_discount") > 0.05))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "no pending orders": scoped NOT EXISTS so the anti-join side is a
+    # filtered scan, not the whole fact table
+    c = load(spark, sf_dir, "customer")
+    avg_pos = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, c.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -72,6 +72,41 @@ def test_mtime_fallback_when_filename_unparseable(spark, tmp_path):
     assert all(ft is not None for ft in fts)  # fell back to mtime
 
 
+def test_missing_partition_raises_filenotfound(spark, landing):
+    import pytest
+
+    from bike_data_flow_spark.operators.parse import process_partition
+
+    with pytest.raises(FileNotFoundError):
+        process_partition(spark, str(landing), "1999-01-01")
+
+
+def test_all_corrupt_partition_raises_valueerror(spark, tmp_path):
+    import pytest
+
+    from bike_data_flow_spark.operators.parse import process_partition
+    from tests.conftest import MALFORMED_COMPOSITE, SHORT_ROW
+
+    root = tmp_path / "raw"
+    write_raw_file(root, "2025-07-01", "2025-07-01_08-00-00", [MALFORMED_COMPOSITE, SHORT_ROW])
+    with pytest.raises(ValueError, match="No valid data found"):
+        process_partition(spark, str(root), "2025-07-01")
+
+
+def test_header_only_file_contributes_nothing(spark, tmp_path):
+    import pytest
+
+    from bike_data_flow_spark.operators.parse import process_partition
+
+    root = tmp_path / "raw"
+    write_raw_file(root, "2025-07-02", "2025-07-02_08-00-00", [])
+    with pytest.raises(ValueError):
+        process_partition(spark, str(root), "2025-07-02")
+    # but a good file alongside rescues the partition
+    write_raw_file(root, "2025-07-02", "2025-07-02_09-00-00", GOOD_ROWS)
+    assert process_partition(spark, str(root), "2025-07-02").count() == 3
+
+
 def test_all_files_of_partition_unioned(spark, landing):
     df = read_raw_partition(spark, str(landing), "2025-05-01")
     assert df.select("s3_source_key").distinct().count() == 2

@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bike_data_flow_spark.operators.udf import (
+    haversine_native,
+    haversine_pandas_udf,
+    register_sql_udf,
+)
+
+
+def _points(spark):
+    return spark.createDataFrame(
+        [
+            (51.1089, 17.0377, 51.1097, 17.0314),  # two Wrocław stations
+            (51.0, 17.0, 51.0, 17.0),  # zero distance
+            (0.0, 0.0, 0.0, 180.0),  # antipodal-ish
+        ],
+        ["lat1", "lon1", "lat2", "lon2"],
+    )
+
+
+def test_pandas_udf_matches_native(spark):
+    df = _points(spark).select(
+        haversine_native(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        ).alias("native"),
+        haversine_pandas_udf("lat1", "lon1", "lat2", "lon2").alias("vectorized"),
+    )
+    for r in df.collect():
+        assert math.isclose(r["native"], r["vectorized"], rel_tol=1e-12)
+
+
+def test_known_distance_and_sql_registration(spark):
+    rows = _points(spark)
+    d = rows.select(
+        haversine_native(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        ).alias("d")
+    ).collect()
+    assert 400 < d[0]["d"] < 500  # ~450 m between the two stations
+    assert d[1]["d"] == 0.0
+    assert math.isclose(d[2]["d"], math.pi * 6371000.0, rel_tol=1e-6)
+
+    register_sql_udf(spark)
+    rows.createOrReplaceTempView("pts")
+    via_sql = spark.sql(
+        "SELECT haversine_m(lat1, lon1, lat2, lon2) AS d FROM pts"
+    ).collect()
+    assert math.isclose(via_sql[0]["d"], d[0]["d"], rel_tol=1e-12)
