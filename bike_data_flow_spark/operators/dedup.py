@@ -60,6 +60,15 @@ def md5_hash32_quad(col: Column, group: int) -> list[Column]:
     ]
 
 
+def md5_hexslice_quad(col: Column, group: int) -> list[Column]:
+    """Same four hashes as md5_hash32_quad but kept as fixed-width hex
+    strings: for equal-length lowercase hex, lexicographic order ==
+    numeric order, so MIN over slices needs no base-16 parse at all.
+    Use when only the ORDER of hash values matters (MinHash)."""
+    h = F.md5(F.concat(F.lit(f"{group}|"), col))
+    return [F.substring(h, 1 + 8 * j, 8) for j in range(4)]
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a pre-materialized token array.
 
@@ -208,9 +217,11 @@ def minhash_signatures(
     """
     assert k % 4 == 0, "k must be a multiple of 4 (quad-sliced md5)"
     sh = doc_shingles(df, id_col, text_col, n)
+    # hex-slice mins: fixed-width hex preserves numeric order, so the
+    # signature never pays a base-16 parse (m columns are hex strings)
     hashes: list[Column] = []
     for g in range(k // 4):
-        hashes.extend(md5_hash32_quad(F.col("shingle"), group=g))
+        hashes.extend(md5_hexslice_quad(F.col("shingle"), group=g))
     aggs = [F.min(h).alias(f"m{i}") for i, h in enumerate(hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 

@@ -92,13 +92,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("text")
     staged = docs.select("doc_id", c, T.tokens(c).alias("_toks"))
     t = F.col("_toks")
-    return staged.select(
+    # two-stage select: ratios materialize once as attributes, quality
+    # derives from them (no duplicated regexp/lambda evaluation)
+    ratios = staged.select(
         "doc_id",
         T.alpha_ratio(c).alias("alpha_ratio"),
         T.stopword_ratio_t(t).alias("stopword_ratio"),
         T.avg_token_len_fast(c, t).alias("avg_token_len"),
+    )
+    return ratios.select(
+        "*",
         T.quality_score_parts(
-            T.alpha_ratio(c), T.stopword_ratio_t(t), T.avg_token_len_fast(c, t)
+            F.col("alpha_ratio"), F.col("stopword_ratio"), F.col("avg_token_len")
         ).alias("quality_score"),
     )
 
@@ -181,19 +186,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hash_quad(expr: str, group: int, slice_j: int) -> str:
-    # quad-sliced md5, mirror of dedup.md5_hash32_quad
-    return (
-        f"CAST(('0x' || substr(md5('{group}|' || {expr}), {1 + 8 * slice_j}, 8)) "
-        f"AS BIGINT)"
-    )
+def _sql_hexslice_quad(expr: str, group: int, slice_j: int) -> str:
+    # quad-sliced md5 kept as hex (mirror of dedup.md5_hexslice_quad):
+    # fixed-width lowercase hex orders identically to the numeric value
+    return f"substr(md5('{group}|' || {expr}), {1 + 8 * slice_j}, 8)"
 
 
 def _minhash_oracle() -> str:
     k, bands = D.MINHASH_K, D.MINHASH_BANDS
     rows = k // bands
     mins = ",\n             ".join(
-        f"min({_sql_hash_quad('shingle', i // 4, i % 4)}) AS m{i}" for i in range(k)
+        f"min({_sql_hexslice_quad('shingle', i // 4, i % 4)}) AS m{i}"
+        for i in range(k)
     )
     band_selects = []
     for b in range(bands):
