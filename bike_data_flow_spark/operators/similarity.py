@@ -134,6 +134,71 @@ def lsh_topk(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 1e-9,
+) -> DataFrame:
+    """All pairs with cosine ≥ tau, computed as blocked GEMM + exact
+    verify — the scalable spelling of the O(N²) similarity join.
+
+    Stage 1 (candidates): each Arrow batch of vectors is multiplied
+    against the broadcast normalized corpus matrix (BLAS — thousands of
+    times faster than 2M interpreted array folds). Pairs scoring
+    ≥ tau−margin survive; the margin covers BLAS-vs-fold summation
+    order differences so stage 2 sees every true pair.
+    Stage 2 (verify): the surviving few pairs get the exact
+    left-fold cosine (bit-identical to the SQL oracle), rounded and
+    thresholded — final values carry no BLAS noise.
+
+    Broadcasting the whole corpus bounds this at ~10⁷ vectors ×
+    dim 64 (≈5 GB); beyond that, loop GEMM over right-hand blocks —
+    same plan shape, one extra outer loop.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(normed)
+    cut = tau - margin
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ all_mat.T  # (batch, corpus) BLAS
+            qa = pdf[id_col].to_numpy()
+            bi, ci = np.where(sims >= cut)
+            ia, ib = qa[bi], all_ids[ci]
+            keep = ia < ib
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    cands = df.select(id_col, vec_col).mapInPandas(gen, "id_a long, id_b long")
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+
+
 def query_vector(df: DataFrame, vec_id: int, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """One-row DataFrame holding the query embedding (broadcast side)."""

@@ -255,6 +255,70 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Flagship composition: the canonical training-data curation pipeline —
+# quality gate → exact dedup (keep min id) → near-dup removal (LSH
+# candidates, keep the smaller id of each pair) — verified END-TO-END
+# against one SQL oracle. At 100 TB each stage is the operator already
+# benchmarked above; composition adds no new shuffle shapes.
+# ---------------------------------------------------------------------------
+
+_MIN_TOKENS, _MAX_TOKENS = 10, 2000
+_MIN_ALPHA = 0.5
+
+
+def _curation_oracle() -> str:
+    minhash_pairs = _minhash_oracle().strip()
+    return f"""
+    WITH quality AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+               round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                     / len(lower(text)), 4) AS alpha_ratio
+        FROM documents
+      ) WHERE n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+          AND alpha_ratio >= {_MIN_ALPHA}
+    ),
+    exact_kept AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM quality)
+      GROUP BY md5({_NORM})
+    ),
+    near_pairs AS ({minhash_pairs}),
+    dropped AS (
+      SELECT DISTINCT id_b AS doc_id FROM near_pairs
+      WHERE id_a IN (SELECT doc_id FROM exact_kept)
+        AND id_b IN (SELECT doc_id FROM exact_kept)
+    )
+    SELECT doc_id FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@query("curated_documents", oracle=_curation_oracle(), bench=True)
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    staged = docs.select("doc_id", c, T.tokens(c).alias("_toks"))
+    quality = staged.filter(
+        F.size("_toks").between(_MIN_TOKENS, _MAX_TOKENS)
+        & (T.alpha_ratio(c) >= _MIN_ALPHA)
+    ).select("doc_id", "text")
+
+    exact_kept = (
+        quality.groupBy(F.md5(T.normalized_text(F.col("text"))).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept_docs = docs.join(exact_kept, "doc_id", "left_semi")
+
+    pairs = D.minhash_lsh_candidates(kept_docs)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact_kept.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
 @query(
     "simhash_signatures",
     oracle=f"""

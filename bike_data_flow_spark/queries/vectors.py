@@ -125,33 +125,14 @@ _NEAR_DUP_TAU = 0.4
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
-    the LSH-bucketed scale path is ann_lsh_*). Norms precomputed once
-    per vector; the a<b self-join halves the pair space."""
-    from pyspark.sql import functions as F
+    """Embedding-cosine near-duplicate pairs: BLAS-blocked candidate
+    generation + exact fold verification (operators/similarity.
+    cosine_pairs_blocked). Final values are the same left-fold cosine
+    the oracle computes — the GEMM stage only prunes."""
+    from ..operators.similarity import cosine_pairs_blocked
 
-    from ..operators.similarity import dot, norm
-
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = F.round(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
+    return cosine_pairs_blocked(
+        load(spark, sf_dir, "embeddings"), tau=_NEAR_DUP_TAU
     )
 
 

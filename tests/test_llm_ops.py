@@ -106,6 +106,25 @@ def test_ivf_probes_nearest_labels(spark):
     assert ids == {0, 1, 2, 3}  # label 2 never probed
 
 
+def test_cosine_pairs_blocked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.14, 0.0], 0),  # cos(0,1) ≈ 0.990
+        (2, [0.0, 1.0, 0.0], 1),  # orthogonal to 0
+        (3, [1.0, 0.01, 0.0], 1),  # ≈ parallel to 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.cosine_pairs_blocked(df, tau=0.9).collect()
+    }
+    assert set(got) == {(0, 1), (0, 3), (1, 3)}
+    assert all(v >= 0.9 for v in got.values())
+    assert got[(0, 3)] > got[(0, 1)]
+    # nothing below the threshold leaks through
+    assert all(2 not in pair for pair in got)
+
+
 def test_hyperplane_lsh(spark):
     import math
 

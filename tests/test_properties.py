@@ -102,6 +102,29 @@ def test_jaccard_invariants(spark, texts):
 
 @given(
     st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(0, 4),
+)
+@settings(**SETTINGS)
+def test_minhash_perfect_recall_on_exact_dups(spark, texts, dup_idx):
+    """A duplicated text shares its entire signature → every band matches
+    → the pair MUST be a candidate (LSH guarantees recall 1.0 at
+    similarity 1.0)."""
+    dup_idx = dup_idx % len(texts)
+    rows = list(enumerate(texts)) + [(len(texts), texts[dup_idx])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    assert (dup_idx, len(texts)) in pairs
+
+
+@given(
+    st.lists(
         st.tuples(st.integers(1, 3), st.integers(0, 5000)),  # (user, offset seconds)
         min_size=1,
         max_size=30,
