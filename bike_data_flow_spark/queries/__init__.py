@@ -45,6 +45,7 @@ def load_all() -> dict[str, Query]:
         relational3,
         relational4,
         relational5,
+        relational6,
         streaming_q,
         textops,
         vectors,
