@@ -307,11 +307,13 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (T.alpha_ratio(c) >= _MIN_ALPHA)
     ).select("doc_id", "text")
 
+    # cache: exact_kept feeds two joins; without it the md5-groupBy over
+    # all docs runs twice (the id set itself is tiny)
     exact_kept = (
         quality.groupBy(F.md5(T.normalized_text(F.col("text"))).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-    )
+    ).cache()
     kept_docs = docs.join(exact_kept, "doc_id", "left_semi")
 
     pairs = D.minhash_lsh_candidates(kept_docs)
