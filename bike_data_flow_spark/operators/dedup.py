@@ -48,23 +48,12 @@ def md5_hash64(col: Column, salt: int | None = None, hex_chars: int = 8) -> Colu
     return F.conv(F.substring(F.md5(basis), 1, hex_chars), 16, 10).cast("long")
 
 
-def md5_hash32_quad(col: Column, group: int) -> list[Column]:
-    """Four independent 32-bit hashes from ONE md5 (8 hex chars each).
-
-    Quarters the dominant MinHash cost: K hash functions need only K/4
-    md5 evaluations per shingle. The SQL oracle slices identically.
-    """
-    h = F.md5(F.concat(F.lit(f"{group}|"), col))
-    return [
-        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long") for j in range(4)
-    ]
-
-
 def md5_hexslice_quad(col: Column, group: int) -> list[Column]:
-    """Same four hashes as md5_hash32_quad but kept as fixed-width hex
-    strings: for equal-length lowercase hex, lexicographic order ==
-    numeric order, so MIN over slices needs no base-16 parse at all.
-    Use when only the ORDER of hash values matters (MinHash)."""
+    """Four independent 32-bit hashes from ONE md5, kept as fixed-width
+    hex strings: quarters the per-shingle hashing cost (K functions need
+    K/4 md5 evaluations), and for equal-length lowercase hex the
+    lexicographic order == numeric order, so MIN over slices needs no
+    base-16 parse. The SQL oracle slices the same md5 identically."""
     h = F.md5(F.concat(F.lit(f"{group}|"), col))
     return [F.substring(h, 1 + 8 * j, 8) for j in range(4)]
 

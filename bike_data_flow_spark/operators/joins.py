@@ -1,0 +1,113 @@
+"""Custom join operators Spark lacks natively: as-of join and
+bin-bucketed range join (SURVEY §2.3, task north-star list).
+
+Both are compositions of built-in operators — no UDFs, no Catalyst
+surgery:
+
+- as-of join: union the two sides tagged, one per-key event-time sort
+  window carries the latest right-side id forward, then a broadcast-or-
+  shuffle equi-join retrieves the right row's payload. One shuffle on
+  the key; no range cross-product ever materializes.
+- range join: intervals explode to the fixed-size bins they cover,
+  points map to their single bin, bins equi-join (hash-partitioned,
+  skew-free for bounded interval length), exact predicate re-verifies.
+  Replaces O(|points|·|intervals|) theta joins with
+  O(|points| + Σ interval_bins) + a hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For every left row: columns of the latest right row (same `on`
+    key) whose ``right_ts`` ≤ ``left_ts``; NULLs when none precedes.
+
+    Ties: a right row at exactly left_ts counts (≤); among equal right
+    timestamps the larger surrogate id wins (deterministic).
+    """
+    rid = "_asof_rid"
+    ts = "_asof_ts"
+    tag = "_asof_tag"  # right=0 sorts before left=1 at equal timestamps
+
+    r = right.withColumn(rid, F.monotonically_increasing_id())
+    r_events = r.select(
+        F.col(on),
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(tag),
+        F.col(rid),
+    )
+    l_events = left.select(
+        F.col(on),
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(tag),
+        F.lit(None).cast("long").alias(rid),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc(ts), F.asc(tag), F.asc(rid))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # distinct: duplicate (key, ts) left rows resolve to the same match —
+    # one match row per (key, ts) keeps the back-join 1:1 per left row
+    matched = (
+        r_events.unionByName(l_events)
+        .withColumn("_match", F.last(rid, ignorenulls=True).over(w))
+        .filter(F.col(tag) == 1)
+        .select(F.col(on), F.col(ts), F.col("_match"))
+        .distinct()
+    )
+    right_payload = r.select(
+        F.col(rid).alias("_match"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
+    )
+    out = (
+        left.join(
+            matched.withColumnRenamed(ts, left_ts),
+            [on, left_ts],
+        )
+        .join(right_payload, "_match", "left")
+        .drop("_match")
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_size: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every interval with start ≤ point < end.
+
+    ``bin_size`` should be on the order of the typical interval length:
+    each interval lands in (length/bin_size + 1) buckets, each point in
+    exactly one.
+    """
+    pb = points.withColumn("_bin", F.floor(F.col(point_col) / bin_size))
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_size),
+                F.floor((F.col(end_col)) / bin_size),
+            )
+        ),
+    )
+    out = pb.join(ib, "_bin", how).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return out.drop("_bin")

@@ -1,0 +1,79 @@
+"""as-of join and range join vs brute-force oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bike_data_flow_spark.operators.joins import asof_join, range_join
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("A", 5, 99.0), ("B", 7, 50.0)],
+        ["sym", "t", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 99.5), ("A", 10, 100.1), ("A", 15, 100.7), ("B", 9, 49.9)],
+        ["sym", "t", "bid"],
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t")
+    got = {(r["sym"], r["t"]): r["r_bid"] for r in out.collect()}
+    assert got == {
+        ("A", 5): None,  # nothing at or before t=5
+        ("A", 10): 100.1,  # quote at exactly t=10 counts (≤)
+        ("A", 20): 100.7,  # latest ≤ 20 is t=15
+        ("B", 7): None,  # B's only quote is later
+    }
+    assert out.count() == trades.count()  # every left row survives
+
+
+def test_asof_join_duplicate_left_rows_stay_one_to_one(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, "x"), ("A", 10, "y"), ("A", 12, "z")], ["sym", "t", "side"]
+    )
+    quotes = spark.createDataFrame([("A", 9, 1.0), ("A", 11, 2.0)], ["sym", "t", "bid"])
+    out = asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t")
+    assert out.count() == 3  # no fan-out from the duplicated (A, 10)
+    got = sorted((r["t"], r["side"], r["r_bid"]) for r in out.collect())
+    assert got == [(10, "x", 1.0), (10, "y", 1.0), (12, "z", 2.0)]
+
+
+def test_asof_join_matches_bruteforce_on_events(spark):
+    import random
+
+    rng = random.Random(7)
+    left = [(k, rng.randint(0, 100)) for k in "ab" for _ in range(30)]
+    right = [(k, rng.randint(0, 100), rng.random()) for k in "ab" for _ in range(20)]
+    ldf = spark.createDataFrame(left, ["k", "t"])
+    rdf = spark.createDataFrame(right, ["k", "t", "v"])
+    out = asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t")
+    # brute force: max right t ≤ left t; among ties the operator picks a
+    # deterministic one — compare on the matched TIME, not the value
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["k"], r["t"]), r["r_t"])
+    for k, t in {(x[0], x[1]) for x in left}:
+        prior = [rt for (rk, rt, _) in right if rk == k and rt <= t]
+        expect = max(prior) if prior else None
+        assert got[(k, t)] == expect, (k, t)
+
+
+def test_range_join_matches_theta_join(spark):
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], ["pid", "x"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.5), (3, 40.0, 55.0), (4, 60.0, 70.0)],
+        ["iid", "lo", "hi"],
+    )
+    fast = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "x", "lo", "hi", bin_size=8.0).collect()
+    }
+    theta = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+        ).collect()
+    }
+    assert fast == theta and len(fast) > 0
