@@ -86,17 +86,20 @@ def doc_shingles(
     text_col: str = "text",
     n: int = 3,
     max_shingle_freq: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs. Optionally drop stop-shingles that
-    occur in more than ``max_shingle_freq`` docs (skew guard at scale)."""
+    """(id, shingle) pairs, distinct by default (set semantics for
+    Jaccard). ``distinct=False`` skips that shuffle for consumers that
+    are duplicate-insensitive (MinHash: min over multiset == min over
+    set). Optionally drop stop-shingles that occur in more than
+    ``max_shingle_freq`` docs (skew guard at scale)."""
     toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    out = (
-        toks_df.select(
-            F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
-        )
-        .distinct()
+    out = toks_df.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
+    if distinct:
+        out = out.distinct()
     if max_shingle_freq is not None:
         freq = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         out = (
@@ -205,7 +208,8 @@ def minhash_signatures(
     per shingle instead of k.
     """
     assert k % 4 == 0, "k must be a multiple of 4 (quad-sliced md5)"
-    sh = doc_shingles(df, id_col, text_col, n)
+    # distinct=False: MIN ignores duplicates; saves a full shuffle
+    sh = doc_shingles(df, id_col, text_col, n, distinct=False)
     # hex-slice mins: fixed-width hex preserves numeric order, so the
     # signature never pays a base-16 parse (m columns are hex strings)
     hashes: list[Column] = []
@@ -285,25 +289,23 @@ def simhash(
     hashed = tok.select(
         F.col(id_col), md5_hash64(F.col("tok"), hex_chars=12).alias("h")
     )
-    expanded = hashed.select(
-        F.col(id_col),
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    # one aggregation with `bits` vote expressions — no ×bits row
+    # explosion, no second shuffle (rows stay = token count)
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    # column-valued shift amounts need SQL expressions (the Python API's
-    # shiftright/shiftleft only accept int literals)
-    votes = expanded.groupBy(id_col, "bit").agg(
-        F.sum(
-            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("vote")
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
