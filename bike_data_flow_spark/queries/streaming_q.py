@@ -50,6 +50,67 @@ def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_event_counts",
+    oracle="""
+    SELECT window_start_ms, event_type, count(*) AS cnt
+    FROM (
+      SELECT epoch_ms(time_bucket(INTERVAL 5 MINUTE, ts)
+                      - (k * INTERVAL 5 MINUTE)) AS window_start_ms,
+             event_type
+      FROM events, unnest([0, 1]) AS t(k)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding every 5 min (each event lands in exactly 2
+    windows); oracle derives the same membership from shifted
+    time_buckets."""
+    from ..tables import load
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "10 minutes", "5 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("win.start").cast("timestamp")).alias("window_start_ms"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "props_map_profile",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_regex
+    FROM events
+    """,
+)
+def props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access three ways: JSON→MapType, JSON path, and
+    raw regex extraction — all agreeing on the same payload."""
+    from ..tables import load
+
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+        F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1).cast("bigint").alias(
+            "k_regex"
+        ),
+    )
+
+
+@query(
     "streamed_event_type_counts",
     oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
 )
