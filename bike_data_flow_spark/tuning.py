@@ -1,0 +1,77 @@
+"""Partition-sizing heuristics — SCALE.md's sizing rules as code.
+
+Spark's two most consequential knobs scale with INPUT SIZE, not with
+cluster size alone:
+
+- `spark.sql.files.maxPartitionBytes`: how much each scan task reads.
+- `spark.sql.shuffle.partitions`: post-shuffle parallelism; AQE
+  coalesces down but won't split up (pre-AQE stages), so the static
+  value must be high enough for the largest shuffle.
+
+`tune_session` computes both from an input-bytes estimate so a job
+runs with ~target-sized partitions whether it reads 60 MB or 100 TB.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+MB = 1024 * 1024
+GB = 1024 * MB
+
+TARGET_PARTITION_BYTES = 128 * MB
+MAX_SHUFFLE_PARTITIONS = 20000  # beyond this, scheduler overhead dominates
+
+
+def dir_bytes(path: str | Path) -> int:
+    """Recursive on-disk size of a local data directory (cheap driver-side
+    estimate; on object stores use the catalog/statistics instead)."""
+    p = Path(path)
+    if p.is_file():
+        return p.stat().st_size
+    return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+
+def plan_partitions(
+    input_bytes: int,
+    default_parallelism: int,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
+    shuffle_fraction: float = 0.5,
+) -> dict[str, int]:
+    """Compute the two knobs.
+
+    shuffle_fraction estimates how much of the input survives to the
+    widest shuffle (post-filter/projection); 0.5 is conservative for
+    analytics, use lower when filters are selective.
+    """
+    scan_parts = max(1, -(-input_bytes // target_partition_bytes))
+    shuffle_bytes = int(input_bytes * shuffle_fraction)
+    shuffle_parts = max(
+        default_parallelism,
+        min(MAX_SHUFFLE_PARTITIONS, -(-shuffle_bytes // target_partition_bytes)),
+    )
+    return {
+        "maxPartitionBytes": target_partition_bytes,
+        "shufflePartitions": shuffle_parts,
+        "expectedScanTasks": scan_parts,
+    }
+
+
+def tune_session(
+    spark: SparkSession,
+    input_bytes: int,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
+    shuffle_fraction: float = 0.5,
+) -> dict[str, int]:
+    """Apply the plan to a live session (runtime-settable confs only)."""
+    plan = plan_partitions(
+        input_bytes,
+        spark.sparkContext.defaultParallelism,
+        target_partition_bytes,
+        shuffle_fraction,
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(plan["maxPartitionBytes"]))
+    spark.conf.set("spark.sql.shuffle.partitions", str(plan["shufflePartitions"]))
+    return plan

@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+from bike_data_flow_spark.tuning import (
+    GB,
+    MB,
+    dir_bytes,
+    plan_partitions,
+    tune_session,
+)
+
+
+def test_plan_small_input_floors_at_parallelism():
+    plan = plan_partitions(60 * MB, default_parallelism=8)
+    assert plan["shufflePartitions"] == 8  # never below cores
+    assert plan["expectedScanTasks"] == 1
+
+
+def test_plan_100tb_input():
+    plan = plan_partitions(100 * 1024 * GB, default_parallelism=8000)
+    # 100 TB / 128 MB ≈ 819k scan tasks; shuffle capped at the ceiling
+    assert plan["expectedScanTasks"] == 819200
+    assert plan["shufflePartitions"] == 20000
+
+
+def test_tune_session_applies_and_reports(spark, tmp_path):
+    (tmp_path / "x.bin").write_bytes(b"\0" * 1024)
+    assert dir_bytes(tmp_path) == 1024
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        plan = tune_session(spark, 10 * GB)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            plan["shufflePartitions"]
+        )
+        assert plan["shufflePartitions"] >= spark.sparkContext.defaultParallelism
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
