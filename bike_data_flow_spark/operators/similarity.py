@@ -140,50 +140,76 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     margin: float = 1e-9,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine ≥ tau, computed as blocked GEMM + exact
-    verify — the scalable spelling of the O(N²) similarity join.
+    """All pairs with cosine ≥ tau, computed as DISTRIBUTED blocked GEMM
+    + exact verify — the scalable spelling of the O(N²) similarity join.
 
-    Stage 1 (candidates): each Arrow batch of vectors is multiplied
-    against the broadcast normalized corpus matrix (BLAS — thousands of
-    times faster than 2M interpreted array folds). Pairs scoring
-    ≥ tau−margin survive; the margin covers BLAS-vs-fold summation
-    order differences so stage 2 sees every true pair.
-    Stage 2 (verify): the surviving few pairs get the exact
-    left-fold cosine (bit-identical to the SQL oracle), rounded and
-    thresholded — final values carry no BLAS noise.
-
-    Broadcasting the whole corpus bounds this at ~10⁷ vectors ×
-    dim 64 (≈5 GB); beyond that, loop GEMM over right-hand blocks —
-    same plan shape, one extra outer loop.
+    Stage 1 (candidates): every vector hashes into one of ``n_blocks``
+    disjoint blocks. For each unordered block pair (i, j) with i ≤ j, a
+    single task receives block i tagged side A and block j tagged side
+    B, stacks each side into a matrix, and runs one BLAS multiply
+    (A_norm @ B_normᵀ). Pairs scoring ≥ tau−margin survive; the margin
+    covers BLAS-vs-fold summation order so stage 2 sees every true
+    pair. Each row is replicated to its ≤ n_blocks+1 block-pair groups
+    via `explode(sequence(...))` — an ordinary shuffle, never a
+    driver-side `collect()` or a full-corpus broadcast; per-task memory
+    is 2·N/B vectors, dialed by ``n_blocks`` (pick B ≈ N·dim·8B /
+    executor-budget; B² / 2 tasks must also ≥ cluster parallelism).
+    Stage 2 (verify): surviving pairs get the exact left-fold cosine
+    (bit-identical to the SQL oracle), rounded and thresholded — final
+    values carry no BLAS noise.
     """
-    from collections.abc import Iterator
-
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(normed)
     cut = tau - margin
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_b"),
+    )
+    # Row in block b serves as side A for groups (b, j≥b) and side B for
+    # groups (i≤b, b).  Blocks are disjoint, so a cross-block pair shows
+    # up in exactly one group; the diagonal group dedups with ia < ib.
+    as_a = base.withColumn(
+        "_gj", F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1)))
+    ).select(
+        F.col("_b").alias("_gi"), "_gj", F.lit(0).alias("_side"), "_id", "_v"
+    )
+    as_b = base.withColumn(
+        "_gi", F.explode(F.sequence(F.lit(0), F.col("_b")))
+    ).select(
+        "_gi", F.col("_b").alias("_gj"), F.lit(1).alias("_side"), "_id", "_v"
+    )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_mat.T  # (batch, corpus) BLAS
-            qa = pdf[id_col].to_numpy()
-            bi, ci = np.where(sims >= cut)
-            ia, ib = qa[bi], all_ids[ci]
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key
+        a_pdf = pdf[pdf["_side"] == 0]
+        b_pdf = pdf[pdf["_side"] == 1]
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        a_ids = a_pdf["_id"].to_numpy()
+        b_ids = b_pdf["_id"].to_numpy()
+        a_mat = np.stack(a_pdf["_v"].map(np.asarray)).astype(np.float64)
+        b_mat = np.stack(b_pdf["_v"].map(np.asarray)).astype(np.float64)
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = a_mat @ b_mat.T  # one BLAS call per block pair
+        ai, bi = np.where(sims >= cut)
+        ia, ib = a_ids[ai], b_ids[bi]
+        if gi == gj:
             keep = ia < ib
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+            ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
+        )
 
-    cands = df.select(id_col, vec_col).mapInPandas(gen, "id_a long, id_b long")
+    cands = (
+        as_a.unionByName(as_b)
+        .groupBy("_gi", "_gj")
+        .applyInPandas(gemm, "id_a long, id_b long")
+    )
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
