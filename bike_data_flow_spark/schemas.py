@@ -62,15 +62,27 @@ PROCESSED_SCHEMA = StructType(
     ]
 )
 
-# models/stations.py:39-60 → enhanced_daily_schema; order enhanced_all.py:77-84.
+# models/stations.py:39-60 → enhanced_daily_schema; order enhanced_all.py:77-84
+# pins record_type at position 16 — after pedelecs, BEFORE the lineage columns
+# (s3_source_key, file_timestamp) — so positional consumers of the reference's
+# ordered CSV output line up.
 ENHANCED_SCHEMA = StructType(
-    list(PROCESSED_SCHEMA.fields)
+    list(PROCESSED_SCHEMA.fields[:15])
+    + [StructField("record_type", StringType(), False)]
+    + list(PROCESSED_SCHEMA.fields[15:])
     + [
-        StructField("record_type", StringType(), False),
         StructField("date", TimestampType(), False),
         StructField("processed_at", TimestampType(), False),
     ]
 )
+assert [f.name for f in ENHANCED_SCHEMA.fields[14:]] == [
+    "pedelecs",
+    "record_type",
+    "s3_source_key",
+    "file_timestamp",
+    "date",
+    "processed_at",
+]
 
 RECORD_TYPES = ("station", "bike", "unknown")
 

@@ -44,6 +44,15 @@ def test_enhance_produces_pinned_column_order(spark, landing):
     processed = read_raw_partition(spark, str(landing), "2025-05-01")
     enhanced = enhance(processed, "2025-05-01")
     assert enhanced.columns == [f.name for f in ENHANCED_SCHEMA.fields]
+    # The reference's literal 20-column order (enhanced_all.py:77-84):
+    # record_type sits at position 16, between pedelecs and s3_source_key.
+    assert enhanced.columns == [
+        "station_id", "name", "timestamp", "gmt_local_diff_sec",
+        "gmt_servertime_diff_sec", "lat", "lon", "bikes", "spaces",
+        "installed", "locked", "temporary", "total_docks",
+        "givesbonus_acceptspedelecs_fbbattlevel", "pedelecs", "record_type",
+        "s3_source_key", "file_timestamp", "date", "processed_at",
+    ]
     r = enhanced.filter(F.col("station_id") == "fb10001").collect()[0]
     assert r["record_type"] == "bike"
     assert r["date"].strftime("%Y-%m-%d") == "2025-05-01"
