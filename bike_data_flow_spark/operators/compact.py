@@ -59,10 +59,18 @@ def compact_partitions(
             .write.mode("overwrite")
             .parquet(str(stage))
         )
-        # atomic-ish swap: move old out, stage in, drop old
+        # Swap: move old out, stage in, drop old. POSIX has no atomic
+        # directory exchange, so there is a brief window where dt= is
+        # absent; a failure inside the window restores the old partition
+        # instead of stranding it in dt=X.old.
         old = src.with_name(src.name + ".old")
         src.rename(old)
-        stage.rename(src)
+        try:
+            stage.rename(src)
+        except BaseException:
+            old.rename(src)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         shutil.rmtree(old)
         (src / "_SUCCESS").unlink(missing_ok=True)
         result[dt] = n_out

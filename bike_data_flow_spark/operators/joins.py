@@ -29,18 +29,28 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "r_",
+    right_id: str | None = None,
 ) -> DataFrame:
     """For every left row: columns of the latest right row (same `on`
     key) whose ``right_ts`` ≤ ``left_ts``; NULLs when none precedes.
 
-    Ties: a right row at exactly left_ts counts (≤); among equal right
-    timestamps the larger surrogate id wins (deterministic).
+    Ties: a right row at exactly left_ts counts (≤). Among right rows
+    with equal (key, ts), the winner is chosen by ``right_id`` when the
+    caller supplies a unique id column; otherwise by a content hash of
+    the whole right row — stable across runs and partition layouts
+    (unlike monotonically_increasing_id), though which duplicate wins
+    is arbitrary. Exact-duplicate rows are interchangeable either way.
     """
     rid = "_asof_rid"
     ts = "_asof_ts"
     tag = "_asof_tag"  # right=0 sorts before left=1 at equal timestamps
 
-    r = right.withColumn(rid, F.monotonically_increasing_id())
+    surrogate = (
+        F.col(right_id).cast("long")
+        if right_id is not None
+        else F.xxhash64(*[F.col(c) for c in right.columns])
+    )
+    r = right.withColumn(rid, surrogate)
     r_events = r.select(
         F.col(on),
         F.col(right_ts).alias(ts),
@@ -67,10 +77,13 @@ def asof_join(
         .select(F.col(on), F.col(ts), F.col("_match"))
         .distinct()
     )
+    # Content-hashed surrogates collide for exact-duplicate right rows;
+    # dedupe so the back-join stays 1:1 per left row (identical payloads,
+    # so which survives is immaterial).
     right_payload = r.select(
         F.col(rid).alias("_match"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
-    )
+    ).dropDuplicates(["_match"])
     out = (
         left.join(
             matched.withColumnRenamed(ts, left_ts),
@@ -96,10 +109,21 @@ def range_join(
     ``bin_size`` should be on the order of the typical interval length:
     each interval lands in (length/bin_size + 1) buckets, each point in
     exactly one.
+
+    ``how`` may be ``inner`` or ``left`` (points-preserving: unmatched
+    points survive null-extended — the range predicate lives in the
+    join condition, so outer rows are not re-filtered away). ``right``/
+    ``full`` are rejected: intervals are exploded one row per covered
+    bin, so an unmatched interval would surface once per bin.
     """
-    pb = points.withColumn("_bin", F.floor(F.col(point_col) / bin_size))
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r}: "
+            "exploded intervals would duplicate unmatched right rows"
+        )
+    pb = points.withColumn("_pbin", F.floor(F.col(point_col) / bin_size))
     ib = intervals.withColumn(
-        "_bin",
+        "_ibin",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / bin_size),
@@ -107,7 +131,9 @@ def range_join(
             )
         ),
     )
-    out = pb.join(ib, "_bin", how).filter(
-        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    cond = (
+        (pb["_pbin"] == ib["_ibin"])
+        & (pb[point_col] >= ib[start_col])
+        & (pb[point_col] < ib[end_col])
     )
-    return out.drop("_bin")
+    return pb.join(ib, cond, how).drop("_pbin", "_ibin")

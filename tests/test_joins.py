@@ -77,3 +77,59 @@ def test_range_join_matches_theta_join(spark):
         ).collect()
     }
     assert fast == theta and len(fast) > 0
+
+
+def test_asof_tiebreak_stable_across_partition_layouts(spark):
+    """Duplicate (key, ts) right rows with different payloads must
+    resolve to the SAME winner regardless of partitioning (the old
+    monotonically_increasing_id tie-break depended on layout)."""
+    trades = spark.createDataFrame([("A", 10, "x")], ["sym", "t", "side"])
+    quotes = spark.createDataFrame(
+        [("A", 9, 1.0), ("A", 9, 2.0), ("A", 9, 3.0)], ["sym", "t", "bid"]
+    )
+    winners = set()
+    for n_parts in (1, 2, 3, 7):
+        out = asof_join(
+            trades, quotes.repartition(n_parts), on="sym", left_ts="t", right_ts="t"
+        )
+        rows = out.collect()
+        assert len(rows) == 1
+        winners.add(rows[0]["r_bid"])
+    assert len(winners) == 1  # same duplicate wins under every layout
+
+
+def test_asof_caller_supplied_tiebreak_id(spark):
+    trades = spark.createDataFrame([("A", 10, "x")], ["sym", "t", "side"])
+    quotes = spark.createDataFrame(
+        [("A", 9, 1.0, 1), ("A", 9, 2.0, 5), ("A", 9, 3.0, 3)],
+        ["sym", "t", "bid", "qid"],
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="t", right_id="qid"
+    )
+    assert out.collect()[0]["r_bid"] == 2.0  # largest qid wins
+
+
+def test_range_join_left_preserves_unmatched_points(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 30.0), (3, 65.0)], ["pid", "x"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (4, 60.0, 70.0)], ["iid", "lo", "hi"]
+    )
+    got = {
+        r["pid"]: r["iid"]
+        for r in range_join(
+            points, intervals, "x", "lo", "hi", bin_size=8.0, how="left"
+        ).collect()
+    }
+    assert got == {1: 1, 2: None, 3: 4}  # pid=2 survives null-extended
+
+
+def test_range_join_rejects_interval_preserving_outer(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1, 5.0)], ["pid", "x"])
+    intervals = spark.createDataFrame([(1, 0.0, 10.0)], ["iid", "lo", "hi"])
+    with pytest.raises(ValueError, match="inner"):
+        range_join(points, intervals, "x", "lo", "hi", bin_size=8.0, how="right")
