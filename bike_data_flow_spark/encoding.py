@@ -1,0 +1,57 @@
+"""Mojibake repair — a minimal, public-knowledge stand-in for ftfy.
+
+The reference pipes every fetched snapshot through ``ftfy.fix_text``
+(reference: wrm_pipeline assets raw_all.py:80) before landing it. That
+library is not in this container, so this module implements the core
+technique ftfy documents publicly: the overwhelmingly common mojibake
+class is UTF-8 bytes mistakenly decoded as Latin-1/cp1252 ("Å‚ódÅº"
+for "łódź", "â€™" for "’"). Undoing it is an encode/decode round
+trip — re-encode the text with the wrong codec and decode as UTF-8 —
+applied only when the text actually shows mojibake signatures, and
+iterated a couple of times to unwind double-encoding.
+
+Deliberately conservative: clean text (ASCII, proper UTF-8 Polish
+diacritics, emoji) round-trips unchanged because the signature check
+fails fast; a failed re-decode leaves the input untouched.
+"""
+
+from __future__ import annotations
+
+# Signatures of UTF-8 lead bytes shown through a Latin-1/cp1252 lens:
+# à (0xC3) starts Western-European 2-byte sequences, Å (0xC5) starts
+# the Latin-Extended-A block (Polish ł/ś/ż...), â€ (0xE2 0x80) starts
+# General-Punctuation 3-byte sequences, Â (0xC2) precedes NBSP &
+# friends, Ä (0xC4) starts ą/ć/ę.
+_HINTS = ("Ã", "Å", "â€", "Â", "Ä")
+
+# Unwind at most this many layers of mis-decoding (double-encoded
+# mojibake is common; triple is the practical ceiling ftfy handles).
+_MAX_ROUNDS = 3
+
+
+def _looks_like_mojibake(s: str) -> bool:
+    # C1 controls (U+0080–U+009F) virtually never appear in honest text;
+    # they are what latin-1 mis-decoding makes of UTF-8 continuation bytes.
+    return any(h in s for h in _HINTS) or any(
+        "\x80" <= ch <= "\x9f" for ch in s
+    )
+
+
+def fix_mojibake(s: str) -> str:
+    """Repair UTF-8-decoded-as-Latin-1/cp1252 text; identity otherwise."""
+    for _ in range(_MAX_ROUNDS):
+        if not _looks_like_mojibake(s):
+            return s
+        repaired = None
+        # cp1252 first: curly quotes/dashes (â€™, â€“) only re-encode
+        # there; latin-1 second for the chars cp1252 leaves unmapped.
+        for codec in ("cp1252", "latin-1"):
+            try:
+                repaired = s.encode(codec).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+        if repaired is None or repaired == s:
+            return s
+        s = repaired
+    return s

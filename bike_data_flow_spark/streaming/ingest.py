@@ -6,7 +6,8 @@ source to pick up. Reproduced semantics:
 
 - fetch text snapshot from a callable (HTTP in prod; injected in tests)
 - mojibake repair hook (raw_all.py:80 used ftfy; gated import here —
-  not installed in this container, falls back to identity)
+  not installed in this container, falls back to encoding.fix_mojibake,
+  a minimal reimplementation of ftfy's latin-1/cp1252 round-trip repair)
 - SHA-256 duplicate gate vs the most recent landed file
   (raw_all.py:83-136): identical payload → skip landing
 - dt=YYYY-MM-DD partition dirs, wrm_stations_{ts}.txt filenames
@@ -24,11 +25,12 @@ from collections.abc import Callable
 from datetime import datetime, timedelta, timezone
 from pathlib import Path
 
-try:  # optional, mirrors raw_all.py:80
+try:  # optional, mirrors raw_all.py:80; prefer the real library if present
     from ftfy import fix_text  # type: ignore
 except ImportError:  # pragma: no cover
-    def fix_text(s: str) -> str:
-        return s
+    # Public-knowledge fallback implementing ftfy's core repair (undo
+    # UTF-8-decoded-as-latin-1/cp1252) instead of passing mojibake through.
+    from ..encoding import fix_mojibake as fix_text
 
 FILENAME_FMT = "wrm_stations_{ts}.txt"
 TS_FMT = "%Y-%m-%d_%H-%M-%S"

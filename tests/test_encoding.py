@@ -1,0 +1,60 @@
+"""Mojibake repair (ftfy-equivalent fallback) — reference raw_all.py:80."""
+
+from __future__ import annotations
+
+from bike_data_flow_spark.encoding import fix_mojibake
+
+
+def _break(s: str, codec: str = "latin-1", times: int = 1) -> str:
+    for _ in range(times):
+        s = s.encode("utf-8").decode(codec)
+    return s
+
+
+def test_repairs_polish_utf8_as_latin1():
+    clean = "Wrocław Plac Grunwaldzki — książka, źdźbło"
+    assert fix_mojibake(_break(clean)) == clean
+
+
+def test_repairs_cp1252_curly_punctuation():
+    # bytes chosen to avoid cp1252's holes (0x81 0x8D 0x8F 0x90 0x9D),
+    # which can't be produced by a strict cp1252 mis-decode
+    clean = "it’s a ‘test’ – done…"
+    assert fix_mojibake(_break(clean, "cp1252")) == clean
+
+
+def test_repairs_punctuation_broken_via_latin1():
+    # latin-1 mis-decode turns the same bytes into C1 controls; the
+    # repairer's cp1252 encode fails on those and falls back to latin-1
+    clean = "a “quoted” sentence"
+    assert fix_mojibake(_break(clean, "latin-1")) == clean
+
+
+def test_unwinds_double_encoding():
+    clean = "łódź żółć"
+    assert fix_mojibake(_break(clean, times=2)) == clean
+
+
+def test_identity_on_clean_text():
+    for clean in (
+        "plain ascii, nothing to see",
+        "Wrocław ulica Świdnicka 40",  # real diacritics, already correct
+        "station;1;17.03;51.11;free_bikes=5",
+    ):
+        assert fix_mojibake(clean) == clean
+
+
+def test_unrepairable_text_left_untouched():
+    # Contains a hint char but re-decode fails -> must not corrupt.
+    s = "Ã￿ not actually utf-8 bytes"
+    assert fix_mojibake(s) == s
+
+
+def test_landing_zone_applies_repair(tmp_path):
+    from bike_data_flow_spark.streaming.ingest import LandingZone
+
+    clean = "1;Wrocław—Śródmieście;51.1;17.0\n"
+    zone = LandingZone(tmp_path / "landing")
+    landed = zone.land(_break(clean))
+    assert landed is not None
+    assert landed.read_text(encoding="utf-8") == clean
