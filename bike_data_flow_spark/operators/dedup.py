@@ -48,14 +48,21 @@ def md5_hash64(col: Column, salt: int | None = None, hex_chars: int = 8) -> Colu
     return F.conv(F.substring(F.md5(basis), 1, hex_chars), 16, 10).cast("long")
 
 
-def md5_hexslice_quad(col: Column, group: int) -> list[Column]:
-    """Four independent 32-bit hashes from ONE md5, kept as fixed-width
-    hex strings: quarters the per-shingle hashing cost (K functions need
-    K/4 md5 evaluations), and for equal-length lowercase hex the
-    lexicographic order == numeric order, so MIN over slices needs no
-    base-16 parse. The SQL oracle slices the same md5 identically."""
-    h = F.md5(F.concat(F.lit(f"{group}|"), col))
-    return [F.substring(h, 1 + 8 * j, 8) for j in range(4)]
+# Universal-hash MinHash family: h_i(s) = (a_i·base(s) + b_i) mod p with
+# ONE md5 per shingle as the base — the textbook Broder construction.
+# p = 2^31−1 keeps a_i·base < 2^62 (no 64-bit overflow in either engine).
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coeff(i: int) -> tuple[int, int]:
+    """Deterministic affine coefficients (aᵢ, bᵢ), md5-derived at
+    plan-build time so the DuckDB oracle regenerates identical literals
+    (same trick as similarity.hyperplane_component)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh_a|{i}".encode()).hexdigest()[:8], 16)
+    b = int(hashlib.md5(f"mh_b|{i}".encode()).hexdigest()[:8], 16)
+    return a % (MINHASH_PRIME - 1) + 1, b % MINHASH_PRIME
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
@@ -204,19 +211,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: columns m0..m{k-1} = min_s h_i(s).
 
-    Hash i = quad-slice j=i%4 of md5(group=i//4): k/4 md5 evaluations
-    per shingle instead of k.
+    ONE md5 per shingle (the base hash); the k functions are affine
+    transforms (aᵢ·base + bᵢ) mod p — k×-cheaper hashing than k
+    independent digests, and min() runs over longs instead of strings.
     """
-    assert k % 4 == 0, "k must be a multiple of 4 (quad-sliced md5)"
     # distinct=False: MIN ignores duplicates; saves a full shuffle
     sh = doc_shingles(df, id_col, text_col, n, distinct=False)
-    # hex-slice mins: fixed-width hex preserves numeric order, so the
-    # signature never pays a base-16 parse (m columns are hex strings)
-    hashes: list[Column] = []
-    for g in range(k // 4):
-        hashes.extend(md5_hexslice_quad(F.col("shingle"), group=g))
-    aggs = [F.min(h).alias(f"m{i}") for i, h in enumerate(hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    # base hash materializes once as a bound attribute; the k affine
+    # mins reference it without re-evaluating the md5
+    staged = sh.select(
+        F.col(id_col),
+        (md5_hash64(F.col("shingle")) % MINHASH_PRIME).alias("_hb"),
+    )
+    aggs = []
+    for i in range(k):
+        a, b = minhash_coeff(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("_hb") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        )
+    return staged.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_keys(
@@ -225,7 +238,9 @@ def minhash_band_keys(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """(id, band_idx, band_key): band_key = md5 of that band's rows.
+    """(id, band_idx, band_key): band_key = polynomial combine of that
+    band's rows (base-31 Horner over longs < 2^31 → key < 2^46, no
+    overflow, no digest cost; both engines compute the same BIGINT).
 
     Single projection + explode — NOT a self-union, which would
     re-execute the whole signature pipeline once per band.
@@ -233,12 +248,12 @@ def minhash_band_keys(
     rows = k // bands
     structs = []
     for b in range(bands):
-        cols = [F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+        key: Column | None = None
+        for r in range(rows):
+            m = F.col(f"m{b * rows + r}")
+            key = m if key is None else key * F.lit(31) + m
         structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
         )
     return sigs.select(
         F.col(id_col), F.explode(F.array(*structs)).alias("bk")

@@ -186,24 +186,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hexslice_quad(expr: str, group: int, slice_j: int) -> str:
-    # quad-sliced md5 kept as hex (mirror of dedup.md5_hexslice_quad):
-    # fixed-width lowercase hex orders identically to the numeric value
-    return f"substr(md5('{group}|' || {expr}), {1 + 8 * slice_j}, 8)"
-
-
 def _minhash_oracle() -> str:
-    k, bands = D.MINHASH_K, D.MINHASH_BANDS
+    # Mirror of dedup.minhash_signatures/minhash_band_keys: one md5 base
+    # hash mod p, k affine mins, base-31 Horner band keys.
+    k, bands, p = D.MINHASH_K, D.MINHASH_BANDS, D.MINHASH_PRIME
     rows = k // bands
     mins = ",\n             ".join(
-        f"min({_sql_hexslice_quad('shingle', i // 4, i % 4)}) AS m{i}"
+        "min(({a} * hb + {b}) % {p}) AS m{i}".format(
+            a=D.minhash_coeff(i)[0], b=D.minhash_coeff(i)[1], p=p, i=i
+        )
         for i in range(k)
     )
     band_selects = []
     for b in range(bands):
-        cols = " || ',' || ".join(f"m{b * rows + r}" for r in range(rows))
+        key = f"m{b * rows}"
+        for r in range(1, rows):
+            key = f"({key} * 31 + m{b * rows + r})"
         band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig"
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
@@ -211,7 +211,8 @@ def _minhash_oracle() -> str:
     sig AS (
       SELECT doc_id,
              {mins}
-      FROM sh GROUP BY doc_id
+      FROM (SELECT doc_id, {_sql_hash("shingle")} % {p} AS hb FROM sh)
+      GROUP BY doc_id
     ),
     bands AS (
       {bands_sql}
@@ -302,19 +303,27 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     c = F.col("text")
     staged = docs.select("doc_id", c, T.tokens(c).alias("_toks"))
-    quality = staged.filter(
-        F.size("_toks").between(_MIN_TOKENS, _MAX_TOKENS)
-        & (T.alpha_ratio(c) >= _MIN_ALPHA)
-    ).select("doc_id", "text")
+    # Cache the quality-gated PROJECTION (doc_id + text), not just keeper
+    # ids: every downstream stage (exact dedup, LSH shingling) reads it,
+    # so the base parquet is scanned exactly once. cache() is
+    # MEMORY_AND_DISK; at 100 TB swap for a checkpoint to parquet.
+    quality = (
+        staged.filter(
+            F.size("_toks").between(_MIN_TOKENS, _MAX_TOKENS)
+            & (T.alpha_ratio(c) >= _MIN_ALPHA)
+        )
+        .select("doc_id", "text")
+        .cache()
+    )
 
-    # cache: exact_kept feeds two joins; without it the md5-groupBy over
-    # all docs runs twice (the id set itself is tiny)
+    # exact_kept feeds two joins; without its own cache the md5-groupBy
+    # shuffle runs twice (the id set itself is tiny)
     exact_kept = (
         quality.groupBy(F.md5(T.normalized_text(F.col("text"))).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     ).cache()
-    kept_docs = docs.join(exact_kept, "doc_id", "left_semi")
+    kept_docs = quality.join(exact_kept, "doc_id", "left_semi")
 
     pairs = D.minhash_lsh_candidates(kept_docs)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()

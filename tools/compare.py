@@ -6,6 +6,14 @@ tool times every oracle-checked query on both engines over the same
 parquet (Spark: noop sink materialization; DuckDB: fetch-all) and
 writes a table with ratios.
 
+Methodology (VERDICT r1 #8): the headline number is warm best-of-N,
+but the COLD first run (JIT, codegen, file-index caches all empty) is
+recorded per query as well so warmup isn't hiding cold cost.
+`streamed_event_type_counts` boots a real Structured Streaming query
+per call — a correctness gate for the streaming engine, not a batch
+perf path — so it is reported in its own section and excluded from
+the total (keeping round-over-round totals honest).
+
     python tools/compare.py [sf_dir] [--repeat N]
 """
 
@@ -23,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bike_data_flow_spark.queries import load_all  # noqa: E402
 from bike_data_flow_spark.session import get_spark  # noqa: E402
 from bike_data_flow_spark.tables import TABLES  # noqa: E402
+
+# Reported separately: boots a full Structured Streaming run per call.
+PINNED_OUT = ("streamed_event_type_counts",)
 
 
 def main() -> None:
@@ -43,10 +54,12 @@ def main() -> None:
     for q in registry.values():
         if q.oracle is None:
             continue
-        # warmup once each, then best-of-N (reduces JVM/IO jitter)
         spark_times, duck_times = [], []
         try:
+            # cold = very first execution of this plan shape in the session
+            t0 = time.time()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold = time.time() - t0
             for _ in range(repeat):
                 t0 = time.time()
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -59,32 +72,53 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"skip {q.name}: {e}")
             continue
-        rows.append((q.name, min(spark_times), min(duck_times)))
-        print(f"{q.name}: spark {min(spark_times):.3f}s duck {min(duck_times):.3f}s")
+        rows.append((q.name, min(spark_times), min(duck_times), cold))
+        print(
+            f"{q.name}: spark {min(spark_times):.3f}s "
+            f"(cold {cold:.3f}s) duck {min(duck_times):.3f}s"
+        )
 
+    pinned = [r for r in rows if r[0] in PINNED_OUT]
+    rows = [r for r in rows if r[0] not in PINNED_OUT]
     total_s = sum(r[1] for r in rows)
     total_d = sum(r[2] for r in rows)
+    total_c = sum(r[3] for r in rows)
     lines = [
         "# BENCH_COMPARE — Spark vs DuckDB on the oracle query set",
         "",
-        f"sf dir: `{sf_dir}` · best of {repeat} after warmup · Spark local "
-        f"(noop sink) vs DuckDB {duckdb.__version__} (fetchall). DuckDB is the "
-        "reference's own engine, so this is the single-node-throughput "
+        f"sf dir: `{sf_dir}` · warm = best of {repeat} after one warmup run · "
+        f"cold = that first run (empty JIT/codegen/file-index caches) · Spark "
+        f"local (noop sink) vs DuckDB {duckdb.__version__} (fetchall). DuckDB "
+        "is the reference's own engine, so this is the single-node-throughput "
         "comparison the build targets. Spark carries per-query job-scheduling "
         "overhead (~0.1-0.3 s) that amortizes away at real scale.",
         "",
-        "| query | spark s | duckdb s | spark/duckdb |",
-        "|---|---|---|---|",
+        "| query | spark warm s | spark cold s | duckdb s | warm spark/duckdb |",
+        "|---|---|---|---|---|",
     ]
-    for name, s, d in sorted(rows, key=lambda r: -r[1]):
+    for name, s, d, c in sorted(rows, key=lambda r: -r[1]):
         ratio = s / d if d > 0 else float("inf")
-        lines.append(f"| {name} | {s:.3f} | {d:.3f} | {ratio:.2f}× |")
+        lines.append(f"| {name} | {s:.3f} | {c:.3f} | {d:.3f} | {ratio:.2f}× |")
     lines += [
-        f"| **total** | **{total_s:.3f}** | **{total_d:.3f}** | "
+        f"| **total** | **{total_s:.3f}** | **{total_c:.3f}** | **{total_d:.3f}** | "
         f"**{total_s / total_d:.2f}×** |",
         "",
-        f"Median ratio: {statistics.median(s / d for _, s, d in rows if d > 0):.2f}×.",
+        f"Median warm ratio: "
+        f"{statistics.median(s / d for _, s, d, _ in rows if d > 0):.2f}×.",
     ]
+    if pinned:
+        lines += [
+            "",
+            "## Reported separately (excluded from total)",
+            "",
+            "| query | spark warm s | spark cold s | duckdb s | note |",
+            "|---|---|---|---|---|",
+        ]
+        for name, s, d, c in pinned:
+            lines.append(
+                f"| {name} | {s:.3f} | {c:.3f} | {d:.3f} | "
+                "boots a real Structured Streaming query per call |"
+            )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_COMPARE.md"
     )
