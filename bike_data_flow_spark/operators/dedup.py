@@ -36,6 +36,7 @@ from .text import normalized_text, tokens
 MINHASH_K = 16  # hash functions
 MINHASH_BANDS = 4  # bands of 4 rows each
 SIMHASH_BITS = 48  # 12 hex chars of md5 → fits exactly in a BIGINT
+SIMHASH_MAX_HAMMING = 3  # near-dup radius; blocks = max_hamming + 1
 
 
 def md5_hash64(col: Column, salt: int | None = None, hex_chars: int = 8) -> Column:

@@ -71,6 +71,15 @@ def write_table(
     return "parquet"
 
 
+def read_table(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Read back a parquet-fallback table with schema evolution enabled
+    (mergeSchema): partitions written before a column existed surface it
+    as NULL — mirroring Iceberg's add-column evolution, which the
+    reference relies on when assets gain columns across daily
+    partitions (iceberg_assets.py:96-139)."""
+    return spark.read.option("mergeSchema", "true").parquet(f"{path}/{name}")
+
+
 def with_station_capacity(df: DataFrame) -> DataFrame:
     """FIXTURES.md §6 derived columns: total capacity + utilization with
     the both-zero edge yielding NULL (the reference would divide by

@@ -56,6 +56,7 @@ _CHECK_FIRST = (
     "minhash_lsh_pairs",
     "curated_documents",
     "simhash_signatures",
+    "simhash_near_pairs",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

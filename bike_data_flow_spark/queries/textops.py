@@ -330,9 +330,7 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_kept.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 
-@query(
-    "simhash_signatures",
-    oracle=f"""
+_SIMHASH_SIG_SQL = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
     ),
@@ -345,12 +343,38 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bit,
              sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       FROM bits GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
-                         ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+"""
+
+
+@query(
+    "simhash_signatures",
+    oracle=_SIMHASH_SIG_SQL + "SELECT doc_id, simhash FROM sig",
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=_SIMHASH_SIG_SQL
+    + f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_MAX_HAMMING}
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Spark plans the
+    pigeonhole-blocked join (any pair within hamming d shares one of
+    d+1 signature blocks); the oracle verifies with the O(N²) join —
+    exact at gate scale, while the Spark plan is the one that scales."""
+    sigs = D.simhash(load(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(sigs, max_hamming=D.SIMHASH_MAX_HAMMING)

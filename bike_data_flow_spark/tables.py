@@ -26,15 +26,39 @@ TABLES = (
 )
 
 
+# DataFrames are immutable logical plans: resolving a table once per
+# session and reusing the plan (file index + schema already analyzed)
+# is exactly what registering it in a catalog would do — and saves the
+# per-query re-listing/footer-read that otherwise taxes every call.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PREPPED: set[str] = set()
+
+
+def _app_id(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # Oracle parity even under a caller-provided vanilla session: DuckDB
-    # treats parquet timestamps as naive UTC, so collection must too.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    app = _app_id(spark)
+    key = (app, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if app not in _PREPPED:
+        # Oracle parity even under a caller-provided vanilla session:
+        # DuckDB treats parquet timestamps as naive UTC, so collection
+        # must too; events.parquet needs nanos-as-long (see below).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _PREPPED.add(app)
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _DF_CACHE[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,7 +70,6 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.select(
         "event_id",

@@ -206,3 +206,59 @@ def test_multimodal_features_and_stub(spark):
     assert stats["b"]["is_empty"] is True
     frames = M.sample_frames(df, every_nth=10).collect()
     assert {r["frame_idx"] for r in frames} == set(range(5))  # 55 bytes → 5 frames
+
+
+def _tiny_ppm() -> bytes:
+    # 2×2 P6 with a comment: pixels (255,0,0) (0,255,0) (0,0,255) (255,255,255)
+    return (
+        b"P6\n# test image\n2 2\n255\n"
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    )
+
+
+def _tiny_bmp() -> bytes:
+    # 2×1 24-bit bottom-up BMP: pixels left→right (255,0,0) and (0,0,255)
+    import struct
+
+    row = bytes([0, 0, 255, 255, 0, 0]) + b"\x00\x00"  # BGR BGR + pad to 8
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(row), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 2835, 2835, 0, 0)
+    return header + info + row
+
+
+def test_ppm_decode_is_real():
+    w, h, luma = M._decode_image_bytes(_tiny_ppm())
+    assert (w, h) == (2, 2)
+    # mean of Rec.601 lumas: (76.245 + 149.685 + 29.07 + 255) / 4
+    expected = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 255.0) / 4
+    assert abs(luma - expected) < 1e-9
+
+
+def test_pgm_p5_decode_is_real():
+    blob = b"P5\n3 1\n255\n" + bytes([0, 128, 255])
+    assert M._decode_image_bytes(blob) == (3, 1, (0 + 128 + 255) / 3)
+
+
+def test_bmp_decode_is_real():
+    w, h, luma = M._decode_image_bytes(_tiny_bmp())
+    assert (w, h) == (2, 1)
+    expected = (0.299 * 255 + 0.114 * 255) / 2  # one red + one blue pixel
+    assert abs(luma - expected) < 1e-9
+
+
+def test_truncated_real_formats_raise():
+    import pytest
+
+    for blob in (b"P6\n2 2\n255\n\xff\x00", _tiny_bmp()[:30]):
+        with pytest.raises(ValueError):
+            M._decode_image_bytes(blob)
+
+
+def test_real_decode_through_spark_pipeline(spark):
+    rows = [("ppm", "image", bytearray(_tiny_ppm())),
+            ("bmp", "image", bytearray(_tiny_bmp()))]
+    df = spark.createDataFrame(rows, "media_id string, media_type string, content binary")
+    feats = {r["media_id"]: r for r in M.extract_image_features(df).collect()}
+    assert (feats["ppm"]["decoded_width"], feats["ppm"]["decoded_height"]) == (2, 2)
+    assert (feats["bmp"]["decoded_width"], feats["bmp"]["decoded_height"]) == (2, 1)
+    assert abs(feats["bmp"]["mean_luma"] - (0.299 * 255 + 0.114 * 255) / 2) < 1e-9
