@@ -324,6 +324,61 @@ def simhash(
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph:
+    (id, cluster_id) with cluster_id = min member id. The step every
+    real dedup pipeline needs between "pairs" and "keepers" — pairs
+    (a,b),(b,c) must collapse to ONE keeper, not two.
+
+    Iterative min-label propagation (no GraphX dependency, pure
+    DataFrame ops): each round every vertex takes the min of its own
+    label and its neighbors' labels; converges in O(component diameter)
+    rounds — near-dup clusters are shallow, so a handful. Each round is
+    one join + one groupBy (shuffles on uniform id keys);
+    ``localCheckpoint`` truncates lineage so plans don't snowball, and
+    convergence is detected with a LIMIT 1 existence probe, not a full
+    count.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash_near_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:

@@ -57,6 +57,10 @@ _CHECK_FIRST = (
     "curated_documents",
     "simhash_signatures",
     "simhash_near_pairs",
+    "dedup_clusters",
+    "deterministic_sample",
+    "stratified_sample",
+    "tfidf_top_terms",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

@@ -256,6 +256,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    LSH candidate graph, cluster_id = min doc_id of the component.
+    Spark runs iterative min-label propagation (O(diameter) rounds);
+    the oracle verifies with a recursive-CTE reachability closure —
+    exact at gate scale, impossible at 100 TB, which is the point of
+    the iterative formulation."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs)
+    return D.connected_components(pairs, docs.select("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Flagship composition: the canonical training-data curation pipeline —
 # quality gate → exact dedup (keep min id) → near-dup removal (LSH
@@ -296,6 +325,120 @@ def _curation_oracle() -> str:
     SELECT doc_id FROM exact_kept
     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling + TF-IDF — the remaining table-stakes ops of a
+# training-data pipeline: reproducible subsetting and term weighting.
+# ---------------------------------------------------------------------------
+
+# Per-stratum keep-rates (percent) for the stratified sample: the kind
+# of class-rebalancing mix a curation pipeline applies per source/lang.
+_STRATA_PCT = {"en": 50, "es": 25, "zh": 10}
+_HASH_SAMPLE_PCT = 10
+
+
+def _doc_hash_pct(engine: str) -> str:
+    # deterministic 0-99 bucket from the doc id — portable md5 arithmetic,
+    # NOT rand(): re-runs and both engines agree row-for-row
+    if engine == "spark":
+        return "pmod(conv(substring(md5(concat('smp|', cast(doc_id as string))), 1, 8), 16, 10), 100)"
+    return "CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_doc_hash_pct("duckdb")} < {_HASH_SAMPLE_PCT}
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% corpus subset via content-hash bucketing — the
+    scale-safe replacement for rand()-sampling (stable across retries,
+    partitions, and engines; pushes down as an ordinary filter)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(
+        F.expr(_doc_hash_pct("spark")) < _HASH_SAMPLE_PCT
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_doc_hash_pct("duckdb")} <
+          CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_PCT.items())}
+               ELSE 0 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum keep-rates (language rebalancing) with the same
+    deterministic hash bucket — sampleBy semantics without rand()."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for k, v in _STRATA_PCT.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return docs.filter(F.expr(_doc_hash_pct("spark")) < rate).select("doc_id", "lang")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            WHERE len(trim(text)) > 0)
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE len(trim(text)) > 0),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / idf.df), 6) AS tfidf
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Term freq and doc freq are two
+    partial-agg shuffles over (doc, term); the corpus size joins in as
+    a broadcast scalar; top-k per doc plans as WindowGroupLimit (no
+    global sort)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
 
 
 @query("curated_documents", oracle=_curation_oracle(), bench=True)

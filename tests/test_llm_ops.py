@@ -208,6 +208,37 @@ def test_multimodal_features_and_stub(spark):
     assert {r["frame_idx"] for r in frames} == set(range(5))  # 55 bytes → 5 frames
 
 
+def test_connected_components_transitive_closure(spark):
+    """Pairs (1,2),(2,3) and (7,8) with singleton 9: clusters must
+    close transitively — 1,2,3 share keeper 1 even though (1,3) was
+    never a candidate pair."""
+    from bike_data_flow_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-hop chain needs multiple propagation rounds; the min label
+    must still reach the far end."""
+    from bike_data_flow_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 13)], ["id_a", "id_b"]
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(1, 14)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {i: 1 for i in range(1, 14)}
+
+
 def _tiny_ppm() -> bytes:
     # 2×2 P6 with a comment: pixels (255,0,0) (0,255,0) (0,0,255) (255,255,255)
     return (
