@@ -61,6 +61,11 @@ _CHECK_FIRST = (
     "deterministic_sample",
     "stratified_sample",
     "tfidf_top_terms",
+    "bigram_counts",
+    "redacted_documents",
+    "embedding_dedup_clusters",
+    "value_sum_1h_range",
+    "session_window_stats",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

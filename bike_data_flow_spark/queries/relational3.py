@@ -108,6 +108,86 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RANGE-frame windowed aggregation: a true event-time sliding sum
+# (everything within the trailing hour), not a row-count frame — the
+# frame Spark evaluates with rangeBetween over the epoch-ms sort key.
+@query(
+    "value_sum_1h_range",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS epoch_ms,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2) AS sum_1h
+    FROM events
+    """,
+)
+def value_sum_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id", "user_id", "value", F.expr("ts_ns div 1000000").alias("epoch_ms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("epoch_ms"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return staged.select(
+        "event_id",
+        "user_id",
+        "epoch_ms",
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+# Native session windows (F.session_window — the same operator Spark
+# runs in Structured Streaming with state): 30-min-gap sessions per
+# user. Boundaries are half-open, so a new session starts when the gap
+# is >= the timeout at µs precision; the oracle mirrors via epoch_us.
+@query(
+    "session_window_stats",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       >= {SESSION_GAP_MS * 1000}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) // 1000 AS session_start_ms,
+           epoch_us(max(ts)) // 1000 + {SESSION_GAP_MS} AS session_end_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM tagged GROUP BY user_id, session_no
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return g.select(
+        "user_id",
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+        "n_events",
+        "total_value",
+    )
+
+
 # As-of join (the operator Spark lacks natively, SURVEY §2.3 note):
 # for every purchase, the most recent preceding click by the same user.
 # Spelled as last(..., ignorenulls) over an event-time window — ONE

@@ -327,6 +327,72 @@ def _curation_oracle() -> str:
     """
 
 
+@query(
+    "bigram_counts",
+    oracle=f"""
+    SELECT bigram, count(*) AS cnt
+    FROM (
+      SELECT unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+      FROM (SELECT {_TOKS} AS toks FROM documents WHERE len(trim(text)) > 0)
+    )
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams (co-occurrence statistics, the n=2
+    shingle reused): explode is map-local, the count shuffle carries
+    |distinct bigrams| rows, top-k is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(T.tokens(F.col("text")).alias("_toks"))
+    return (
+        toks.select(
+            F.explode(D.shingles_from_tokens(F.col("_toks"), n=2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# Deny-list redaction — the PII-masking shape of a curation pipeline
+# (the synthetic corpus has no emails/phones, so the deny-list is token
+# based; the operator shape — word-boundary regexp_replace + match
+# count — is identical). Hash the redacted text so the oracle compares
+# a digest, not megabytes of strings.
+_REDACT_TERMS = ("customer", "spark", "vault")
+_REDACT_PATTERN = r"\b(" + "|".join(_REDACT_TERMS) + r")\b"
+
+
+@query(
+    "redacted_documents",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '{_REDACT_PATTERN}', '[REDACTED]', 'g'))
+             AS redacted_md5,
+           len(regexp_extract_all(text, '{_REDACT_PATTERN}')) AS n_redactions
+    FROM documents
+    """,
+)
+def redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(c, _REDACT_PATTERN, "[REDACTED]")).alias(
+            "redacted_md5"
+        ),
+        F.size(F.regexp_extract_all(c, F.lit(_REDACT_PATTERN), 0)).alias(
+            "n_redactions"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus sampling + TF-IDF — the remaining table-stakes ops of a
 # training-data pipeline: reproducible subsetting and term weighting.

@@ -137,6 +137,47 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                            FOR i IN generate_series(1, len(embedding))])) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                            FOR i IN generate_series(1, len(a.embedding))])
+                  / (a.nrm * b.nrm), 6) >= {_NEAR_DUP_TAU}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT vec_id AS id, vec_id AS label FROM embeddings
+      UNION
+      SELECT g.dst AS id, w.label FROM walk w JOIN edges g ON g.src = w.id
+    )
+    SELECT id AS vec_id, min(label) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters: connected components over the
+    embedding-cosine near-dup graph (blocked-GEMM candidates → exact
+    verify → iterative min-label propagation). The oracle closes the
+    same graph with a recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_blocked(emb, tau=_NEAR_DUP_TAU).select("id_a", "id_b")
+    return connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+
+
+@query(
     "label_centroids",
     oracle="""
     SELECT label, idx, round(avg(CAST(val AS DOUBLE)), 6) AS centroid_val
