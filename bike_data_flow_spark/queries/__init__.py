@@ -66,6 +66,9 @@ _CHECK_FIRST = (
     "embedding_dedup_clusters",
     "value_sum_1h_range",
     "session_window_stats",
+    "streamed_windowed_counts",
+    "streamed_distinct_users",
+    "streamed_purchase_attribution",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

@@ -110,6 +110,37 @@ def props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet (ns epoch longs; file source needs
+    a directory, pathGlobFilter scopes it)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
 @query(
     "streamed_event_type_counts",
     oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
@@ -117,27 +148,122 @@ def props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streamed_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """event_type histogram computed through readStream + complete-mode
     aggregation (the streaming twin of event_type_counts)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    name = f"stream_etc_{uuid.uuid4().hex[:8]}"
-    # file source needs a directory; pathGlobFilter scopes it to events
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        _events_stream(spark, sf_dir)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _run_to_memory(stream, "complete")
+
+
+# Watermarked append-mode window aggregation: only windows the watermark
+# has closed are emitted — the last windows (within the delay of the max
+# event time) are withheld, exactly as a live pipeline would withhold
+# them awaiting late data. The oracle applies the same closure rule.
+_WM_DELAY_MIN = 30
+_WM_WINDOW = "1 hour"
+
+
+@query(
+    "streamed_windowed_counts",
+    oracle=f"""
+    WITH t AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type
+      FROM events
+    ),
+    wm AS (SELECT max(epoch_us(ts)) - {_WM_DELAY_MIN * 60 * 1000000} AS cutoff_us
+           FROM events)
+    SELECT epoch_ms(w_start) AS window_start_ms, event_type, count(*) AS cnt
+    FROM t, wm
+    WHERE epoch_us(w_start) + 3600000000 <= wm.cutoff_us
+    GROUP BY 1, 2
+    """,
+)
+def streamed_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows through the REAL streaming engine with a
+    30-min watermark in append mode: emitted rows are exactly the
+    windows whose end ≤ watermark (max event time − delay)."""
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "ts_event", F.expr("timestamp_micros(ts div 1000)")
     )
-    q.awaitTermination(300)
-    return spark.table(name)
+    agg = (
+        ev.withWatermark("ts_event", f"{_WM_DELAY_MIN} minutes")
+        .groupBy(F.window(F.col("ts_event"), _WM_WINDOW).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("win.start").cast("timestamp")).alias(
+                "window_start_ms"
+            ),
+            "event_type",
+            "cnt",
+        )
+    )
+    return _run_to_memory(agg, "append")
+
+
+@query(
+    "streamed_distinct_users",
+    oracle="SELECT count(DISTINCT user_id) AS n_users FROM events",
+)
+def streamed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup (dropDuplicates on the key) feeding a
+    global count — ST5's duplicate suppression run by the engine's
+    state store rather than the ingestion gate."""
+    ev = _events_stream(spark, sf_dir)
+    counted = (
+        ev.select("user_id")
+        .dropDuplicates(["user_id"])
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return _run_to_memory(counted, "complete")
+
+
+@query(
+    "streamed_purchase_attribution",
+    oracle=f"""
+    SELECT c.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND p.us >= c.us
+     AND p.us <= c.us + {_WM_DELAY_MIN * 60 * 1000000}
+    """,
+)
+def streamed_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with event-time bounds: every purchase
+    matched to every click by the same user in the preceding 30 min,
+    both sides watermarked (bounded state). availableNow over one file
+    = no late data, so the emitted set is the exact interval join the
+    oracle computes."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.expr("timestamp_micros(ts div 1000)").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{_WM_DELAY_MIN} minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.expr("timestamp_micros(ts div 1000)").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{_WM_DELAY_MIN} minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {_WM_DELAY_MIN} MINUTES")
+        ),
+    ).select("user_id", "purchase_id", "click_id")
+    return _run_to_memory(joined, "append")
