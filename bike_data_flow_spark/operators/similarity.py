@@ -225,6 +225,55 @@ def cosine_pairs_blocked(
     )
 
 
+def quantize_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8-style scalar quantization (the 4×-compression
+    storage trick for 100 TB embedding corpora): q_i = floor((v_i−min)/
+    (max−min)·255), plus the reconstruction MSE it costs. Emits scalar
+    digests (sum of codes + MSE) rather than the code arrays so the
+    oracle compares stable scalars. All expressions written as the
+    identical IEEE-double op sequence the SQL oracle uses."""
+    v = F.col("_v")
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: _d(x)).alias("_v"),
+    )
+    ranged = staged.select(
+        id_col,
+        "_v",
+        F.array_min(v).alias("_mn"),
+        (F.array_max(v) - F.array_min(v)).alias("_scale"),
+    )
+    q = F.when(
+        F.col("_scale") == 0,
+        F.transform(F.col("_v"), lambda x: F.lit(0.0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor((x - F.col("_mn")) / F.col("_scale") * 255).cast(
+                "double"
+            ),
+        )
+    )
+    with_q = ranged.withColumn("_q", q)
+    recon = F.transform(
+        F.col("_q"), lambda c: F.col("_mn") + c / 255 * F.col("_scale")
+    )
+    err = F.zip_with(F.col("_v"), recon, lambda a, b: (a - b) * (a - b))
+    return with_q.select(
+        F.col(id_col),
+        F.aggregate(F.col("_q"), F.lit(0.0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("q_sum"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(F.col("_v")),
+            6,
+        ).alias("mse"),
+    )
+
+
 def query_vector(df: DataFrame, vec_id: int, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """One-row DataFrame holding the query embedding (broadcast side)."""

@@ -69,6 +69,7 @@ _CHECK_FIRST = (
     "streamed_windowed_counts",
     "streamed_distinct_users",
     "streamed_purchase_attribution",
+    "quantized_embeddings",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

@@ -137,6 +137,38 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantized_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           round(list_sum([(v[i] - (mn + q[i] / 255 * scale))
+                           * (v[i] - (mn + q[i] / 255 * scale))
+                           FOR i IN generate_series(1, len(v))]) / len(v), 6)
+             AS mse
+    FROM (
+      SELECT vec_id, v, mn, scale,
+             CASE WHEN scale = 0
+                  THEN [CAST(0 AS DOUBLE) FOR x IN v]
+                  ELSE [CAST(floor((x - mn) / scale * 255) AS DOUBLE) FOR x IN v]
+             END AS q
+      FROM (
+        SELECT vec_id,
+               [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+               list_min([CAST(x AS DOUBLE) FOR x IN embedding]) AS mn,
+               list_max([CAST(x AS DOUBLE) FOR x IN embedding])
+                 - list_min([CAST(x AS DOUBLE) FOR x IN embedding]) AS scale
+        FROM embeddings
+      )
+    )
+    """,
+)
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization digest per vector (code sum + MSE) —
+    the 4× storage compression an ANN index applies at corpus scale."""
+    return S.quantize_stats(load(spark, sf_dir, "embeddings"))
+
+
+@query(
     "embedding_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE e AS (

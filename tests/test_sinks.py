@@ -40,6 +40,27 @@ def test_jsonlines_round_trip(spark, landing, tmp_path):
         assert rows[k]["installed"] == orig[k]["installed"]
 
 
+def test_orc_round_trip_preserves_schema(spark, landing, tmp_path):
+    """ORC is the other columnar format Spark ships natively; the
+    enhanced table must round-trip with types intact (timestamps,
+    booleans, doubles — the ones CSV would flatten)."""
+    df = _enhanced(spark, landing)
+    out = tmp_path / "orc_out"
+    df.write.orc(str(out))
+    back = spark.read.orc(str(out))
+    # formats don't persist non-null constraints: compare names + types
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert back.count() == df.count()
+    a = {r["station_id"]: r for r in back.collect()}
+    b = {r["station_id"]: r for r in df.collect()}
+    for k in b:
+        assert a[k]["timestamp"] == b[k]["timestamp"]
+        assert a[k]["installed"] == b[k]["installed"]
+        assert a[k]["lat"] == b[k]["lat"]
+
+
 def test_text_sink_single_column(spark, landing, tmp_path):
     df = _enhanced(spark, landing).select(
         F.concat_ws("|", "station_id", "record_type").alias("value")
