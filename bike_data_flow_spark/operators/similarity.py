@@ -225,6 +225,84 @@ def cosine_pairs_blocked(
     )
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 5,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the IVF codebook
+    trainer ivf_topk presupposes. Deterministic: centroids initialize
+    from the k smallest ids and exactly ``n_iter`` update rounds run
+    (no data-dependent stopping), so results are reproducible run to
+    run.
+
+    Scale shape per round: ONE assignment pass (distances to k
+    plan-time literal centroids — no join, no shuffle) + ONE
+    posexplode partial-agg shuffle bounded by k×dim rows, then k×dim
+    doubles collect to the driver (the codebook is driver-sized by
+    definition; the corpus never is). Returns (id, cluster, sq_dist).
+    """
+    def _rows_to_centroids(rows) -> list[list[float]]:
+        return [list(map(float, r["_v"])) for r in rows]
+
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    init = base.orderBy(F.asc(id_col)).limit(k).select("_v").collect()
+    centroids = _rows_to_centroids(init)
+
+    def assign(cents: list[list[float]]):
+        # squared L2 per centroid as a compact zip_with fold (unrolled
+        # per-dimension arithmetic blows the 64 KB whole-stage-codegen
+        # limit at dim 64 × k); distances materialize as bound columns
+        # so the argmin never re-evaluates them
+        dist_cols = []
+        for j, c in enumerate(cents):
+            lit_arr = F.array(*[F.lit(x) for x in c])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("_v"), lit_arr, lambda x, y: (_d(x) - y) * (_d(x) - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dist_cols.append(d.alias(f"_d{j}"))
+        staged = base.select(F.col(id_col), F.col("_v"), *dist_cols)
+        ds = [F.col(f"_d{j}") for j in range(len(cents))]
+        best = F.least(*ds)
+        cluster = F.lit(len(cents) - 1)
+        for j in range(len(cents) - 2, -1, -1):
+            cluster = F.when(ds[j] == best, F.lit(j)).otherwise(cluster)
+        return staged.select(
+            F.col(id_col), F.col("_v"), cluster.alias("cluster"), best.alias("sq_dist")
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(centroids)
+        new_rows = (
+            assigned.select("cluster", F.posexplode(F.col("_v")).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_cluster[j][i] for i in sorted(by_cluster[j])]
+            if j in by_cluster
+            else centroids[j]  # empty cluster keeps its previous centroid
+            for j in range(k)
+        ]
+
+    final = assign(centroids)
+    return final.select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.round(F.col("sq_dist"), 6).alias("sq_dist"),
+    )
+
+
 def quantize_stats(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -70,6 +70,8 @@ _CHECK_FIRST = (
     "streamed_distinct_users",
     "streamed_purchase_attribution",
     "quantized_embeddings",
+    "kmeans_clusters",
+    "value_outliers",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

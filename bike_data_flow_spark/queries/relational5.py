@@ -169,3 +169,33 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# Statistical outlier flagging: per-type z-score over a window — the
+# anomaly-detection shape of a monitoring pipeline. stddev_samp and avg
+# computed ONCE per event_type (window over the whole partition), no
+# self-join.
+@query(
+    "value_outliers",
+    oracle="""
+    SELECT event_id, event_type, round(z, 4) AS z_score
+    FROM (
+      SELECT event_id, event_type,
+             (value - avg(value) OVER (PARTITION BY event_type))
+               / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+      FROM events
+    )
+    WHERE abs(z) > 3
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", F.round(F.col("z"), 4).alias("z_score"))
+    )

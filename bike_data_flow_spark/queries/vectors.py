@@ -209,6 +209,16 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
 
 
+# Genuinely iterative (data-dependent centroid refinement): no SQL
+# oracle — the driver records the weaker rows-only check, and pytest
+# verifies clustering behavior on constructed blobs.
+@query("kmeans_clusters", oracle=None)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=5, 5 rounds, deterministic init) — the codebook
+    trainer for IVF ANN. See operators/similarity.kmeans_lloyd."""
+    return S.kmeans_lloyd(load(spark, sf_dir, "embeddings"), k=5, n_iter=5)
+
+
 @query(
     "label_centroids",
     oracle="""

@@ -208,6 +208,34 @@ def test_multimodal_features_and_stub(spark):
     assert {r["frame_idx"] for r in frames} == set(range(5))  # 55 bytes → 5 frames
 
 
+def test_kmeans_separates_obvious_blobs(spark):
+    """Two tight blobs far apart: k=2 Lloyd must put each blob in one
+    cluster with near-zero distortion, regardless of init."""
+    blob_a = [(i, [10.0 + 0.01 * i, 10.0], 0) for i in range(5)]
+    blob_b = [(i + 5, [-10.0 - 0.01 * i, -10.0], 1) for i in range(5)]
+    df = spark.createDataFrame(blob_a + blob_b, ["vec_id", "embedding", "label"])
+    got = S.kmeans_lloyd(df, k=2, n_iter=4).collect()
+    clusters = {}
+    for r in got:
+        clusters.setdefault(r["cluster"], set()).add(r["vec_id"])
+        assert r["sq_dist"] < 1.0
+    assert sorted(map(sorted, clusters.values())) == [[0, 1, 2, 3, 4], [5, 6, 7, 8, 9]]
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)], 0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    a = sorted((r["vec_id"], r["cluster"]) for r in S.kmeans_lloyd(df, k=3).collect())
+    b = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in S.kmeans_lloyd(df.repartition(7), k=3).collect()
+    )
+    assert a == b
+
+
 def test_connected_components_transitive_closure(spark):
     """Pairs (1,2),(2,3) and (7,8) with singleton 9: clusters must
     close transitively — 1,2,3 share keeper 1 even though (1,3) was

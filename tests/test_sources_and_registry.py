@@ -38,8 +38,10 @@ def test_registry_contract():
     assert len(reg) >= 25
     for name, q in reg.items():
         assert q.name == name and callable(q.fn)
-    # oracle coverage: every query is SQL-checkable in round 1
-    assert all(q.oracle for q in reg.values())
+    # oracle coverage: everything except the genuinely iterative
+    # k-means (data-dependent centroid refinement -> rows-only check)
+    no_oracle = {name for name, q in reg.items() if not q.oracle}
+    assert no_oracle == {"kmeans_clusters"}
 
 
 def test_entry_module_contract(spark):
