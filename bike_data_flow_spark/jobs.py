@@ -5,12 +5,15 @@ Dagster jobs (`jobs/stations.py`, sensor + asset materializations).
   python -m bike_data_flow_spark.jobs process --landing DIR --enhanced DIR --checkpoint DIR [--follow]
   python -m bike_data_flow_spark.jobs analytics --enhanced DIR [--map-out HTML]
   python -m bike_data_flow_spark.jobs compact --zone DIR
+  python -m bike_data_flow_spark.jobs curate --documents PARQUET --out DIR
 
 `ingest` polls a source (a URL with requests when available, else a
 local file path — useful for drills/tests) through the SHA-256 dup
 gate. `process` drains the landing zone through the streaming day-
 rebuild pipeline (once with --follow absent, 30 s trigger otherwise).
 `analytics` prints the summary JSON and renders the density map.
+`curate` runs the training-data pipeline (quality gate → exact dedup →
+LSH near-dup clustering) and writes keeper doc ids.
 """
 
 from __future__ import annotations
@@ -19,6 +22,10 @@ import argparse
 import json
 import sys
 from pathlib import Path
+
+# density-map render cap: the collect is bounded by the grid spec, but
+# a mis-specified grid must not pull millions of cells to the driver
+MAX_MAP_CELLS = 50_000
 
 
 def _fetcher(source: str):
@@ -96,13 +103,67 @@ def cmd_analytics(args) -> int:
         density = grid_density(enhanced, grid)
         out["top_cells"] = [r.asDict() for r in top_density_cells(density, 10).collect()]
         if args.map_out:
-            from .viz import render_density_map
+            # presentation-edge collect: bounded by the grid spec, but a
+            # mis-specified grid must not pull millions of cells to the
+            # driver — cap and skip the render instead
+            n_cells = density.count()
+            if n_cells > MAX_MAP_CELLS:
+                out["map_skipped"] = (
+                    f"{n_cells} cells > cap {MAX_MAP_CELLS}; refine --cells"
+                )
+            else:
+                from .viz import render_density_map
 
-            p = render_density_map(
-                [r.asDict() for r in density.collect()], grid, args.map_out
-            )
-            out["map"] = str(p)
+                p = render_density_map(
+                    [r.asDict() for r in density.collect()], grid, args.map_out
+                )
+                out["map"] = str(p)
     print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Training-data curation over a documents parquet: quality gate →
+    exact dedup → LSH near-dup clustering (connected components) → keep
+    the min doc_id per cluster; keeper ids land as parquet."""
+    import pyspark.sql.functions as F
+
+    from .operators import dedup as D
+    from .operators import text as T
+    from .session import get_spark
+
+    spark = get_spark("curate-job")
+    docs = spark.read.parquet(args.documents)
+    c = F.col("text")
+    staged = docs.select("doc_id", c, T.tokens(c).alias("_toks"))
+    quality = (
+        staged.filter(
+            F.size("_toks").between(args.min_tokens, args.max_tokens)
+            & (T.alpha_ratio(c) >= args.min_alpha)
+        )
+        .select("doc_id", "text")
+        .cache()
+    )
+    exact = D.drop_exact_duplicates(quality)
+    pairs = D.minhash_lsh_candidates(exact)
+    clusters = D.connected_components(pairs, exact.select("doc_id"))
+    keepers = (
+        clusters.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    keepers.write.mode("overwrite").parquet(args.out)
+    n_in, n_q, n_out = docs.count(), quality.count(), keepers.count()
+    print(
+        json.dumps(
+            {
+                "input_docs": n_in,
+                "quality_pass": n_q,
+                "kept": n_out,
+                "out": args.out,
+            }
+        )
+    )
     return 0
 
 
@@ -144,6 +205,16 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="compact small files in a dt= zone")
     p.add_argument("--zone", required=True)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser(
+        "curate", help="documents parquet → deduped keeper ids (quality+LSH+CC)"
+    )
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--max-tokens", type=int, default=2000)
+    p.add_argument("--min-alpha", type=float, default=0.5)
+    p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

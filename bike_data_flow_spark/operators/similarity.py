@@ -154,8 +154,9 @@ def cosine_pairs_blocked(
     pair. Each row is replicated to its ≤ n_blocks+1 block-pair groups
     via `explode(sequence(...))` — an ordinary shuffle, never a
     driver-side `collect()` or a full-corpus broadcast; per-task memory
-    is 2·N/B vectors, dialed by ``n_blocks`` (pick B ≈ N·dim·8B /
-    executor-budget; B² / 2 tasks must also ≥ cluster parallelism).
+    is 2·N/B vectors, dialed by ``n_blocks``
+    (tuning.plan_gemm_blocks(N, dim) computes the right B from the
+    memory budget and cluster parallelism).
     Stage 2 (verify): surviving pairs get the exact left-fold cosine
     (bit-identical to the SQL oracle), rounded and thresholded — final
     values carry no BLAS noise.

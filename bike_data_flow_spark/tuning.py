@@ -75,3 +75,23 @@ def tune_session(
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(plan["maxPartitionBytes"]))
     spark.conf.set("spark.sql.shuffle.partitions", str(plan["shufflePartitions"]))
     return plan
+
+
+def plan_gemm_blocks(
+    n_vectors: int,
+    dim: int,
+    task_memory_bytes: int = 512 * MB,
+    min_parallel_tasks: int = 32,
+) -> int:
+    """Block count B for the distributed all-pairs GEMM
+    (similarity.cosine_pairs_blocked): per-task memory is ~2·(N/B)
+    vectors of float64, so B must satisfy 2·(N/B)·dim·8 ≤ budget; and
+    B(B+1)/2 block-pair tasks should cover the cluster's parallelism.
+    Replication cost is (B+1)× the corpus, so B is the SMALLEST value
+    meeting both bounds, not the largest that fits."""
+    bytes_per_vec = dim * 8
+    b_mem = max(1, -(-2 * n_vectors * bytes_per_vec // task_memory_bytes))
+    b_par = 1
+    while b_par * (b_par + 1) // 2 < min_parallel_tasks:
+        b_par += 1
+    return max(b_mem, b_par)

@@ -34,3 +34,16 @@ def test_tune_session_applies_and_reports(spark, tmp_path):
         assert plan["shufflePartitions"] >= spark.sparkContext.defaultParallelism
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_plan_gemm_blocks_bounds():
+    from bike_data_flow_spark.tuning import MB, plan_gemm_blocks
+
+    # toy corpus: parallelism-bound (B(B+1)/2 >= 32 -> B = 8)
+    assert plan_gemm_blocks(5000, 64) == 8
+    # big corpus: memory-bound -- 2*(N/B)*dim*8 must fit the budget
+    n, dim, budget = 10**8, 64, 512 * MB
+    b = plan_gemm_blocks(n, dim, budget)
+    assert 2 * (n / b) * dim * 8 <= budget
+    # and B is minimal: one block fewer would blow the budget
+    assert 2 * (n / (b - 1)) * dim * 8 > budget
