@@ -72,6 +72,8 @@ _CHECK_FIRST = (
     "quantized_embeddings",
     "kmeans_clusters",
     "value_outliers",
+    "daily_event_counts_gapfilled",
+    "props_key_histogram",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

@@ -83,3 +83,65 @@ def order_age_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+# Gap-filled daily series: a calendar spine (sequence of days) LEFT
+# JOINed to the daily aggregate, empty days zero-filled — the standard
+# time-series completion every dashboard/trainer needs. The spine is
+# one row per day (tiny, broadcast); the aggregate is one partial-agg
+# shuffle.
+@query(
+    "daily_event_counts_gapfilled",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day_str,
+           coalesce(daily.cnt, 0) AS cnt
+    FROM spine LEFT JOIN daily USING (day)
+    """,
+)
+def daily_event_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.select(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+# Semi-structured key profiling: which JSON keys exist in the props
+# payload, corpus-wide — map_keys explode vs DuckDB json_keys unnest.
+@query(
+    "props_key_histogram",
+    oracle="""
+    SELECT k, count(*) AS cnt
+    FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        ev.select(F.explode(F.map_keys(m)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

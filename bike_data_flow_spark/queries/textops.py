@@ -259,7 +259,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL

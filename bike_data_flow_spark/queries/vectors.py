@@ -171,13 +171,13 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE e AS (
+    WITH RECURSIVE e AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
                             FOR i IN generate_series(1, len(embedding))])) AS nrm
       FROM embeddings
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
