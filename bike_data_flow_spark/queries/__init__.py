@@ -74,6 +74,11 @@ _CHECK_FIRST = (
     "value_outliers",
     "daily_event_counts_gapfilled",
     "props_key_histogram",
+    "priority_with_returns",
+    "small_quantity_part_revenue",
+    "dominant_supplier_parts",
+    "sole_return_suppliers",
+    "doc_repetition",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -92,6 +97,7 @@ def load_all() -> dict[str, Query]:
         relational4,
         relational5,
         relational6,
+        relational7,
         streaming_q,
         textops,
         vectors,

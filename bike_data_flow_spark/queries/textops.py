@@ -587,3 +587,36 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact at gate scale, while the Spark plan is the one that scales."""
     sigs = D.simhash(load(spark, sf_dir, "documents"))
     return D.simhash_near_pairs(sigs, max_hamming=D.SIMHASH_MAX_HAMMING)
+
+
+# Gopher-style within-document repetition signals: the share of tokens
+# taken by the single most frequent token, and the distinct-token
+# ratio. High top-token share / low distinct ratio flags boilerplate
+# and degenerate pages before they pollute a training mix. One explode
+# + one (doc, token) partial-agg shuffle + one doc-level agg — token
+# keys are uniform, so the shuffle scales linearly with corpus size.
+@query(
+    "doc_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           round(max(cnt) * 1.0 / sum(cnt), 4) AS top_token_share,
+           round(count(*) * 1.0 / sum(cnt), 4) AS distinct_ratio
+    FROM (
+      SELECT doc_id, tok, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    )
+    GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_token_share"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 4).alias("distinct_ratio"),
+    )
