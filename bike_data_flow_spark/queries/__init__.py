@@ -79,6 +79,8 @@ _CHECK_FIRST = (
     "dominant_supplier_parts",
     "sole_return_suppliers",
     "doc_repetition",
+    "approx_distinct_users",
+    "approx_price_quantiles",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -98,6 +100,7 @@ def load_all() -> dict[str, Query]:
         relational5,
         relational6,
         relational7,
+        sketches,
         streaming_q,
         textops,
         vectors,

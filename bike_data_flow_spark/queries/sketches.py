@@ -1,0 +1,93 @@
+"""Approximate sketch queries — the 100 TB answer to DISTINCT and
+percentiles.
+
+At fact scale, exact COUNT(DISTINCT) shuffles every distinct key and
+exact percentiles need a global sort; the production spellings are
+HyperLogLog++ (`approx_count_distinct`, mergeable fixed-size
+registers, one partial-agg shuffle of sketch bytes) and the
+Greenwald-Khanna quantile sketch (`approx_percentile`). Sketch outputs
+are engine-specific, so they can't be hash-compared against DuckDB
+directly. Instead each query embeds its own error check: it computes
+the EXACT value (hash-verified by the oracle) alongside a boolean
+`approx_ok` asserting the sketch landed within its documented error
+bound — so the gate simultaneously proves the exact semantics and
+bounds the sketch's error. At 100 TB you drop the exact column and
+keep the sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+
+# HyperLogLog++ distinct users per event type. rsd=0.02 → the sketch
+# must land within ±5·rsd of exact (a generous 5-sigma band so the
+# gate never flakes); sketch bytes are constant-size per group, so the
+# shuffle carries |groups| × ~1.5 KB regardless of corpus size.
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.lit(0.1) * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+# Greenwald-Khanna quantile sketch vs exact interpolated percentiles
+# of order value. Exact `percentile` matches DuckDB's quantile_cont;
+# the GK sketch (accuracy=10000 → ε=1e-4) must land within 1% of the
+# spread. The sketch is mergeable: one partial-agg pass, no global
+# sort — the scalable path for fact-table quantiles.
+@query(
+    "approx_price_quantiles",
+    oracle="""
+    SELECT round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           TRUE AS approx_ok
+    FROM orders
+    """,
+)
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.95))")
+    approx = F.expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)")
+    spread = F.max("o_totalprice") - F.min("o_totalprice")
+    return (
+        orders.agg(
+            exact.alias("_ex"),
+            approx.alias("_ap"),
+            spread.alias("_spread"),
+        )
+        .select(
+            F.round(F.col("_ex")[0], 2).alias("p50"),
+            F.round(F.col("_ex")[1], 2).alias("p95"),
+            (
+                (F.abs(F.col("_ap")[0] - F.col("_ex")[0]) <= F.lit(0.01) * F.col("_spread"))
+                & (F.abs(F.col("_ap")[1] - F.col("_ex")[1]) <= F.lit(0.01) * F.col("_spread"))
+            ).alias("approx_ok"),
+        )
+    )
