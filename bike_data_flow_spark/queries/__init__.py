@@ -81,6 +81,12 @@ _CHECK_FIRST = (
     "doc_repetition",
     "approx_distinct_users",
     "approx_price_quantiles",
+    "volume_shipping",
+    "nation_market_share",
+    "color_part_profit",
+    "late_shipment_priority",
+    "top_revenue_supplier",
+    "min_unit_price_parts",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -100,6 +106,7 @@ def load_all() -> dict[str, Query]:
         relational5,
         relational6,
         relational7,
+        relational8,
         sketches,
         streaming_q,
         textops,
