@@ -87,6 +87,9 @@ _CHECK_FIRST = (
     "late_shipment_priority",
     "top_revenue_supplier",
     "min_unit_price_parts",
+    "decontaminated_documents",
+    "packed_sequences",
+    "source_mixture_weights",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -110,6 +113,7 @@ def load_all() -> dict[str, Query]:
         sketches,
         streaming_q,
         textops,
+        textops2,
         vectors,
     )
 

@@ -26,7 +26,11 @@ from pyspark.sql.window import Window
 from ..tables import load
 from . import query
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev() -> F.Column:
+    # built lazily — a module-level Column would require an active
+    # SparkContext at import time, and the driver imports first
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
 
 # Double summation is order-dependent, and a distributed engine sums in
 # whatever order partitions arrive — a group whose true total sits at a
@@ -35,7 +39,8 @@ _REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 # the aggregation exact and associative (same answer for any partition
 # order), which is also the right call at 100 TB: Spark's decimal sum is
 # still one partial-agg shuffle, just with a 16-byte accumulator.
-_REV_DEC = _REV.cast("decimal(30,6)")
+def _rev_dec() -> F.Column:
+    return _rev().cast("decimal(30,6)")
 
 
 # TPC-H Q7 shape: revenue flowing between a pair of nations, by
@@ -88,7 +93,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_REV_DEC), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -157,8 +162,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("supp_nation") == "NATION_5", _REV).otherwise(0.0))
-                / F.sum(_REV),
+                * F.sum(F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(0.0))
+                / F.sum(_rev()),
                 4,
             ).alias("mkt_share_pct"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -211,7 +216,7 @@ def color_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(_REV_DEC), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -277,7 +282,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(_REV_DEC), 2).cast("double").alias("total_revenue")
+        F.round(F.sum(_rev_dec()), 2).cast("double").alias("total_revenue")
     )
     best = rev.withColumn(
         "_max", F.max("total_revenue").over(Window.partitionBy())

@@ -1,0 +1,176 @@
+"""Second LLM-pipeline wave: the corpus-preparation steps that sit
+between "deduplicated documents" and "training batches":
+
+- benchmark decontamination  (n-gram overlap vs a held-out eval set)
+- concatenate-and-chunk sequence packing (token-budget chunks)
+- domain-mixture reweighting (per-source sampling weights)
+
+All three are single-pass DataFrame plans over `documents` with DuckDB
+oracles built from the same constants. Reference repo has no
+counterpart (bike telemetry); these extend the engine the way
+`SURVEY.md §2`'s charter calls for — training-data pipeline ops as
+first-class, oracle-checked components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup as D
+from ..operators import text as T
+from ..tables import load
+from . import query
+
+# Deterministic stand-in for the eval-benchmark membership list (no
+# such list ships with the corpus): every 97th doc_id. In production
+# this is a lookup table of benchmark documents.
+_BENCH_MOD = 97
+
+# Concatenate-and-chunk constants: docs are hashed into PACK_GROUPS
+# independent streams (one per trainer shard), concatenated in doc_id
+# order, and cut every SEQ_BUDGET whitespace tokens.
+_PACK_GROUPS = 8
+_SEQ_BUDGET = 256
+
+_N_TOK = """CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END"""
+
+# Production decontamination uses 8-13-gram overlap; this synthetic
+# corpus is random short text, so 3-grams are the smallest n with a
+# non-trivial contaminated set (171 docs at sf0.01 vs 1 at 5-grams) —
+# the strongest correctness gate for the same plan shape.
+_DECON_N = 3
+
+_SHINGLES3 = """
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    )
+"""
+
+
+# Train/eval decontamination: a training doc is contaminated when it
+# shares any _DECON_N-gram shingle with a benchmark doc. Plan: distinct
+# benchmark shingle set (tiny — eval suites are KBs-to-MBs while the
+# corpus is TBs) broadcast against the training side's shingles, then
+# one count per doc. The fact-side explode never shuffles: the
+# broadcast hash join + partial count happen map-side, and only
+# (doc_id, partial_count) rows — bounded by |contaminated docs| —
+# reach the final exchange.
+@query(
+    "decontaminated_documents",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES3})
+    SELECT t.doc_id, count(*) AS n_shared_shingles
+    FROM sh t
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0) b
+      ON t.shingle = b.shingle
+    WHERE t.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, n=_DECON_N)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    train = sh.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+# Concatenate-and-chunk packing: within each of PACK_GROUPS
+# deterministic streams (doc_id mod — in production, hash mod), docs
+# are concatenated in doc_id order and cut every SEQ_BUDGET tokens; a
+# doc belongs to the chunk where it STARTS (floor(start_offset /
+# budget)). One window cumsum per group + one partial agg — the window
+# and the groupBy share the pack_group hash partitioning, so the plan
+# is a single exchange regardless of corpus size, and each stream's
+# sort is independent (PACK_GROUPS-way parallel, no global sort).
+@query(
+    "packed_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {_PACK_GROUPS} AS pack_group,
+             {_N_TOK} AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT pack_group, n_tok,
+             sum(n_tok) OVER (PARTITION BY pack_group ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT pack_group, CAST((cum - n_tok) // {_SEQ_BUDGET} AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens_started
+    FROM c
+    GROUP BY 1, 2
+    """,
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_GROUPS).alias("pack_group"),
+        T.token_count(F.col("text")).alias("n_tok"),
+    )
+    w = Window.partitionBy("pack_group").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tok").over(w))
+        .groupBy(
+            "pack_group",
+            F.floor((F.col("cum") - F.col("n_tok")) / _SEQ_BUDGET).alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens_started"),
+        )
+    )
+
+
+# Domain-mixture reweighting: per-source token mass and the sampling
+# weight that would flatten the mixture to uniform-over-sources.
+# Integer token sums are exact (no float-order flake); the two windows
+# run over the |sources|-row aggregate, not the corpus.
+@query(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs, CAST(sum({_N_TOK}) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share,
+           round(sum(n_tokens) OVER () / (count(*) OVER () * n_tokens), 4)
+             AS uniform_weight
+    FROM s
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    n_src = F.count(F.lit(1)).over(w)
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(total / (n_src * F.col("n_tokens")), 4).alias("uniform_weight"),
+    )
