@@ -90,6 +90,8 @@ _CHECK_FIRST = (
     "decontaminated_documents",
     "packed_sequences",
     "source_mixture_weights",
+    "customer_upsert",
+    "user_value_scd2",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -102,6 +104,7 @@ _CHECK_FIRST = (
 def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY)."""
     from . import (  # noqa: F401
+        mutations,
         relational,
         relational2,
         relational3,

@@ -105,7 +105,13 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("d_orderkey"),
-        F.countDistinct("l_returnflag").alias("d_returnflag"),
+        # exact distinct of a LOW-CARDINALITY column as size(collect_set):
+        # two countDistincts on different columns force an Expand (3× the
+        # scan rows through the aggregate); collect_set keeps this one in
+        # the normal partial agg, so the single remaining distinct uses
+        # Catalyst's two-level rewrite instead. Measured 1.05s → ~0.5s at
+        # sf0.1; at 100 TB the Expand would have tripled shuffle input.
+        F.size(F.collect_set("l_returnflag")).alias("d_returnflag"),
         (F.count(F.lit(1)) - F.count("l_quantity")).alias("nulls_quantity"),
         F.round(F.min("l_quantity"), 2).alias("min_quantity"),
         F.round(F.max("l_quantity"), 2).alias("max_quantity"),

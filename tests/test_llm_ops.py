@@ -321,3 +321,24 @@ def test_real_decode_through_spark_pipeline(spark):
     assert (feats["ppm"]["decoded_width"], feats["ppm"]["decoded_height"]) == (2, 2)
     assert (feats["bmp"]["decoded_width"], feats["bmp"]["decoded_height"]) == (2, 1)
     assert abs(feats["bmp"]["mean_luma"] - (0.299 * 255 + 0.114 * 255) / 2) < 1e-9
+
+
+def test_connected_components_paths_agree(spark, monkeypatch):
+    """The single-task union-find fast path and the iterative
+    pointer-jumping path must produce identical clusters."""
+    from bike_data_flow_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (8, 9), (9, 1)], ["id_a", "id_b"]
+    )
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9, 42)], ["doc_id"])
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(edges, vertices).collect()
+    }
+    monkeypatch.setattr(dedup, "SMALL_GRAPH_EDGES", 0)  # force iterative
+    slow = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(edges, vertices).collect()
+    }
+    assert fast == slow == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1, 42: 42}
