@@ -162,3 +162,18 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         predicted_lang_scores(scores).alias("predicted_lang"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def chunk_starts(toks: Column, chunk: int, overlap: int) -> Column:
+    """1-based start offsets for overlapping token windows: starts at
+    1, 1+step, ... while start <= max(1, n_tokens - overlap), where
+    step = chunk - overlap. The final window is allowed to run short;
+    every token lands in at least one window."""
+    step = chunk - overlap
+    n = F.size(toks)
+    return F.sequence(F.lit(1), F.greatest(F.lit(1), n - overlap), F.lit(step))
+
+
+def chunk_tokens(toks: Column, start: Column, chunk: int) -> Column:
+    """The token window [start, start+chunk) as a space-joined string."""
+    return F.concat_ws(" ", F.slice(toks, start, chunk))

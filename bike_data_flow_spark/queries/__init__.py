@@ -92,6 +92,9 @@ _CHECK_FIRST = (
     "source_mixture_weights",
     "customer_upsert",
     "user_value_scd2",
+    "approx_distinct_merged",
+    "streamed_segment_counts",
+    "document_chunks",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

@@ -91,3 +91,40 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+# Mergeability — the property that makes sketches THE 100 TB answer:
+# per-group HLL sketches union into a global sketch without touching
+# raw data again (same algebra as partial aggregation, but the partial
+# state is persistable: daily sketches roll up to monthly/global for
+# free). Spark 4 ships Apache DataSketches HLL (hll_sketch_agg /
+# hll_union_agg). The oracle hash-verifies the exact global distinct;
+# approx_ok asserts the MERGED sketch lands within 5% of it — proving
+# union-of-groups ≈ global, not just sketch ≈ exact.
+@query(
+    "approx_distinct_merged",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+           count(DISTINCT o_orderpriority) AS n_groups,
+           TRUE AS approx_ok
+    FROM orders
+    """,
+)
+def approx_distinct_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    exact = orders.agg(F.count_distinct("o_custkey").alias("exact_custkeys"))
+    return exact.crossJoin(merged).select(
+        "exact_custkeys",
+        "n_groups",
+        (
+            F.abs(F.col("_approx") - F.col("exact_custkeys"))
+            <= F.lit(0.05) * F.col("exact_custkeys")
+        ).alias("approx_ok"),
+    )

@@ -267,3 +267,26 @@ def streamed_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     ).select("user_id", "purchase_id", "click_id")
     return _run_to_memory(joined, "append")
+
+
+# Stream-static join: the canonical enrichment pattern — a micro-batch
+# stream probes a static dimension that is broadcast into every batch
+# (no state store involved; the dim re-resolves per batch, so slowly-
+# refreshing lookup tables stay current). Gate-checked through the real
+# streaming engine against the equivalent batch join.
+@query(
+    "streamed_segment_counts",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def streamed_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+    return _run_to_memory(agg, "complete")

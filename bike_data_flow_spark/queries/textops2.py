@@ -174,3 +174,66 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens") / total, 6).alias("token_share"),
         F.round(total / (n_src * F.col("n_tokens")), 4).alias("uniform_weight"),
     )
+
+
+# Overlapping token-window chunking — the step before embedding: long
+# documents become fixed-budget windows with overlap so no span loses
+# context at a boundary. Pure Column algebra (sequence + posexplode +
+# slice): the explode multiplies rows ~n_tok/step ×, but each output
+# row is narrow and the operation stays map-side — zero shuffles
+# before whatever consumes the chunks.
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+@query(
+    "document_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, toks,
+             [s FOR s IN generate_series(
+                1, greatest(1, len(toks) - {_CHUNK_OVERLAP}),
+                {_CHUNK_TOKENS - _CHUNK_OVERLAP})] AS starts
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    u AS (
+      SELECT doc_id, toks,
+             generate_subscripts(starts, 1) - 1 AS chunk_idx,
+             unnest(starts) AS s
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(toks, s, s + {_CHUNK_TOKENS} - 1), ' ')
+             AS chunk_text,
+           CASE WHEN len(trim(array_to_string(
+                  list_slice(toks, s, s + {_CHUNK_TOKENS} - 1), ' '))) = 0 THEN 0
+                ELSE len(list_slice(toks, s, s + {_CHUNK_TOKENS} - 1))
+           END AS n_chunk_tokens
+    FROM u
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    with_starts = toked.select(
+        "doc_id",
+        "_toks",
+        T.chunk_starts(F.col("_toks"), _CHUNK_TOKENS, _CHUNK_OVERLAP).alias("_starts"),
+    )
+    exploded = with_starts.select(
+        "doc_id",
+        "_toks",
+        F.posexplode("_starts").alias("chunk_idx", "_start"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        T.chunk_tokens(F.col("_toks"), F.col("_start"), _CHUNK_TOKENS).alias(
+            "chunk_text"
+        ),
+        T.token_count(
+            T.chunk_tokens(F.col("_toks"), F.col("_start"), _CHUNK_TOKENS)
+        ).alias("n_chunk_tokens"),
+    )

@@ -32,6 +32,7 @@ TABLES = (
 # per-query re-listing/footer-read that otherwise taxes every call.
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _PREPPED: set[str] = set()
+_TUNED: set[tuple[str, str]] = set()
 
 
 def _app_id(spark: SparkSession) -> str:
@@ -53,6 +54,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         _PREPPED.add(app)
+    if (app, sf_dir) not in _TUNED:
+        # Data-proportional shuffle sizing (tuning.plan_partitions): the
+        # same rule gives ~2 reducers for the 18 MB bench dir and ~400
+        # for 100 GB — per-task scheduling overhead never dominates and
+        # big shuffles never underparallelize. Parquet compresses ~4×,
+        # so estimate in-memory bytes from disk bytes.
+        try:
+            from .tuning import dir_bytes, tune_session
+
+            tune_session(spark, dir_bytes(sf_dir) * 4)
+        except OSError:
+            pass  # non-local path (object store): caller tunes explicitly
+        _TUNED.add((app, sf_dir))
     if name == "events":
         df = _load_events(spark, sf_dir)
     else:

@@ -9,10 +9,16 @@ from bike_data_flow_spark.tuning import (
 )
 
 
-def test_plan_small_input_floors_at_parallelism():
+def test_plan_small_input_sizes_to_data_not_cores():
+    # 60 MB in -> 30 MB shuffled: 4 reducers of ~8 MB each, NOT all 8
+    # cores (a reducer that sees <8 MB costs more to schedule than run)
     plan = plan_partitions(60 * MB, default_parallelism=8)
-    assert plan["shufflePartitions"] == 8  # never below cores
+    assert plan["shufflePartitions"] == 4
     assert plan["expectedScanTasks"] == 1
+    # ...but data large enough to feed every core uses them all
+    assert plan_partitions(10 * GB, default_parallelism=8)["shufflePartitions"] >= 8
+    # and truly tiny input collapses to one reducer
+    assert plan_partitions(1 * MB, default_parallelism=8)["shufflePartitions"] == 1
 
 
 def test_plan_100tb_input():
