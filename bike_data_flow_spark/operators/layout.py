@@ -82,3 +82,31 @@ def repartition_for_write(
         F.col(partition_col),
         F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)),
     )
+
+
+def zorder_key(cols: list, bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of non-negative integer columns — the
+    multi-dimension clustering key behind Delta/Iceberg OPTIMIZE ZORDER.
+
+    Sorting (or range-partitioning) a table by this key before writing
+    places rows close in EVERY dimension into the same files, so
+    parquet min/max stats prune scans for predicates on ANY of the
+    dimensions — a single-column sort can only serve its own column.
+
+    Pure bit arithmetic (shift/or folds over plan-time Python loops —
+    the expression tree has bits×dims nodes, well under the codegen
+    limit for bits=16, dims≤3). Columns must already be non-negative
+    bin numbers (e.g. from analytics.grid binning); values ≥ 2^bits
+    wrap into the top bin via a least() clamp.
+    """
+    dims = len(cols)
+    cap = (1 << bits) - 1
+    clamped = [F.least(F.col(c) if isinstance(c, str) else c, F.lit(cap)) for c in cols]
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, col in enumerate(clamped):
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * dims + d)
+            )
+    return key

@@ -95,6 +95,9 @@ _CHECK_FIRST = (
     "approx_distinct_merged",
     "streamed_segment_counts",
     "document_chunks",
+    "incremental_event_counts",
+    "zorder_event_keys",
+    "doc_token_entropy",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -107,6 +110,7 @@ _CHECK_FIRST = (
 def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY)."""
     from . import (  # noqa: F401
+        maintenance,
         mutations,
         relational,
         relational2,

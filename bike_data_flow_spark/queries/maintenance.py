@@ -1,0 +1,99 @@
+"""Warehouse-maintenance surfaces: incremental aggregate refresh
+(operators/incremental.py) and Z-order layout keys
+(operators/layout.zorder_key), both oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental import merge_partials, partial_aggregate
+from ..operators.layout import zorder_key
+from ..tables import load
+from . import query
+
+# incremental split point: history vs "today's" delta
+_CUTOFF_SQL = "TIMESTAMP '2024-01-21'"
+_CUTOFF_NS = 1705795200 * 1_000_000_000  # 2024-01-21T00:00:00Z in epoch ns
+
+_MEASURES = {
+    "n_events": ("count", "value"),
+    "total_value": ("sum", "_value_dec"),
+    "min_value": ("min", "value"),
+    "max_value": ("max", "value"),
+}
+
+
+# Incremental refresh: the stored per-type aggregate (history before
+# the cutoff) is folded together with the delta's partial aggregate —
+# history is aggregated once and never rescanned; the merge shuffles
+# |types| + |types| partial rows. The oracle recomputes from scratch,
+# proving the merge algebra is exact (decimal sums make the totals
+# partition-order-independent).
+@query(
+    "incremental_event_counts",
+    oracle=f"""
+    SELECT event_type,
+           count(value) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_value_dec", F.col("value").cast("decimal(30,6)")
+    )
+    history = ev.filter(F.col("ts_ns") < _CUTOFF_NS)
+    delta = ev.filter(F.col("ts_ns") >= _CUTOFF_NS)
+    stored = partial_aggregate(history, ["event_type"], _MEASURES)
+    fresh = partial_aggregate(delta, ["event_type"], _MEASURES)
+    merged = merge_partials(stored, fresh, ["event_type"], _MEASURES)
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("total_value"), 2).cast("double").alias("total_value"),
+        F.round(F.col("min_value"), 2).alias("min_value"),
+        F.round(F.col("max_value"), 2).alias("max_value"),
+    )
+
+
+_Z_BITS = 9  # two 9-bit dims -> 18-bit Morton key
+
+
+def _zorder_oracle() -> str:
+    interleave = " | ".join(
+        f"(((bx >> {b}) & 1) << {2 * b}) | (((by >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_Z_BITS)
+    )
+    return f"""
+    SELECT event_id, {interleave} AS zkey
+    FROM (
+      SELECT event_id,
+             least(CAST(floor(value) AS BIGINT), {(1 << _Z_BITS) - 1}) AS bx,
+             least(CAST(user_id AS BIGINT), {(1 << _Z_BITS) - 1}) AS by
+      FROM events
+    )
+    """
+
+
+# Z-order (Morton) clustering keys: sort-or-range-partition by this key
+# before writing and parquet min/max stats prune scans for predicates
+# on EITHER dimension (value band or user) — the multi-dimension
+# layout dial single-column sorting can't provide. Pure bit-arithmetic
+# Column tree (bits × dims nodes, codegen-friendly); the oracle
+# re-derives the interleave in SQL from the same constants.
+@query("zorder_event_keys", oracle=_zorder_oracle())
+def zorder_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_id",
+        F.least(F.floor("value").cast("long"), F.lit((1 << _Z_BITS) - 1)).alias("bx"),
+        F.least(F.col("user_id").cast("long"), F.lit((1 << _Z_BITS) - 1)).alias("by"),
+    )
+    return binned.select(
+        "event_id", zorder_key(["bx", "by"], bits=_Z_BITS).alias("zkey")
+    )

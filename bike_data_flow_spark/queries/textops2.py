@@ -237,3 +237,43 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.chunk_tokens(F.col("_toks"), F.col("_start"), _CHUNK_TOKENS)
         ).alias("n_chunk_tokens"),
     )
+
+
+# Token-entropy quality signal (Gopher-adjacent): low-entropy docs are
+# repetitive boilerplate, high-entropy ones keyboard mash; both are
+# cut candidates. H = log2(n) - (Σ c·log2 c)/n over the in-doc token
+# histogram — two partial-agg shuffles (doc×token, then doc), all
+# JVM-side math.
+@query(
+    "doc_token_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+      ) GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct_tokens,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS token_entropy
+    FROM tf
+    GROUP BY doc_id
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4).alias(
+            "token_entropy"
+        ),
+    )
