@@ -98,6 +98,8 @@ _CHECK_FIRST = (
     "incremental_event_counts",
     "zorder_event_keys",
     "doc_token_entropy",
+    "props_variant_profile",
+    "lineitem_unpivot",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

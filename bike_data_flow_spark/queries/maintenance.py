@@ -97,3 +97,76 @@ def zorder_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.select(
         "event_id", zorder_key(["bx", "by"], bits=_Z_BITS).alias("zkey")
     )
+
+
+# Spark 4 VARIANT path for semi-structured JSON: parse_json once into
+# the binary VARIANT encoding, then typed variant_get extraction —
+# the engine-native replacement for per-access get_json_object string
+# re-parsing (one parse per row instead of one per field access). The
+# oracle extracts the same fields with DuckDB's JSON machinery.
+@query(
+    "props_variant_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           count(k) AS n_with_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+# unpivot/melt: wide measure columns to long (measure, value) rows —
+# the reshaping dual of pivot (user_activity_pivot). Spark's unpivot
+# is a zero-shuffle Expand (rows × measures map-side); the aggregation
+# after it is the only exchange. Oracle spelled as UNION ALL.
+@query(
+    "lineitem_unpivot",
+    oracle="""
+    SELECT measure,
+           count(*) AS n,
+           round(min(val), 2) AS min_val,
+           round(max(val), 2) AS max_val,
+           CAST(round(sum(CAST(val AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("val"), 2).alias("min_val"),
+        F.round(F.max("val"), 2).alias("max_val"),
+        F.round(F.sum(F.col("val").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
