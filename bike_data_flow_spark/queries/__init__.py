@@ -31,6 +31,13 @@ def query(name: str, oracle: str | None, bench: bool = False):
     """Decorator registering a query + its DuckDB oracle SQL."""
 
     def wrap(fn):
+        # a silent overwrite would let two modules fight over one gate
+        # entry (and only the import-order winner ever gets checked)
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{REGISTRY[name].fn.__module__}.{REGISTRY[name].fn.__qualname__}"
+            )
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, bench=bench)
         return fn
 
@@ -100,6 +107,8 @@ _CHECK_FIRST = (
     "doc_token_entropy",
     "props_variant_profile",
     "lineitem_unpivot",
+    "bloom_decontamination",
+    "lateral_top_customers",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

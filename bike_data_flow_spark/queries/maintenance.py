@@ -170,3 +170,36 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+# Correlated LATERAL subquery (SQL surface): top-3 customers by
+# balance per nation, written the way an analyst would — a per-row
+# dependent subquery with ORDER BY ... LIMIT. Catalyst decorrelates
+# the lateral into a ranked-window plan (no nation-by-nation loop), so
+# the declarative spelling costs one customer-side shuffle at any
+# scale. The oracle runs the same LATERAL in DuckDB.
+@query(
+    "lateral_top_customers",
+    oracle="""
+    SELECT n.n_name AS nation, t.c_name AS c_name, round(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) t
+    """,
+)
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name AS c_name,
+               round(t.c_acctbal, 2) AS acctbal
+        FROM lat_nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+        """
+    )

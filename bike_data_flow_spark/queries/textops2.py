@@ -277,3 +277,71 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy"
         ),
     )
+
+
+# Bloom-filter decontamination — the fixed-size-broadcast alternative
+# to `decontaminated_documents`'s shingle semi-join. The benchmark
+# shingle set folds into a 256 KB bitmap (operators/bloom.py) that
+# probes the training side entirely map-side: at 100 TB the probe adds
+# ZERO shuffles and the broadcast is constant-size no matter how large
+# the eval suite grows. Bloom answers are one-sided (no false
+# negatives, tunable ~1e-5 false positives), so the production pattern
+# is bloom-prefilter → exact verify of the tiny survivor set. The gate
+# proves both halves: the oracle hash-verifies the exact contaminated
+# count, and two embedded booleans assert the bloom missed nothing
+# (soundness) and over-flagged at most 5%+50 docs (tightness).
+_BLOOM_BITS = 1 << 21
+_BLOOM_K = 4
+
+
+@query(
+    "bloom_decontamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES3}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    exact AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh t JOIN bench b ON t.shingle = b.shingle
+      WHERE t.doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT count(*) AS n_contaminated,
+           TRUE AS bloom_sound,
+           TRUE AS bloom_tight
+    FROM exact
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bloom as B
+
+    docs = load(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, n=_DECON_N).cache()
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    train = sh.filter(~is_bench)
+
+    bf = B.bloom_build(bench, F.col("shingle"), _BLOOM_BITS, _BLOOM_K)
+    flagged = (
+        B.with_bloom_flag(train, bf, F.col("shingle"), _BLOOM_BITS, _BLOOM_K)
+        .filter(F.col("in_bloom"))
+        .select("doc_id")
+        .distinct()
+    )
+    exact = train.join(F.broadcast(bench), "shingle").select("doc_id").distinct()
+
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    n_flag = flagged.agg(F.count(F.lit(1)).alias("_n_bloom"))
+    n_miss = exact.join(flagged, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("_n_missed")
+    )
+    return (
+        n_exact.crossJoin(n_flag)
+        .crossJoin(n_miss)
+        .select(
+            "n_contaminated",
+            (F.col("_n_missed") == 0).alias("bloom_sound"),
+            (
+                F.col("_n_bloom")
+                <= F.col("n_contaminated") * F.lit(1.05) + F.lit(50)
+            ).alias("bloom_tight"),
+        )
+    )
