@@ -121,3 +121,63 @@ def validate(
     if not report.ok:
         raise SchemaValidationError(report.messages())
     return report
+
+
+def observed_validation(
+    df: DataFrame,
+    schema: StructType,
+    constraints: dict[str, list[tuple[str, object]]] | None = None,
+    name: str = "validation",
+):
+    """Attach the constraint scan as an `Observation` instead of a
+    dedicated aggregate job.
+
+    `validate()` spends one full pass over the data; at 100 TB that
+    second scan costs as much as the write it guards. `df.observe`
+    rides the SAME job that consumes the returned DataFrame (typically
+    the parquet/Iceberg write): Spark accumulates the violation
+    counters task-by-task while the sink runs, so the metrics are free.
+    Usage:
+
+        out, obs = observed_validation(df, ENHANCED_SCHEMA)
+        out.write.parquet(...)          # one job, metrics piggyback
+        raise_on_violations(obs.get)    # driver-side, no extra job
+
+    Structural (type/order) checks stay in `validate()` — they are
+    driver-side and jobless either way.
+    """
+    from pyspark.sql import Observation
+
+    constraints = CONSTRAINTS if constraints is None else constraints
+    actual = {f.name for f in df.schema.fields}
+    aggs: list[Column] = []
+    for f_ in schema.fields:
+        if not f_.nullable and f_.name in actual:
+            aggs.append(
+                F.count(F.when(F.col(f_.name).isNull(), 1)).alias(
+                    f"null__{f_.name}"
+                )
+            )
+    for col, checks in constraints.items():
+        if col not in actual:
+            continue
+        for kind, arg in checks:
+            pred = _constraint_predicate(col, kind, arg)
+            aggs.append(
+                F.count(F.when(~pred | F.col(col).isNull(), 1)).alias(
+                    f"check__{col}__{kind}"
+                )
+            )
+    if not aggs:
+        raise ValueError("nothing to observe: no nullability or constraint checks")
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs
+
+
+def raise_on_violations(metrics: dict) -> None:
+    """Turn a non-zero observation metric into SchemaValidationError."""
+    bad = {k: v for k, v in metrics.items() if v}
+    if bad:
+        raise SchemaValidationError(
+            [f"constraint {k}: {v} violating rows" for k, v in sorted(bad.items())]
+        )

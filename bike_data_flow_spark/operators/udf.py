@@ -56,3 +56,36 @@ def register_sql_udf(spark: SparkSession, name: str = "haversine_m"):
     """Expose the pandas UDF to SQL: SELECT haversine_m(a,b,c,d)."""
     spark.udf.register(name, haversine_pandas_udf)
     return name
+
+
+def haversine_map_in_arrow(df, lat1: str, lon1: str, lat2: str, lon2: str, out: str = "dist_m"):
+    """The third escape-hatch rung: `mapInArrow` — raw Arrow
+    RecordBatches in and out, no pandas materialization at all. One
+    copy cheaper than a pandas UDF (no Series wrapping), the right
+    rung when the Python side is itself Arrow-native (polars, duckdb,
+    vector codecs). Same math as the other two spellings; tests pin
+    all three equal."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import StructField, StructType
+
+    # NOT df.schema.add(...): StructType.add mutates the cached schema
+    # object in place, corrupting the *input* DataFrame's column list.
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out, DoubleType())]
+    )
+
+    def compute(batches):
+        for b in batches:
+            la1 = np.radians(b.column(lat1).to_numpy(zero_copy_only=False))
+            lo1 = np.radians(b.column(lon1).to_numpy(zero_copy_only=False))
+            la2 = np.radians(b.column(lat2).to_numpy(zero_copy_only=False))
+            lo2 = np.radians(b.column(lon2).to_numpy(zero_copy_only=False))
+            a = (
+                np.sin((la2 - la1) / 2) ** 2
+                + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+            )
+            d = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+            yield b.append_column(out, pa.array(d, type=pa.float64()))
+
+    return df.mapInArrow(compute, out_schema)

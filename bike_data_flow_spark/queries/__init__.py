@@ -109,6 +109,7 @@ _CHECK_FIRST = (
     "lineitem_unpivot",
     "bloom_decontamination",
     "lateral_top_customers",
+    "doc_unigram_logprob",
     "cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

@@ -345,3 +345,50 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bloom_tight"),
         )
     )
+
+
+# Unigram language-model scoring — the perplexity-proxy quality filter
+# (the CCNet-style recipe scores docs with a KenLM model; with no LM
+# library in the container, the engine trains the simplest model that
+# exists — corpus unigram frequencies — inside the same query). Plan:
+# one token-keyed aggregate builds the "model" (vocab-sized, NOT
+# corpus-sized), the corpus joins back to it token-by-token, and a
+# per-doc aggregate averages the negative log-probability. High
+# avg_neg_logprob = surprising/garbage text; low = repetitive
+# boilerplate. At 100 TB: the token aggregate is Zipf-skewed (AQE
+# skew-split handles the head tokens), and the freq side of the join
+# broadcasts while vocabularies fit (~10⁷ rows) — beyond that it's a
+# sort-merge join on the token key.
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(-avg(ln(c / t)), 4) AS avg_neg_logprob
+    FROM tok JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("c") / F.col("t"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

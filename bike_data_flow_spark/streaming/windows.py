@@ -165,3 +165,30 @@ def running_station_totals(events: DataFrame, timeout_minutes: int = 60) -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "station_id",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows — the stateful half of ST6 (batch twin:
+    queries/relational3.session_window_stats). The state store keeps one
+    open session per key and MERGES sessions when a new event lands
+    within `gap` of an existing one; the watermark finalizes (and in
+    append mode, emits) any session whose end = last_event + gap has
+    fallen behind event time. State is bounded by |active keys|, not
+    history."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

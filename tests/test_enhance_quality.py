@@ -92,3 +92,27 @@ def test_validate_detects_column_order(spark, landing):
     with pytest.raises(SchemaValidationError) as exc:
         validate(shuffled, PROCESSED_SCHEMA)
     assert any("column order" in m for m in exc.value.failures)
+
+
+def test_observed_validation_piggybacks_on_write(spark, landing, tmp_path):
+    from bike_data_flow_spark.operators.quality import (
+        observed_validation,
+        raise_on_violations,
+    )
+
+    processed = read_raw_partition(spark, str(landing), "2025-05-01")
+    bad = processed.withColumn(
+        "bikes", F.when(F.col("station_id") == "001", -5).otherwise(F.col("bikes"))
+    )
+    out, obs = observed_validation(bad, PROCESSED_SCHEMA)
+    # ONE job: the parquet write; the constraint counters ride along.
+    out.write.mode("overwrite").parquet(str(tmp_path / "observed_out"))
+    metrics = obs.get
+    assert metrics["check__bikes__ge"] == 2  # station 001 is in both files
+    assert sum(v for k, v in metrics.items() if k != "check__bikes__ge") == 0
+    try:
+        raise_on_violations(metrics)
+        raised = False
+    except SchemaValidationError:
+        raised = True
+    assert raised

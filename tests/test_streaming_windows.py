@@ -148,3 +148,44 @@ def test_running_station_totals_state(spark, source_dir, tmp_path):
     assert got["001"]["running_max_bikes"] == 7
     assert got["002"]["running_total"] == 3
     assert got["002"]["running_max_bikes"] == 2
+
+
+def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
+    from bike_data_flow_spark.streaming.windows import session_counts
+
+    src = tmp_path / "sess_src"
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    agg = session_counts(stream, gap="10 minutes", watermark="30 minutes")
+    out_dir = str(tmp_path / "sess_out")
+
+    def run():
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    sentinel = [("zzz", datetime(2025, 5, 1, 12, 0), 0)]
+    spark.createDataFrame(sentinel, SCHEMA).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run()
+    got = {
+        (r["station_id"], r["session_start"].strftime("%H:%M")): (
+            r["session_end"].strftime("%H:%M"),
+            r["n_events"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # 001: events at 10:00/10:04/10:11 chain into ONE merged session
+    # (each gap < 10 min) ending 10:21; 002's 10:02 duplicates collapse
+    # into one session of 2 events, 10:25 starts a fresh session.
+    assert got[("001", "10:00")] == ("10:21", 3)
+    assert got[("002", "10:02")] == ("10:12", 2)
+    assert got[("002", "10:25")] == ("10:35", 1)

@@ -50,3 +50,22 @@ def test_known_distance_and_sql_registration(spark):
         "SELECT haversine_m(lat1, lon1, lat2, lon2) AS d FROM pts"
     ).collect()
     assert math.isclose(via_sql[0]["d"], d[0]["d"], rel_tol=1e-12)
+
+
+def test_map_in_arrow_matches_native(spark):
+    from bike_data_flow_spark.operators.udf import (
+        haversine_map_in_arrow,
+        haversine_native,
+    )
+
+    df = spark.createDataFrame(
+        [(51.1089, 17.0377, 51.1097, 17.0314), (0.0, 0.0, 0.5, 0.5)],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    native = df.withColumn(
+        "dist_m",
+        haversine_native(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
+    )
+    arrow = haversine_map_in_arrow(df, "lat1", "lon1", "lat2", "lon2")
+    for n, a in zip(sorted(native.collect()), sorted(arrow.collect())):
+        assert abs(n["dist_m"] - a["dist_m"]) < 1e-6
