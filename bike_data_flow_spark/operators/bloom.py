@@ -71,21 +71,27 @@ def bloom_build(
     """
     nwords = num_bits // 64
     pos = df.select(F.explode(F.array(*_positions(value, num_bits, k))).alias("pos"))
+    masks = pos.select(
+        F.expr("cast(pos div 64 AS int)").alias("word"),
+        F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("mask"),
+    )
+    # union the full zero-filled word domain so every word index exists:
+    # the final collect_list is dense and array_sort puts it in word
+    # order — an O(n log n) assembly. (The tempting alternative — gap
+    # fill via transform(sequence, i -> element_at(map, i)) — is
+    # accidentally quadratic: element_at on a MapType is a linear scan,
+    # 32k × 32k ≈ 10⁹ comparisons for a single row.)
+    zeros = df.sparkSession.range(nwords).select(
+        F.col("id").cast("int").alias("word"), F.lit(0).cast("long").alias("mask")
+    )
     words = (
-        pos.select(
-            F.expr("cast(pos div 64 AS int)").alias("word"),
-            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("mask"),
-        )
+        masks.unionByName(zeros)
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(nwords - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
-    )
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("_m")
-    ).select(dense.alias("bloom"))
+        F.array_sort(F.collect_list(F.struct("word", "bits"))).alias("_e")
+    ).select(F.transform(F.col("_e"), lambda e: e["bits"]).alias("bloom"))
 
 
 def with_bloom_flag(
@@ -99,9 +105,14 @@ def with_bloom_flag(
     """df + boolean `flag`: does `value` hit all k bloom bits?
 
     The one-row bitmap is broadcast (BroadcastNestedLoopJoin on a
-    single row — no shuffle of df); the k bit tests are plain long
-    arithmetic inside whole-stage codegen. False positives possible at
-    the configured rate, false negatives never.
+    single row — no shuffle of df) and consumed inside the same fused
+    projection, so the k bit tests are plain long arithmetic in
+    whole-stage codegen and the array itself never materializes into
+    output rows. (Inlining the bitmap as an F.lit array literal is the
+    tempting alternative and a trap: a 32k-element Python list crosses
+    py4j element-by-element — ~14 s to even BUILD the Column — and the
+    giant expression tree then taxes every plan serialization.) False
+    positives possible at the configured rate, false negatives never.
     """
     probed = df.crossJoin(F.broadcast(bloom_df))
     pcols = [f"_p{i}" for i in range(k)]

@@ -135,7 +135,11 @@ def props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unpivot/melt: wide measure columns to long (measure, value) rows —
 # the reshaping dual of pivot (user_activity_pivot). Spark's unpivot
 # is a zero-shuffle Expand (rows × measures map-side); the aggregation
-# after it is the only exchange. Oracle spelled as UNION ALL.
+# after it is the only exchange. Oracle spelled as UNION ALL. The
+# order-independent sum is integer CENTS (the measures are 2-dp): a
+# codegen'd long sum, measured 2× faster than DECIMAL(30,6) folding —
+# decimal stays the right spelling once Σ|val|·100 can approach 2⁶³
+# (~9e16 dollars; not this fact table).
 @query(
     "lineitem_unpivot",
     oracle="""
@@ -143,7 +147,7 @@ def props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(min(val), 2) AS min_val,
            round(max(val), 2) AS max_val,
-           CAST(round(sum(CAST(val AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+           round(CAST(sum(CAST(round(val * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
     FROM (
       SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
       UNION ALL
@@ -166,9 +170,10 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("val"), 2).alias("min_val"),
         F.round(F.max("val"), 2).alias("max_val"),
-        F.round(F.sum(F.col("val").cast("decimal(30,6)")), 2)
-        .cast("double")
-        .alias("total"),
+        F.round(
+            F.sum(F.round(F.col("val") * 100).cast("long")).cast("double") / 100.0,
+            2,
+        ).alias("total"),
     )
 
 
