@@ -114,11 +114,14 @@ def scd2_from_changelog(
     ts = order_by[0]
     df = changelog.select(key, *order_by, *attrs)
     if drop_unchanged:
-        changed = F.lit(False)
+        # null-safe comparison: a non-null -> NULL attr transition must
+        # count as a change (plain != yields NULL there, which filter()
+        # drops, silently extending the prior interval). First row per
+        # key is detected by row_number, not lag-is-null, so a leading
+        # NULL attr value is still handled correctly.
+        changed = F.row_number().over(w) == 1
         for a in attrs:
-            prev = F.lag(a).over(w)
-            # first row per key: lag is null -> changed
-            changed = changed | prev.isNull() | (F.col(a) != prev)
+            changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
         df = df.withColumn("_chg", changed).filter(F.col("_chg")).drop("_chg")
     return (
         df.withColumn("valid_from", F.col(ts))

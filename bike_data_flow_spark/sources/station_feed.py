@@ -92,7 +92,9 @@ class StationFeedReader(DataSourceReader):
             if isinstance(f, EqualTo):
                 preds.append(lambda dt, v=f.value: dt == v)
             elif isinstance(f, In):
-                preds.append(lambda dt, v=set(f.values): dt in v)
+                # pyspark's In dataclass carries the tuple in `.value`
+                # (singular) — verified on 4.1.2; `.values` does not exist
+                preds.append(lambda dt, v=set(f.value): dt in v)
             elif isinstance(f, GreaterThan):
                 preds.append(lambda dt, v=f.value: dt > v)
             elif isinstance(f, GreaterThanOrEqual):
