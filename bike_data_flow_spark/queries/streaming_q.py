@@ -110,22 +110,23 @@ def props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet (ns epoch longs; file source needs
-    a directory, pathGlobFilter scopes it)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over events.parquet (file source needs a directory;
+    pathGlobFilter scopes it). The stream schema must match the actual
+    on-disk ts encoding — a user-declared `ts long` over a timestamp[us]
+    column silently reads NULLs — so take it from a batch footer read,
+    then normalize to the same `ts`/`ts_ns` contract as the batch table.
+    """
+    from ..tables import _read_events_raw, normalize_events
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+    raw_schema = _read_events_raw(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return normalize_events(stream)
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
@@ -183,9 +184,7 @@ def streamed_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows through the REAL streaming engine with a
     30-min watermark in append mode: emitted rows are exactly the
     windows whose end ≤ watermark (max event time − delay)."""
-    ev = _events_stream(spark, sf_dir).withColumn(
-        "ts_event", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = _events_stream(spark, sf_dir).withColumn("ts_event", F.col("ts"))
     agg = (
         ev.withWatermark("ts_event", f"{_WM_DELAY_MIN} minutes")
         .groupBy(F.window(F.col("ts_event"), _WM_WINDOW).alias("win"), "event_type")
@@ -243,7 +242,7 @@ def streamed_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             F.col("user_id"),
             F.col("event_id").alias("click_id"),
-            F.expr("timestamp_micros(ts div 1000)").alias("click_ts"),
+            F.col("ts").alias("click_ts"),
         )
         .withWatermark("click_ts", f"{_WM_DELAY_MIN} minutes")
     )
@@ -253,7 +252,7 @@ def streamed_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("event_id").alias("purchase_id"),
-            F.expr("timestamp_micros(ts div 1000)").alias("purchase_ts"),
+            F.col("ts").alias("purchase_ts"),
         )
         .withWatermark("purchase_ts", f"{_WM_DELAY_MIN} minutes")
     )

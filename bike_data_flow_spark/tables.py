@@ -50,9 +50,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if app not in _PREPPED:
         # Oracle parity even under a caller-provided vanilla session:
         # DuckDB treats parquet timestamps as naive UTC, so collection
-        # must too; events.parquet needs nanos-as-long (see below).
+        # must too. (nanosAsLong is NOT set globally — _load_events
+        # enables it only if the file actually stores TIMESTAMP(NANOS).)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         _PREPPED.add(app)
     if (app, sf_dir) not in _TUNED:
         # Data-proportional shuffle sizing (tuning.plan_partitions): the
@@ -75,25 +75,59 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's TimestampType
-    (µs) cannot hold natively. Read nanos as long (legacy conf) and
-    downcast to a µs timestamp — plus keep `ts_ns` so nothing is lost.
-    Queries that must hash-match the DuckDB oracle expose epoch-millis
-    BIGINTs instead of raw timestamps.
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Canonical events shape, independent of the on-disk `ts` encoding.
+
+    The driver's events.parquet has shipped two encodings over time:
+    TIMESTAMP(NANOS) (readable only as raw BIGINT via the nanosAsLong
+    legacy conf) and plain timestamp[us] (resolves as TIMESTAMP_NTZ).
+    Branch on the *resolved* type and always expose the same contract
+    every downstream call site relies on:
+
+      ts     TIMESTAMP  (µs precision, session tz = UTC)
+      ts_ns  BIGINT     (epoch nanoseconds — exact integer ordering)
     """
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ts = F.expr("timestamp_micros(ts div 1000)").alias("ts")
+        ts_ns = F.col("ts").alias("ts_ns")
+    else:
+        # timestamp / timestamp_ntz — under a UTC session the cast is a
+        # no-op on the instant, and unix_micros gives exact integers.
+        as_ts = F.col("ts").cast("timestamp")
+        ts = as_ts.alias("ts")
+        ts_ns = (F.unix_micros(as_ts) * F.lit(1000)).alias("ts_ns")
     return df.select(
-        "event_id",
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-        F.col("ts").alias("ts_ns"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
+        "event_id", ts, ts_ns, "user_id", "event_type", "value", "props"
     )
+
+
+def _read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet whatever its ts encoding. A TIMESTAMP(NANOS)
+    column makes schema resolution throw unless nanosAsLong is set, so
+    try plainly first and only flip the legacy conf on failure (keeps
+    the conf off for the µs encoding, where it would be a silent
+    session-wide behavior change)."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_events(_read_events_raw(spark, sf_dir))
+
+
+def clear_cache() -> None:
+    """Drop all cached table plans. Call after rewriting files under a
+    previously-loaded sf_dir (the cache holds resolved file indexes, so
+    a long-lived session would otherwise serve stale plans)."""
+    _DF_CACHE.clear()
+    _TUNED.clear()
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
