@@ -269,10 +269,16 @@ def minhash_lsh_candidates(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    The band-key stage is cached before the self-join: without it both
+    join sides re-execute the whole shingle→md5→min-signature pipeline
+    (the most expensive subtree in the dedup family) — at 100 TB that
+    is the difference between one corpus scan and two.
+    """
     keys = minhash_band_keys(
         minhash_signatures(df, id_col, text_col, n, k), id_col, k, bands
-    )
+    ).cache()
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -481,19 +487,27 @@ def simhash_near_pairs(
     block_col = lambda c, b: (  # noqa: E731
         F.shiftright(F.col(c), b * width).bitwiseAND(mask)
     )
-    rows = []
-    for b in range(blocks):
-        rows.append(
-            sig.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(b).alias("blk"),
-                block_col("simhash", b).alias("blk_val"),
-            )
+    # One projection + explode (NOT a blocks-way self-union, which would
+    # re-execute the upstream simhash aggregation once per block per join
+    # side), cached so the self-join reads one materialized subtree.
+    structs = [
+        F.struct(
+            F.lit(b).alias("blk"), block_col("simhash", b).alias("blk_val")
         )
-    keyed = rows[0]
-    for r in rows[1:]:
-        keyed = keyed.unionByName(r)
+        for b in range(blocks)
+    ]
+    keyed = (
+        sig.select(
+            F.col(id_col), F.col("simhash"), F.explode(F.array(*structs)).alias("bk")
+        )
+        .select(
+            id_col,
+            "simhash",
+            F.col("bk.blk").alias("blk"),
+            F.col("bk.blk_val").alias("blk_val"),
+        )
+        .cache()
+    )
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "blk", "blk_val"
     )

@@ -45,11 +45,17 @@ def asof_join(
     ts = "_asof_ts"
     tag = "_asof_tag"  # right=0 sorts before left=1 at equal timestamps
 
-    surrogate = (
-        F.col(right_id).cast("long")
-        if right_id is not None
-        else F.xxhash64(*[F.col(c) for c in right.columns])
-    )
+    if right_id is not None:
+        # the surrogate must be a non-null long: casting a string/UUID id
+        # with cast("long") would silently yield NULL (breaking both the
+        # tie-break and the back-join), so hash non-numeric ids instead
+        id_type = dict(right.dtypes)[right_id]
+        if id_type in ("tinyint", "smallint", "int", "bigint"):
+            surrogate = F.col(right_id).cast("long")
+        else:
+            surrogate = F.xxhash64(F.col(right_id))
+    else:
+        surrogate = F.xxhash64(*[F.col(c) for c in right.columns])
     r = right.withColumn(rid, surrogate)
     r_events = r.select(
         F.col(on),

@@ -140,7 +140,7 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     margin: float = 1e-9,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ tau, computed as DISTRIBUTED blocked GEMM
     + exact verify — the scalable spelling of the O(N²) similarity join.
@@ -163,6 +163,19 @@ def cosine_pairs_blocked(
     """
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        # Size the block count from the data: one cheap pre-pass job for
+        # (N, dim), then plan_gemm_blocks picks the smallest B whose
+        # per-task matrices fit the memory budget AND whose B(B+1)/2
+        # block-pair tasks cover the cluster — a fixed B would
+        # under-partition at 100× the vectors.
+        from ..tuning import plan_gemm_blocks
+
+        n, dim = df.select(
+            F.count(F.lit(1)), F.first(F.size(F.col(vec_col)))
+        ).first()
+        n_blocks = plan_gemm_blocks(int(n), int(dim or 0) or 1)
 
     cut = tau - margin
     base = df.select(

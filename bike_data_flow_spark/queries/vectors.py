@@ -209,10 +209,55 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
 
 
-# Genuinely iterative (data-dependent centroid refinement): no SQL
-# oracle — the driver records the weaker rows-only check, and pytest
-# verifies clustering behavior on constructed blobs.
-@query("kmeans_clusters", oracle=None)
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """Lloyd's k-means unrolled into CTEs — SQL-expressible because the
+    iteration count is FIXED (deterministic init from the k smallest
+    ids, exactly n_iter update rounds, no data-dependent stopping),
+    mirroring operators/similarity.kmeans_lloyd step for step:
+    assignment = argmin squared-L2 with smallest-cluster tie-break,
+    update = per-(cluster, position) avg, empty clusters keep their
+    previous centroid."""
+    dist = (
+        "list_sum([(v[i] - c[i]) * (v[i] - c[i]) "
+        "FOR i IN generate_series(1, len(v))])"
+    )
+    ctes = [
+        # embeddings cast to double once, like the Spark plan's staging
+        "v AS MATERIALIZED (SELECT vec_id, "
+        "[CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)",
+        # init: centroid j = vector with the j-th smallest id
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster, "
+        f"v AS c FROM (SELECT vec_id, v FROM v ORDER BY vec_id ASC LIMIT {k}))",
+    ]
+    for it in range(1, n_iter + 2):
+        prev = it - 1
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, v, cluster, d FROM ("
+            f"SELECT vec_id, v, c{prev}.cluster AS cluster, {dist} AS d "
+            f"FROM v CROSS JOIN c{prev}) "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY d ASC, cluster ASC) = 1)"
+        )
+        if it <= n_iter:
+            ctes.append(
+                f"n{it} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM ("
+                "SELECT cluster, pos, avg(val) AS m FROM ("
+                "SELECT cluster, unnest(generate_series(1, len(v))) AS pos, "
+                f"unnest(v) AS val FROM a{it}) GROUP BY cluster, pos) "
+                "GROUP BY cluster)"
+            )
+            ctes.append(
+                f"c{it} AS (SELECT c{prev}.cluster, "
+                f"coalesce(n{it}.c, c{prev}.c) AS c FROM c{prev} "
+                f"LEFT JOIN n{it} ON c{prev}.cluster = n{it}.cluster)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster, round(d, 6) AS sq_dist FROM a{n_iter + 1}"
+    )
+
+
+@query("kmeans_clusters", oracle=_kmeans_oracle(k=5, n_iter=5))
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means (k=5, 5 rounds, deterministic init) — the codebook
     trainer for IVF ANN. See operators/similarity.kmeans_lloyd."""

@@ -110,6 +110,28 @@ def test_asof_caller_supplied_tiebreak_id(spark):
     assert out.collect()[0]["r_bid"] == 2.0  # largest qid wins
 
 
+def test_asof_string_uuid_right_id(spark):
+    """A non-numeric right_id (string UUID) must still produce matches:
+    the old cast('long') surrogate silently became NULL for every row,
+    so no left row ever matched."""
+    trades = spark.createDataFrame(
+        [("A", 10, "x"), ("A", 20, "y")], ["sym", "t", "side"]
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", 8, 99.5, "3e0f7a1c-9a1b-4b3e-8f2a-000000000001"),
+            ("A", 15, 100.7, "3e0f7a1c-9a1b-4b3e-8f2a-000000000002"),
+        ],
+        ["sym", "t", "bid", "quote_uuid"],
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="t", right_id="quote_uuid"
+    )
+    got = {r["t"]: (r["r_bid"], r["r_quote_uuid"]) for r in out.collect()}
+    assert got[10] == (99.5, "3e0f7a1c-9a1b-4b3e-8f2a-000000000001")
+    assert got[20] == (100.7, "3e0f7a1c-9a1b-4b3e-8f2a-000000000002")
+
+
 def test_range_join_left_preserves_unmatched_points(spark):
     points = spark.createDataFrame(
         [(1, 5.0), (2, 30.0), (3, 65.0)], ["pid", "x"]

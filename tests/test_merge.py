@@ -39,6 +39,39 @@ def test_merge_null_source_value_keeps_target(spark):
     assert {r["id"]: r["bal"] for r in out.collect()}[1] == 10.0
 
 
+def test_scd2_null_attr_transitions(spark):
+    """Regression for the eqNullSafe + row_number fix: a non-null→NULL
+    attr transition is a CHANGE (plain != yields NULL there, which
+    filter() drops, silently extending the prior interval), consecutive
+    NULLs collapse, NULL→non-null opens a new interval, and a key whose
+    FIRST value is NULL still gets its opening row."""
+    log = spark.createDataFrame(
+        [
+            # key u: a -> NULL -> NULL -> a
+            ("u", 100, "a"),
+            ("u", 200, None),
+            ("u", 300, None),
+            ("u", 400, "a"),
+            # key v: leading NULL
+            ("v", 50, None),
+            ("v", 60, "q"),
+        ],
+        "k string, ts long, a string",
+    )
+    out = scd2_from_changelog(log, "k", ["ts"], ["a"])
+    rows = sorted(
+        (r["k"], r["valid_from"], r["a"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        ("u", 100, "a", 200, False),  # closed by the a->NULL change
+        ("u", 200, None, 400, False),  # spans the suppressed NULL at 300
+        ("u", 400, "a", None, True),  # NULL->a reopens
+        ("v", 50, None, 60, False),  # leading-NULL first row kept
+        ("v", 60, "q", None, True),
+    ]
+
+
 def test_scd2_collapses_unchanged_and_orders_intervals(spark):
     log = spark.createDataFrame(
         [

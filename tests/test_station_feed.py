@@ -52,6 +52,34 @@ def test_dt_filter_prunes_listing(spark, tmp_path):
     assert len(reader.partitions()) == 1
 
 
+def test_dt_in_filter_pushdown(spark, tmp_path):
+    """Regression for the In-filter field fix (f.values -> f.value):
+    any `dt IN (...)` query used to raise AttributeError inside
+    pushFilters. Assert both the query result and the actual pruning."""
+    root = _landing(tmp_path)
+    write_raw_file(root, "2025-05-03", "2025-05-03_10-00-00", GOOD_ROWS[:1])
+    register(spark)
+    df = (
+        spark.read.format("station_feed")
+        .option("path", str(root))
+        .load()
+        .filter(F.col("dt").isin("2025-05-02", "2025-05-03"))
+    )
+    assert sorted(r["dt"] for r in df.select("dt").distinct().collect()) == [
+        "2025-05-02",
+        "2025-05-03",
+    ]
+    assert df.count() == 4  # (header + 1 row) per matched dt
+    reader = StationFeedReader({"path": str(root)})
+    from pyspark.sql.datasource import In
+
+    leftover = list(
+        reader.pushFilters([In(("dt",), ("2025-05-02", "2025-05-03"))])
+    )
+    assert leftover == []  # fully absorbed by the source
+    assert len(reader.partitions()) == 2  # listing pruned, not post-filtered
+
+
 def test_stream_reader_drains_incrementally(spark, tmp_path):
     root = _landing(tmp_path)
     register(spark)
