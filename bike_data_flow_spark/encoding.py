@@ -21,8 +21,10 @@ from __future__ import annotations
 # à (0xC3) starts Western-European 2-byte sequences, Å (0xC5) starts
 # the Latin-Extended-A block (Polish ł/ś/ż...), â€ (0xE2 0x80) starts
 # General-Punctuation 3-byte sequences, Â (0xC2) precedes NBSP &
-# friends, Ä (0xC4) starts ą/ć/ę.
-_HINTS = ("Ã", "Å", "â€", "Â", "Ä")
+# friends, Ä (0xC4) starts ą/ć/ę. Through a cp1250/latin-2 lens
+# (the Central-European default the reference's Polish domain hits)
+# the same lead bytes render as Ă (0xC3), Ĺ (0xC5), Ä (0xC4).
+_HINTS = ("Ã", "Å", "â€", "Â", "Ä", "Ă", "Ĺ")
 
 # Unwind at most this many layers of mis-decoding (double-encoded
 # mojibake is common; triple is the practical ceiling ftfy handles).
@@ -37,21 +39,50 @@ def _looks_like_mojibake(s: str) -> bool:
     )
 
 
+def _encode_sloppy_cp1252(s: str) -> bytes:
+    """ftfy's documented "sloppy-windows-1252": the five codepoints
+    cp1252 leaves unmapped (0x81 0x8D 0x8F 0x90 0x9D) pass through as
+    their raw C1 byte — real-world mojibake mixes them freely with
+    mapped cp1252 characters, and a strict encode would reject the
+    whole string over one such byte."""
+    out = bytearray()
+    for ch in s:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if o > 0xFF:
+                raise
+            out.append(o)
+    return bytes(out)
+
+
 def fix_mojibake(s: str) -> str:
-    """Repair UTF-8-decoded-as-Latin-1/cp1252 text; identity otherwise."""
+    """Repair UTF-8 text mis-decoded through a single-byte codec;
+    identity otherwise.
+
+    Codec order: cp1252 first (curly quotes/dashes â€™ â€“ only
+    re-encode there), latin-1 for the chars cp1252 leaves unmapped,
+    then the Central-European pair cp1250/iso-8859-2 (Polish ł/ś/ż
+    seen as Ĺ‚/Ĺ›/ĹĽ), and finally the sloppy-cp1252 byte-salvage
+    pass for strings mixing mapped cp1252 chars with raw C1 bytes.
+    """
     for _ in range(_MAX_ROUNDS):
         if not _looks_like_mojibake(s):
             return s
         repaired = None
-        # cp1252 first: curly quotes/dashes (â€™, â€“) only re-encode
-        # there; latin-1 second for the chars cp1252 leaves unmapped.
-        for codec in ("cp1252", "latin-1"):
+        for codec in ("cp1252", "latin-1", "cp1250", "iso-8859-2"):
             try:
                 repaired = s.encode(codec).decode("utf-8")
                 break
             except (UnicodeEncodeError, UnicodeDecodeError):
                 continue
-        if repaired is None or repaired == s:
+        if repaired is None:
+            try:
+                repaired = _encode_sloppy_cp1252(s).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return s
+        if repaired == s:
             return s
         s = repaired
     return s

@@ -57,6 +57,31 @@ def alpha_ratio(text: Column) -> Column:
     )
 
 
+# Unicode-aware variants (SURVEY §7.4.1 deviation closed): the ASCII
+# [a-z] operators above are pinned to the synthetic English corpus; the
+# reference's domain is Wrocław — Polish diacritics (ł ś ż ą ę...) must
+# count as letters. \p{L}\p{M} is supported identically by Spark's Java
+# regex and DuckDB's RE2, so the oracle reproduces these bit-for-bit.
+UNICODE_WORD_PATTERN = "[\\p{L}\\p{M}]+"
+
+
+def unicode_tokens(text: Column) -> Column:
+    """Letter-run tokenization (diacritic-aware) of lower-cased text."""
+    return F.regexp_extract_all(
+        F.lower(text), F.lit(UNICODE_WORD_PATTERN), F.lit(0)
+    )
+
+
+def unicode_alpha_ratio(text: Column) -> Column:
+    """Share of Unicode letter/mark characters (ł counts, unlike
+    alpha_ratio's ASCII [a-z])."""
+    low = F.lower(text)
+    return F.round(
+        F.length(F.regexp_replace(low, "[^\\p{L}\\p{M}]", "")) / F.length(low),
+        4,
+    )
+
+
 def _in_set(markers: tuple[str, ...]):
     # factory, not a default-arg lambda: PySpark introspects the lambda's
     # positional signature to bind higher-order-function variables

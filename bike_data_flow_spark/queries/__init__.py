@@ -74,11 +74,9 @@ _CHECK_FIRST = (
     "tumbling_event_counts",
     "sliding_event_counts",
     "props_map_profile",
-    "streamed_event_type_counts",
     "value_sum_1h_range",
     "session_window_stats",
     "streamed_windowed_counts",
-    "streamed_distinct_users",
     "streamed_purchase_attribution",
     "value_outliers",
     "daily_event_counts_gapfilled",
@@ -102,14 +100,17 @@ _CHECK_FIRST = (
     "latest_event_per_type",
     "user_value_trend",
     "distinct_users_by_dow",
-    # -- oracle newly added --
+    # -- new this round (kmeans: oracle newly added; wrm/unicode: new) --
     "kmeans_clusters",
+    "wrm_latest_snapshot",
+    "unicode_text_profile",
 )
 
 
 def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY)."""
     from . import (  # noqa: F401
+        bike_pipeline,
         maintenance,
         mutations,
         relational,

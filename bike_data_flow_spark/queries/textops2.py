@@ -392,3 +392,31 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Unicode-aware text profiling (diacritic parity): the ASCII [a-z]
+# operators undercount letters for the reference's Polish domain
+# (Wrocław — ł ś ż ą ę). \p{L}\p{M} evaluates identically in Spark's
+# Java regex and DuckDB's RE2, so both engines agree bit-for-bit even
+# on non-ASCII corpora.
+@query(
+    "unicode_text_profile",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[\\p{L}\\p{M}]+'))
+             AS n_letter_runs,
+           round(length(regexp_replace(lower(text), '[^\\p{L}\\p{M}]', '', 'g'))
+                 / length(lower(text)), 4) AS u_alpha_ratio,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / length(lower(text)), 4) AS ascii_alpha_ratio
+    FROM documents
+    """,
+)
+def unicode_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.unicode_tokens(F.col("text"))).alias("n_letter_runs"),
+        T.unicode_alpha_ratio(F.col("text")).alias("u_alpha_ratio"),
+        T.alpha_ratio(F.col("text")).alias("ascii_alpha_ratio"),
+    )

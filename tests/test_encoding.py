@@ -50,6 +50,44 @@ def test_unrepairable_text_left_untouched():
     assert fix_mojibake(s) == s
 
 
+def test_repairs_polish_utf8_as_cp1250():
+    # The Central-European lens: UTF-8 Polish read back as cp1250
+    # renders ł as "Ĺ‚", ś as "Ĺ›" — neither cp1252 nor latin-1 can
+    # re-encode Ĺ (U+0139), so the cp1250 branch must catch it.
+    clean = "Wrocław Śródmieście — żółć, źdźbło, gęślą jaźń"
+    assert fix_mojibake(_break(clean, "cp1250")) == clean
+
+
+def test_repairs_polish_utf8_as_latin2():
+    clean = "Łódź Ruda Pabianicka"
+    assert fix_mojibake(_break(clean, "iso-8859-2")) == clean
+
+
+def test_repairs_sloppy_cp1252_mix():
+    # 'ɐ' is C9 90 in UTF-8: the continuation byte 0x90 is a cp1252
+    # HOLE, so a strict cp1252 mis-decode can't even produce the
+    # mojibake — real-world decoders emit the raw C1 control there.
+    # Strict cp1252 re-encode then rejects the mixed string; only the
+    # sloppy byte-salvage pass recovers it.
+    clean = "ɐbc—def"
+
+    def cp1252_or_c1(b: int) -> str:
+        try:
+            return bytes([b]).decode("cp1252")
+        except UnicodeDecodeError:
+            return chr(b)
+
+    broken = "".join(cp1252_or_c1(b) for b in clean.encode("utf-8"))
+    assert fix_mojibake(broken) == clean
+
+
+def test_identity_on_legit_central_european_text():
+    # Naturally-occurring Ĺ/Ă (Slovak, Romanian) trip the hint check but
+    # must come back unchanged — no decode path yields valid UTF-8.
+    for clean in ("Ĺubovňa mesto", "Băneasa Bucureşti Ă"):
+        assert fix_mojibake(clean) == clean
+
+
 def test_landing_zone_applies_repair(tmp_path):
     from bike_data_flow_spark.streaming.ingest import LandingZone
 

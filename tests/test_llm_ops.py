@@ -342,3 +342,28 @@ def test_connected_components_paths_agree(spark, monkeypatch):
         for r in dedup.connected_components(edges, vertices).collect()
     }
     assert fast == slow == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1, 42: 42}
+
+
+def test_unicode_text_ops_polish(spark):
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "Zażółć gęślą jaźń"), (2, "abc 123"), (3, "Wrocław—Śródmieście")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.unicode_tokens(F.col("text")).alias("toks"),
+            T.unicode_alpha_ratio(F.col("text")).alias("u_alpha"),
+            T.alpha_ratio(F.col("text")).alias("ascii_alpha"),
+        ).collect()
+    }
+    assert rows[1]["toks"] == ["zażółć", "gęślą", "jaźń"]
+    assert rows[1]["u_alpha"] == round(15 / 17, 4)  # only the 2 spaces excluded
+    assert rows[1]["ascii_alpha"] < rows[1]["u_alpha"]  # ASCII drops diacritics
+    assert rows[2]["toks"] == ["abc"]  # digits are not letter runs
+    assert rows[3]["toks"] == ["wrocław", "śródmieście"]  # em-dash splits

@@ -38,10 +38,10 @@ def test_registry_contract():
     assert len(reg) >= 25
     for name, q in reg.items():
         assert q.name == name and callable(q.fn)
-    # oracle coverage: everything except the genuinely iterative
-    # k-means (data-dependent centroid refinement -> rows-only check)
+    # oracle coverage: EVERY registered query, including k-means
+    # (fixed-iteration Lloyd's unrolled into CTEs since round 4)
     no_oracle = {name for name, q in reg.items() if not q.oracle}
-    assert no_oracle == {"kmeans_clusters"}
+    assert no_oracle == set()
 
 
 def test_entry_module_contract(spark):
