@@ -150,13 +150,16 @@ def wrm_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest view.
     """
     from ..operators.enhance import enhance
-    from ..operators.parse import process_partition
+    from ..operators.parse import read_raw_partition
     from ..operators.views import latest_per_station
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = ensure_fixture()
+    # read_raw_partition, not process_partition: the strict empty-
+    # partition probe is an extra Spark job per dt and its contract is
+    # pinned by tests/test_parse.py — the gate query stays lazy.
     parts = [
-        enhance(process_partition(spark, root, dt), dt)
+        enhance(read_raw_partition(spark, root, dt), dt)
         for dt in sorted(_FIXTURE)
     ]
     enhanced = parts[0]

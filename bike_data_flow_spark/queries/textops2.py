@@ -320,13 +320,19 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(~is_bench)
 
     bf = B.bloom_build(bench, F.col("shingle"), _BLOOM_BITS, _BLOOM_K)
+    # flagged and exact each feed two consumers (their own count + the
+    # soundness anti-join) — cache the doc-id residues (tiny) so the
+    # probe and the broadcast join run once, not twice
     flagged = (
         B.with_bloom_flag(train, bf, F.col("shingle"), _BLOOM_BITS, _BLOOM_K)
         .filter(F.col("in_bloom"))
         .select("doc_id")
         .distinct()
+        .cache()
     )
-    exact = train.join(F.broadcast(bench), "shingle").select("doc_id").distinct()
+    exact = (
+        train.join(F.broadcast(bench), "shingle").select("doc_id").distinct().cache()
+    )
 
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_contaminated"))
     n_flag = flagged.agg(F.count(F.lit(1)).alias("_n_bloom"))
@@ -420,3 +426,101 @@ def unicode_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.unicode_alpha_ratio(F.col("text")).alias("u_alpha_ratio"),
         T.alpha_ratio(F.col("text")).alias("ascii_alpha_ratio"),
     )
+
+
+# Gopher-style document quality gate (Rae et al. 2021, public):
+# token-count bounds, mean-word-length bounds, stop-word presence, and
+# the two repetition signals — most-common-bigram share and duplicate-
+# trigram fraction. Thresholds are adapted to the synthetic corpus
+# (shorter docs than web scrape); the SHAPE is the published filter.
+# Scale: two explode→count shuffles keyed by (doc_id, n-gram) — uniform
+# keys, partial aggregation, linear in corpus size.
+_G_MIN_TOKENS, _G_MAX_TOKENS = 10, 5000
+_G_MIN_WLEN, _G_MAX_WLEN = 2.0, 10.0
+_G_MAX_BIGRAM_SHARE = 0.2
+_G_MAX_DUP_TRIGRAM = 0.3
+
+_G_STOPS = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+_G_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_G_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             round(list_sum(list_transform(toks, t -> len(t)))
+                   / len(toks), 4) AS mean_word_len,
+             len(list_filter(toks, t -> t IN ({_G_STOPS}))) AS n_stopwords
+      FROM toks),
+    bg AS (
+      SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_share FROM (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i+1]
+                         FOR i IN generate_series(1, len(toks) - 1)]) AS g
+          FROM toks WHERE len(toks) >= 2)
+        GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    tg AS (
+      SELECT doc_id, round(1 - count(*) / sum(c), 4) AS dup_trigram_frac FROM (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN generate_series(1, len(toks) - 2)]) AS g
+          FROM toks WHERE len(toks) >= 3)
+        GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.mean_word_len, b.n_stopwords,
+           bg.top_bigram_share, tg.dup_trigram_frac,
+           b.n_tokens BETWEEN {_G_MIN_TOKENS} AND {_G_MAX_TOKENS}
+           AND b.mean_word_len BETWEEN {_G_MIN_WLEN} AND {_G_MAX_WLEN}
+           AND coalesce(bg.top_bigram_share, 0) <= {_G_MAX_BIGRAM_SHARE}
+           AND coalesce(tg.dup_trigram_frac, 0) <= {_G_MAX_DUP_TRIGRAM}
+           AND b.n_stopwords >= 1 AS passes
+    FROM base b LEFT JOIN bg USING (doc_id) LEFT JOIN tg USING (doc_id)
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    base = staged.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.round(
+            F.aggregate(F.col("_toks"), F.lit(0), lambda a, t: a + F.length(t))
+            / F.size("_toks"),
+            4,
+        ).alias("mean_word_len"),
+        F.size(
+            F.filter(F.col("_toks"), lambda t: t.isin(*T.STOPWORDS))
+        ).alias("n_stopwords"),
+    )
+
+    def ngram_stats(n: int, out_expr, out_name: str) -> DataFrame:
+        per = (
+            staged.select(
+                "doc_id",
+                F.explode(D.shingles_from_tokens(F.col("_toks"), n)).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per.groupBy("doc_id").agg(out_expr.alias(out_name))
+
+    bg = ngram_stats(
+        2, F.round(F.max("c") / F.sum("c"), 4), "top_bigram_share"
+    )
+    tg = ngram_stats(
+        3, F.round(F.lit(1) - F.count(F.lit(1)) / F.sum("c"), 4), "dup_trigram_frac"
+    )
+    out = base.join(bg, "doc_id", "left").join(tg, "doc_id", "left")
+    passes = (
+        F.col("n_tokens").between(_G_MIN_TOKENS, _G_MAX_TOKENS)
+        & F.col("mean_word_len").between(_G_MIN_WLEN, _G_MAX_WLEN)
+        & (F.coalesce(F.col("top_bigram_share"), F.lit(0.0)) <= _G_MAX_BIGRAM_SHARE)
+        & (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= _G_MAX_DUP_TRIGRAM)
+        & (F.col("n_stopwords") >= 1)
+    )
+    return out.withColumn("passes", passes)
