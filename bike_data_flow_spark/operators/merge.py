@@ -33,6 +33,7 @@ def merge_upsert(
     update_cols: Sequence[str] | None = None,
     delete_condition: Column | None = None,
     broadcast_source: bool = True,
+    allow_duplicate_source_keys: bool = False,
 ) -> DataFrame:
     """SQL-MERGE semantics on DataFrames.
 
@@ -45,6 +46,13 @@ def merge_upsert(
     - WHEN NOT MATCHED: the source row is inserted; target columns the
       source lacks become nulls.
 
+    Duplicate source keys would fan every matched target row out once
+    per duplicate — SQL MERGE (and Delta) treat that as an error, and
+    so does this operator: execution raises unless the caller opts in
+    with ``allow_duplicate_source_keys=True``. The check is a window
+    count over the (changeset-sized) source, evaluated lazily inside
+    the merge plan itself — no extra job.
+
     Plan: target LEFT JOIN source (source broadcast by default — a
     changeset is normally orders of magnitude smaller than history) +
     UNION ALL of the source's anti-joined inserts. Zero fact-side
@@ -53,8 +61,26 @@ def merge_upsert(
     keys = list(keys)
     if update_cols is None:
         update_cols = [c for c in source.columns if c not in keys and c in target.columns]
+    key_cols: list[Column] = [F.col(k) for k in keys]
+    if not allow_duplicate_source_keys:
+        # folded into the JOIN KEYS themselves — they are the one part
+        # of the source projection Catalyst can never prune (a guard on
+        # a payload/flag column is silently optimized away when that
+        # column goes unused, e.g. with no delete_condition)
+        dup = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        err = F.concat(
+            F.lit("merge_upsert: duplicate source rows for key ("),
+            F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+            F.lit(") — each target row must match at most one source "
+                  "row (pass allow_duplicate_source_keys=True to "
+                  "override)"),
+        )
+        key_cols = [
+            F.when(dup > 1, F.raise_error(err)).otherwise(F.col(k)).alias(k)
+            for k in keys
+        ]
     src = source.select(
-        *keys,
+        *key_cols,
         *[F.col(c).alias(f"_src_{c}") for c in source.columns if c not in keys],
         F.lit(True).alias(_MATCH),
     )

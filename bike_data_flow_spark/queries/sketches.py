@@ -128,3 +128,79 @@ def approx_distinct_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_custkeys")
         ).alias("approx_ok"),
     )
+
+
+# Count-min sketch heavy hitters: the fixed-memory answer to "top
+# tokens" at corpus scale. The sketch is a d×w counter grid (d=4 rows,
+# w=1024 columns → 4096 longs regardless of vocabulary size) built
+# with ONE explode + partial-agg shuffle keyed by (row, col); the
+# top-k candidates then probe it with a broadcast join and take
+# min(counter) over the d rows. CMS guarantees est ≥ exact and
+# est ≤ exact + ε·N with ε ≈ e/w — the embedded approx_ok asserts
+# both, while the exact top-k list is hash-verified by the oracle
+# (same contract as the HLL/GK queries above).
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 10
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    SELECT tok, count(*) AS cnt, TRUE AS approx_ok
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY cnt DESC, tok ASC
+    LIMIT 10
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("_n"))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(F.xxhash64(F.col("tok"), F.lit(i)), F.lit(_CMS_W)).alias("c"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    cms = (
+        tok.select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+    exact_top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_CMS_TOPK)
+    )
+    probes = exact_top.select("tok", "cnt", F.explode(rows).alias("rc"))
+    est = (
+        probes.join(
+            F.broadcast(cms),
+            (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")),
+        )
+        .groupBy("tok", "cnt")
+        .agg(F.min("counter").alias("_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "cnt",
+            (
+                (F.col("_est") >= F.col("cnt"))
+                & (F.col("_est") <= F.col("cnt") + F.lit(0.01) * F.col("_n"))
+            ).alias("approx_ok"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+    )

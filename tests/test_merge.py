@@ -32,6 +32,23 @@ def test_merge_update_insert_and_matched_only_delete(spark):
     assert rows[9]["bal"] == 99.0 and rows[9]["name"] is None  # insert fills nulls
 
 
+def test_merge_duplicate_source_keys_raise(spark):
+    import pytest
+
+    target = _target(spark)
+    dup_source = spark.createDataFrame(
+        [(1, 11.0), (1, 12.0), (9, 99.0)], "id int, bal double"
+    )
+    out = merge_upsert(target, dup_source, ["id"])
+    with pytest.raises(Exception, match="duplicate source rows"):
+        out.collect()
+    # explicit opt-in restores the old fan-out behavior
+    out = merge_upsert(
+        target, dup_source, ["id"], allow_duplicate_source_keys=True
+    )
+    assert sum(1 for r in out.collect() if r["id"] == 1) == 2
+
+
 def test_merge_null_source_value_keeps_target(spark):
     target = _target(spark)
     source = spark.createDataFrame([(1, None)], "id int, bal double")
