@@ -100,10 +100,12 @@ _CHECK_FIRST = (
     "latest_event_per_type",
     "user_value_trend",
     "distinct_users_by_dow",
-    # -- new this round (kmeans: oracle newly added; wrm/unicode: new) --
+    # -- new this round (kmeans: oracle newly added; rest: new queries) --
     "kmeans_clusters",
     "wrm_latest_snapshot",
     "unicode_text_profile",
+    "gopher_quality_flags",
+    "cms_heavy_hitters",
 )
 
 
