@@ -484,7 +484,11 @@ _G_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 )
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    # cached: three consumers (base stats, bigram agg, trigram agg)
+    # would otherwise each re-scan parquet and re-tokenize the corpus
+    staged = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("_toks")
+    ).cache()
     base = staged.select(
         "doc_id",
         F.size("_toks").alias("n_tokens"),
