@@ -89,3 +89,32 @@ def haversine_map_in_arrow(df, lat1: str, lon1: str, lat2: str, lon2: str, out: 
             yield b.append_column(out, pa.array(d, type=pa.float64()))
 
     return df.mapInArrow(compute, out_schema)
+
+
+def register_ngram_udtf(spark: SparkSession, name: str = "token_ngrams"):
+    """The fourth rung: a Python UDTF (Spark 4 `@udtf`) — one input row
+    → many output rows, callable from SQL's FROM clause with LATERAL
+    correlation. Registered on demand (not at import) so module import
+    never needs a live session.
+
+    Used as: SELECT d.doc_id, g.pos, g.ngram
+             FROM documents d, LATERAL token_ngrams(d.text, 3) g
+
+    Prefer the native explode(shingles_from_tokens(...)) spelling in
+    hot paths (JVM-side, no Python workers); the UDTF is the sanctioned
+    hatch for row-expanding logic Spark genuinely can't express.
+    Tests pin the two spellings equal.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class TokenNgrams:
+        def eval(self, text: str, n: int):
+            if text is None or n is None or n <= 0:
+                return
+            toks = text.lower().strip().split()
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i : i + n])
+
+    spark.udtf.register(name, TokenNgrams)
+    return name

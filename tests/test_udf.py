@@ -69,3 +69,31 @@ def test_map_in_arrow_matches_native(spark):
     arrow = haversine_map_in_arrow(df, "lat1", "lon1", "lat2", "lon2")
     for n, a in zip(sorted(native.collect()), sorted(arrow.collect())):
         assert abs(n["dist_m"] - a["dist_m"]) < 1e-6
+
+
+def test_udtf_ngrams_match_native_shingles(spark):
+    from bike_data_flow_spark.operators.dedup import shingles
+    from bike_data_flow_spark.operators.udf import register_ngram_udtf
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "too short"), (3, None)],
+        ["doc_id", "text"],
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    register_ngram_udtf(spark)
+    via_udtf = {
+        (r["doc_id"], r["pos"], r["ngram"])
+        for r in spark.sql(
+            "SELECT d.doc_id, g.pos, g.ngram "
+            "FROM udtf_docs d, LATERAL token_ngrams(d.text, 3) g"
+        ).collect()
+    }
+    via_native = {
+        (r["doc_id"], r["pos"], r["ngram"])  # posexplode is 0-based, like eval()
+        for r in df.select(
+            "doc_id", F.posexplode(shingles(F.col("text"), 3)).alias("pos", "ngram")
+        ).collect()
+    }
+    assert via_udtf == via_native
+    assert {d for d, _, _ in via_udtf} == {1}  # short/null rows emit nothing
