@@ -106,6 +106,7 @@ _CHECK_FIRST = (
     "unicode_text_profile",
     "gopher_quality_flags",
     "cms_heavy_hitters",
+    "streamed_watermark_dedup",
 )
 
 

@@ -289,3 +289,25 @@ def streamed_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
     agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
     return _run_to_memory(agg, "complete")
+
+
+# Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
+# key's state only until the watermark passes its event time — the
+# production spelling for deduping an at-least-once event feed without
+# unbounded state (plain dropDuplicates retains every key forever).
+# The stream is unioned with itself so every event arrives twice; the
+# engine's state store must collapse the pairs exactly.
+@query(
+    "streamed_watermark_dedup",
+    oracle="SELECT count(DISTINCT event_id) AS n_events FROM events",
+)
+def streamed_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = (
+        doubled.withWatermark("ts", f"{_WM_DELAY_MIN} minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _run_to_memory(deduped, "complete")

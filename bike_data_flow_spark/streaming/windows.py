@@ -192,3 +192,62 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def running_key_stats_tws(
+    events: DataFrame,
+    key_col: str = "station_id",
+    value_col: str = "bikes",
+) -> DataFrame:
+    """Arbitrary stateful processing on the transformWithStateInPandas
+    API (Spark 4) — the successor to applyInPandasWithState above, with
+    typed composable state handles instead of one opaque tuple. Keeps a
+    running (count, max) per key across micro-batches and emits the
+    updated row for every key seen in a batch.
+
+    Requires the RocksDB state-store provider (transformWithState's
+    backing store) and the `protobuf` Python package (the TWS driver
+    worker speaks protobuf to the JVM; absent in this container, so the
+    pytest is importorskip-gated — applyInPandasWithState above covers
+    the same surface where protobuf is unavailable). State is one
+    ValueState row per key — bounded by |keys|, not history, exactly
+    like the session/dedup operators.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "cnt long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, mx = 0, None
+            if self._state.exists():
+                cnt, mx = self._state.get()
+            for pdf in rows:
+                cnt += len(pdf)
+                batch_max = float(pdf[value_col].max())
+                mx = batch_max if mx is None else max(float(mx), batch_max)
+            self._state.update((cnt, float(mx)))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [cnt], "max_value": [float(mx)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=f"{key_col} string, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

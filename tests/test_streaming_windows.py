@@ -189,3 +189,39 @@ def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
     assert got[("001", "10:00")] == ("10:21", 3)
     assert got[("002", "10:02")] == ("10:12", 2)
     assert got[("002", "10:25")] == ("10:35", 1)
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """transformWithStateInPandas keeps per-key (count, max) across
+    micro-batches: batch 2 must fold into batch 1's state, not reset."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS python runner speaks protobuf to the JVM; lib absent "
+        "in this container (applyInPandasWithState covers the surface)",
+    )
+    from bike_data_flow_spark.streaming.windows import running_key_stats_tws
+
+    src = tmp_path / "tws_src"
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.parquet(str(src))
+    stats = running_key_stats_tws(_stream(spark, str(src)))
+    out1 = _run_to_memory(spark, stats, "tws1", tmp_path / "a", "update")
+    got1 = {r["station_id"]: (r["n_events"], r["max_value"]) for r in out1.collect()}
+    assert got1["001"] == (3, 7.0)
+    assert got1["002"] == (3, 2.0)
+
+    # second batch arrives: state must accumulate (same checkpoint)
+    more = [("001", datetime(2025, 5, 1, 11, 0), 9), ("003", datetime(2025, 5, 1, 11, 1), 4)]
+    spark.createDataFrame(more, SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+    stats2 = running_key_stats_tws(_stream(spark, str(src)))
+    q = (
+        stats2.writeStream.format("memory")
+        .queryName("tws2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "a" / "ckpt_tws1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got2 = {r["station_id"]: (r["n_events"], r["max_value"]) for r in spark.table("tws2").collect()}
+    assert got2["001"] == (4, 9.0)  # 3 prior + 1 new, new max
+    assert got2["003"] == (1, 4.0)  # fresh key
