@@ -182,3 +182,164 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
             "frame_idx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (REAL for uncompressed PCM WAV — RIFF header grammar needs no
+# codec library) and image resize (REAL for Netpbm — re-emits a valid
+# P5/P6 payload). Compressed formats keep the deterministic-fake
+# contract of _decode_image_bytes.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_DDL = (
+    "media_id string, n_bytes int, sample_rate int, n_channels int, "
+    "duration_s double, rms double"
+)
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
+    """REAL decoder for PCM 16-bit WAV (RIFF little-endian): walks the
+    chunk list for fmt / data, returns (sample_rate, n_channels,
+    n_frames, rms) with RMS over all samples normalized to [-1, 1]."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    n_samples = len(data) // 2
+    if n_samples == 0:
+        raise ValueError("empty data chunk")
+    import array
+
+    samples = array.array("h")
+    samples.frombytes(data[: n_samples * 2])
+    acc = 0.0
+    for s in samples:
+        x = s / 32768.0
+        acc += x * x
+    rms = (acc / n_samples) ** 0.5
+    return rate, n_ch, n_samples // n_ch, rms
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: REAL for PCM WAV,
+    deterministic fake for compressed codecs (same contract as the
+    image path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob) if blob is not None else b""
+                try:
+                    rate, n_ch, n_frames, rms = _decode_wav(blob)
+                except ValueError:
+                    if not blob:
+                        rate = n_ch = n_frames = None
+                        rms = None
+                    else:  # FAKE path, clearly deterministic from bytes
+                        rate, n_ch = 8000 + (blob[0] % 4) * 8000, 1 + blob[-1] % 2
+                        n_frames = max(1, len(blob) // 4)
+                        rms = (sum(blob[:64]) % 6400) / 6400.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": len(blob),
+                        "sample_rate": rate,
+                        "n_channels": n_ch,
+                        "duration_s": (
+                            round(n_frames / rate, 6) if rate else None
+                        ),
+                        "rms": round(rms, 6) if rms is not None else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(run, AUDIO_FEATURES_DDL)
+
+
+RESIZED_DDL = "media_id string, content binary, width int, height int, resized boolean"
+
+
+def _resize_netpbm(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize for P5/P6, re-emitting a valid payload
+    with the same magic and maxval 255."""
+    w, h, _ = _decode_ppm(blob)  # validates header
+    gray = blob[:2] == b"P5"
+    ch = 1 if gray else 3
+    # locate pixel data: re-walk the header exactly like _decode_ppm
+    pos, fields = 2, 0
+    while fields < 3:
+        while blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] not in (10, 13):
+                pos += 1
+            continue
+        while not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields += 1
+    pos += 1
+    px = blob[pos:]
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            off = (sy * w + sx) * ch
+            out += px[off : off + ch]
+    header = (b"P5" if gray else b"P6") + b"\n%d %d\n255\n" % (out_w, out_h)
+    return header + bytes(out)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Arrow-batched resize: REAL nearest-neighbor for Netpbm payloads
+    (output re-decodes to (out_w, out_h)); other formats pass through
+    unchanged with resized=false — the honest behavior when no codec
+    library exists, rather than fabricating bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob) if blob is not None else b""
+                if blob[:2] in (b"P5", b"P6"):
+                    try:
+                        content = _resize_netpbm(blob, out_w, out_h)
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "content": content,
+                                "width": out_w,
+                                "height": out_h,
+                                "resized": True,
+                            }
+                        )
+                        continue
+                    except ValueError:
+                        pass
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": blob or None,
+                        "width": None,
+                        "height": None,
+                        "resized": False,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(run, RESIZED_DDL)

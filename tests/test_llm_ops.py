@@ -367,3 +367,45 @@ def test_unicode_text_ops_polish(spark):
     assert rows[1]["ascii_alpha"] < rows[1]["u_alpha"]  # ASCII drops diacritics
     assert rows[2]["toks"] == ["abc"]  # digits are not letter runs
     assert rows[3]["toks"] == ["wrocław", "śródmieście"]  # em-dash splits
+
+
+def _tiny_wav(rate=16000, samples=(0, 16384, -16384, 32767)) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_decode_is_real():
+    rate, n_ch, n_frames, rms = M._decode_wav(_tiny_wav())
+    assert (rate, n_ch, n_frames) == (16000, 1, 4)
+    expect = (sum((s / 32768.0) ** 2 for s in (0, 16384, -16384, 32767)) / 4) ** 0.5
+    assert abs(rms - expect) < 1e-9
+
+
+def test_audio_features_real_and_fake(spark):
+    df = spark.createDataFrame(
+        [("wav", "audio", _tiny_wav()), ("mp3", "audio", b"\xffcompressed...")],
+        ["media_id", "media_type", "content"],
+    )
+    feats = {r["media_id"]: r for r in M.extract_audio_features(df).collect()}
+    assert feats["wav"]["sample_rate"] == 16000
+    assert feats["wav"]["duration_s"] == round(4 / 16000, 6)
+    assert feats["mp3"]["sample_rate"] in (8000, 16000, 24000, 32000)  # fake path
+
+
+def test_resize_netpbm_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("img", "image", _tiny_ppm()), ("jpg", "image", b"\xff\xd8notreal")],
+        ["media_id", "media_type", "content"],
+    )
+    out = {r["media_id"]: r for r in M.resize_images(df, 4, 4).collect()}
+    assert out["img"]["resized"] and (out["img"]["width"], out["img"]["height"]) == (4, 4)
+    w, h, _ = M._decode_image_bytes(bytes(out["img"]["content"]))
+    assert (w, h) == (4, 4)  # output re-decodes at the new geometry
+    assert not out["jpg"]["resized"]  # honest passthrough, no fabricated bytes
