@@ -62,7 +62,9 @@ _FIXTURE: dict[str, dict[str, list[str]]] = {
 
 
 def ensure_fixture() -> str:
-    """Write the landing fixture (idempotent, byte-deterministic)."""
+    """Write the landing fixture (idempotent, byte-deterministic).
+    Write-then-rename per file, so a concurrent reader (the DuckDB
+    oracle in another process) never sees a partial payload."""
     for dt, files in _FIXTURE.items():
         d = f"{FIXTURE_ROOT}/dt={dt}"
         os.makedirs(d, exist_ok=True)
@@ -70,8 +72,10 @@ def ensure_fixture() -> str:
             path = f"{d}/wrm_stations_{ts}.txt"
             content = "\n".join([_HEADER] + rows) + "\n"
             if not (os.path.exists(path) and open(path, encoding="utf-8").read() == content):
-                with open(path, "w", encoding="utf-8") as fh:
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "w", encoding="utf-8") as fh:
                     fh.write(content)
+                os.replace(tmp, path)
     return FIXTURE_ROOT
 
 
