@@ -57,31 +57,61 @@ def _encode_sloppy_cp1252(s: str) -> bytes:
     return bytes(out)
 
 
+# Characters a correct repair is EXPECTED to produce (the reference
+# domain is Polish; Western-European + typographic punctuation cover
+# the rest of the realistic input). Used to disambiguate short CE
+# mojibake: e.g. broken "Ĺź" re-encodes through cp1250 to 'ş' and
+# through iso-8859-2 to 'ż' — both valid UTF-8, but 'ż' scores higher.
+_EXPECTED_CHARS = set(
+    "ąćęłńóśźżĄĆĘŁŃÓŚŹŻ"
+    "áàâäãåéèêëíìîïóòôöõúùûüýÿçñßæœøåđšžčřě"
+    "ÁÀÂÄÉÈÊËÍÎÏÓÔÖÚÜÇÑŠŽČ"
+    "‘’“”„‚–—…€·§«»°†‡‰™"
+)
+
+
+def _plausibility(s: str) -> int:
+    """+1 for each expected character, −1 for each unexpected
+    non-ASCII one (a wrong-lens repair lands in foreign alphabets)."""
+    score = 0
+    for ch in s:
+        if ch in _EXPECTED_CHARS:
+            score += 1
+        elif ord(ch) >= 0x80:
+            score -= 1
+    return score
+
+
 def fix_mojibake(s: str) -> str:
     """Repair UTF-8 text mis-decoded through a single-byte codec;
     identity otherwise.
 
-    Codec order: cp1252 first (curly quotes/dashes â€™ â€“ only
-    re-encode there), latin-1 for the chars cp1252 leaves unmapped,
-    then the Central-European pair cp1250/iso-8859-2 (Polish ł/ś/ż
-    seen as Ĺ‚/Ĺ›/ĹĽ), and finally the sloppy-cp1252 byte-salvage
-    pass for strings mixing mapped cp1252 chars with raw C1 bytes.
+    Candidate codecs: cp1252 (curly quotes/dashes â€™ â€“ only
+    re-encode there), latin-1 (the chars cp1252 leaves unmapped), the
+    Central-European pair cp1250/iso-8859-2 (Polish ł/ś/ż seen as
+    Ĺ‚/Ĺ›/ĹĽ), plus a sloppy-cp1252 byte-salvage pass for strings
+    mixing mapped cp1252 chars with raw C1 bytes. When several lenses
+    yield valid UTF-8 (genuinely ambiguous for short CE strings), the
+    most plausible repair wins — ftfy's documented approach, reduced
+    to an expected-alphabet score.
     """
     for _ in range(_MAX_ROUNDS):
         if not _looks_like_mojibake(s):
             return s
-        repaired = None
+        candidates: list[str] = []
         for codec in ("cp1252", "latin-1", "cp1250", "iso-8859-2"):
             try:
-                repaired = s.encode(codec).decode("utf-8")
-                break
+                candidates.append(s.encode(codec).decode("utf-8"))
             except (UnicodeEncodeError, UnicodeDecodeError):
                 continue
-        if repaired is None:
+        if not candidates:
             try:
-                repaired = _encode_sloppy_cp1252(s).decode("utf-8")
+                candidates.append(_encode_sloppy_cp1252(s).decode("utf-8"))
             except (UnicodeEncodeError, UnicodeDecodeError):
                 return s
+        # max() is stable: on score ties the earliest codec wins,
+        # preserving the cp1252-first behavior for Western text
+        repaired = max(candidates, key=_plausibility)
         if repaired == s:
             return s
         s = repaired

@@ -171,3 +171,86 @@ def test_sessionize_matches_python_model(spark, raw):
             expect[eid] = sid
             prev = ts
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair laws (encoding.fix_mojibake) — pure Python, so these
+# run at full hypothesis example counts.
+# ---------------------------------------------------------------------------
+
+_clean_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),  # ASCII
+        st.sampled_from("ąćęłńóśźżĄĆĘŁŃÓŚŹŻ—…„”’é è ü ß"),  # PL/West-EU
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _one_break(s: str, codec: str) -> str | None:
+    try:
+        return s.encode("utf-8").decode(codec)
+    except UnicodeDecodeError:
+        return None
+
+
+@given(_clean_text, st.sampled_from(["latin-1", "cp1252", "cp1250", "iso-8859-2"]))
+@settings(max_examples=200, deadline=None)
+def test_mojibake_repair_is_sound(s, codec):
+    """Soundness: whatever fix_mojibake outputs must be a legitimate
+    reading of the broken text — i.e. re-breaking the repair under some
+    supported codec reproduces it (possibly through one more layer,
+    since the fixer unwinds up to 3). Very short CE mojibake is
+    genuinely ambiguous across codecs (ż via latin-2 re-reads validly
+    through the cp1250 lens), so exact-recovery is asserted only when
+    the repair equals the original; the fixer must never invent text
+    reachable by NO mis-decoding."""
+    from bike_data_flow_spark.encoding import fix_mojibake
+
+    broken = _one_break(s, codec)
+    if broken is None:
+        return  # this codec can't produce the mojibake at all
+    repaired = fix_mojibake(broken)
+    if repaired in (s, broken):
+        return
+    codecs = ("cp1252", "latin-1", "cp1250", "iso-8859-2")
+    # direct preimage, or preimage of one further unwind layer
+    frontier = {repaired}
+    for _ in range(3):
+        frontier = {
+            b for r in frontier for c in codecs if (b := _one_break(r, c)) is not None
+        }
+        if broken in frontier:
+            return
+    raise AssertionError(f"{repaired!r} is not a reading of {broken!r}")
+
+
+@given(
+    st.text(alphabet=st.sampled_from("ąćęłńóśźż —"), min_size=3, max_size=30),
+    st.sampled_from(["latin-1", "cp1250", "iso-8859-2"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_mojibake_repairs_polish_runs_exactly(s, codec):
+    """With ≥3 chars of Polish context the mis-decode is no longer
+    ambiguous: repair must recover the original exactly."""
+    from bike_data_flow_spark.encoding import fix_mojibake
+
+    broken = _one_break(s, codec)
+    if broken is None or broken == s:
+        return
+    assert fix_mojibake(broken) == s
+
+
+@given(_clean_text)
+@settings(max_examples=200, deadline=None)
+def test_mojibake_identity_on_clean_text(s):
+    """Repair must never corrupt text that is already correct UTF-8 —
+    unless the text itself is valid double-encoded mojibake, in which
+    case decoding it is the documented (ftfy) behavior; that requires
+    a hint char AND a successful wrong-codec→utf-8 round trip."""
+    from bike_data_flow_spark.encoding import _looks_like_mojibake, fix_mojibake
+
+    if _looks_like_mojibake(s):
+        return  # hinted strings may legitimately unwind a layer
+    assert fix_mojibake(s) == s
