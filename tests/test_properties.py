@@ -254,3 +254,45 @@ def test_mojibake_identity_on_clean_text(s):
     if _looks_like_mojibake(s):
         return  # hinted strings may legitimately unwind a layer
     assert fix_mojibake(s) == s
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval laws (operators/merge.scd2_from_changelog)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u", "v"]),
+            st.integers(0, 50),
+            st.sampled_from(["a", "b", None]),
+        ),
+        min_size=1,
+        max_size=14,
+        unique_by=lambda r: (r[0], r[1]),  # one change per (key, ts)
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_interval_laws(spark, changelog):
+    """For every key: intervals are chronological and contiguous over
+    the observed change points, exactly one row is_current (valid_to
+    null), and consecutive intervals carry DIFFERENT attribute values
+    (collapse law) — including None transitions."""
+    from bike_data_flow_spark.operators.merge import scd2_from_changelog
+
+    df = spark.createDataFrame(changelog, "k string, ts long, a string")
+    out = scd2_from_changelog(df, "k", ["ts"], ["a"]).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        currents = [r for r in rows if r["is_current"]]
+        assert len(currents) == 1 and rows[-1]["valid_to"] is None
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # contiguous
+            assert prev["a"] != nxt["a"]  # unchanged rows collapsed
+        # first interval opens at the key's earliest change
+        first_ts = min(ts for kk, ts, _ in changelog if kk == k)
+        assert rows[0]["valid_from"] == first_ts
