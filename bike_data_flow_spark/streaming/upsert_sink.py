@@ -73,16 +73,21 @@ def upsert_batch(
     else:
         merged = compacted
     # write-then-rename: a crash mid-write leaves the old table intact;
-    # the rename is the commit point (same contract as LandingZone.land)
+    # the rename is the commit point (same contract as LandingZone.land).
+    # Stale __tmp/__old from a crashed earlier apply are cleared first —
+    # os.rename refuses to replace an existing non-empty directory.
+    import shutil
+
     tmp = f"{table_dir}__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
     old = f"{table_dir}__old"
+    for stale in (tmp, old):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    merged.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(table_dir):
         os.rename(table_dir, old)
     os.rename(tmp, table_dir)
     if os.path.isdir(old):
-        import shutil
-
         shutil.rmtree(old)
 
 

@@ -69,3 +69,21 @@ def test_streaming_upsert_end_to_end(spark, tmp_path: Path):
     # last-writer-wins by ts regardless of which micro-batch applied
     # first — the ts=20 update survives even if its file processed first
     assert got == {1: (20, "a2"), 2: (11, "b"), 3: (12, "c")}
+
+
+def test_upsert_batch_recovers_from_stale_tmp_dirs(spark, tmp_path: Path):
+    """A crashed apply can leave __tmp/__old behind; the next apply must
+    clear them and commit normally instead of failing the rename."""
+    table = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, 10, "a")], "k int, ts int, v string")
+    upsert_batch(spark, table, b1, ["k"], "ts")
+    # simulate a crash that left both scratch dirs on disk
+    for stale in (f"{table}__tmp", f"{table}__old"):
+        p = Path(stale)
+        p.mkdir()
+        (p / "junk").write_text("leftover")
+    b2 = spark.createDataFrame([(2, 11, "b")], "k int, ts int, v string")
+    upsert_batch(spark, table, b2, ["k"], "ts")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a", 2: "b"}
+    assert not Path(f"{table}__tmp").exists() and not Path(f"{table}__old").exists()
