@@ -23,6 +23,14 @@ The distinct + join shuffles partition by shingle/band hash which is
 near-uniform by construction (hash keys), so no skew handling needed;
 frequency-capping of pathological shingles (stop-shingles appearing in
 >F docs) is available via ``max_shingle_freq``.
+
+Cache policy: the ``.cache()`` calls here (and in similarity/textops)
+mark subtrees consumed by multiple lazy consumers inside ONE returned
+plan — they cannot be unpersisted by the operator (the plan has not
+executed yet). Blocks are MEMORY_AND_DISK and LRU-evicted, so a
+long-lived session degrades to recompute, never to failure; callers
+running many queries can call ``spark.catalog.clearCache()`` between
+them.
 """
 
 from __future__ import annotations

@@ -46,14 +46,22 @@ def asof_join(
     tag = "_asof_tag"  # right=0 sorts before left=1 at equal timestamps
 
     if right_id is not None:
-        # the surrogate must be a non-null long: casting a string/UUID id
+        # The surrogate must be a non-null long: casting a string/UUID id
         # with cast("long") would silently yield NULL (breaking both the
-        # tie-break and the back-join), so hash non-numeric ids instead
+        # tie-break and the back-join), so non-integral ids are hashed —
+        # still deterministic, but the duplicate-(key, ts) winner is then
+        # "largest hash", not "largest id". NULL ids fall back to the
+        # whole-row hash: xxhash64(NULL) is a constant, and letting every
+        # NULL-id row share one surrogate would fuse distinct payloads in
+        # the back-join.
         id_type = dict(right.dtypes)[right_id]
         if id_type in ("tinyint", "smallint", "int", "bigint"):
             surrogate = F.col(right_id).cast("long")
         else:
-            surrogate = F.xxhash64(F.col(right_id))
+            surrogate = F.when(
+                F.col(right_id).isNull(),
+                F.xxhash64(*[F.col(c) for c in right.columns]),
+            ).otherwise(F.xxhash64(F.col(right_id)))
     else:
         surrogate = F.xxhash64(*[F.col(c) for c in right.columns])
     r = right.withColumn(rid, surrogate)

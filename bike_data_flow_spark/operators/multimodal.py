@@ -69,6 +69,8 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
             pos += 1
         fields.append(int(blob[start:pos]))
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError("zero-area Netpbm image")
     if maxval > 255:
         raise ValueError("16-bit Netpbm not supported")
     pos += 1  # exactly one whitespace byte after maxval
@@ -100,6 +102,8 @@ def _decode_bmp(blob: bytes) -> tuple[int, int, float]:
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
     h = abs(h)  # row order doesn't change the mean
+    if w <= 0 or h == 0:
+        raise ValueError("zero-area BMP image")
     row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundary
     acc = 0.0
     for r in range(h):
@@ -210,6 +214,8 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
         cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # struct.error is not a ValueError
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -219,6 +225,8 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
     audio_fmt, n_ch, rate, _, _, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    if n_ch == 0 or rate == 0:
+        raise ValueError("zero channels/sample-rate")
     n_samples = len(data) // 2
     if n_samples == 0:
         raise ValueError("empty data chunk")

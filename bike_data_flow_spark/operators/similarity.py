@@ -308,8 +308,10 @@ def kmeans_lloyd(
                     }
                 )
 
+        id_type = df.schema[id_col].dataType.simpleString()
         return base.mapInPandas(
-            batches, f"{id_col} long, _v array<double>, cluster int, sq_dist double"
+            batches,
+            f"{id_col} {id_type}, _v array<double>, cluster int, sq_dist double",
         )
 
     for _ in range(n_iter):

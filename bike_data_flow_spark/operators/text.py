@@ -50,10 +50,13 @@ def bpe_ish_count(text: Column) -> Column:
 
 
 def alpha_ratio(text: Column) -> Column:
-    """Share of [a-z] characters after lower-casing (quality signal)."""
+    """Share of [a-z] characters after lower-casing (quality signal).
+    try_divide: empty text → NULL, matching DuckDB's x/0 (a plain `/`
+    throws under Spark 4's default ANSI mode)."""
     low = F.lower(text)
     return F.round(
-        F.length(F.regexp_replace(low, "[^a-z]", "")) / F.length(low), 4
+        F.try_divide(F.length(F.regexp_replace(low, "[^a-z]", "")), F.length(low)),
+        4,
     )
 
 
@@ -74,10 +77,13 @@ def unicode_tokens(text: Column) -> Column:
 
 def unicode_alpha_ratio(text: Column) -> Column:
     """Share of Unicode letter/mark characters (ł counts, unlike
-    alpha_ratio's ASCII [a-z])."""
+    alpha_ratio's ASCII [a-z]). try_divide: empty text → NULL, like
+    DuckDB's x/0."""
     low = F.lower(text)
     return F.round(
-        F.length(F.regexp_replace(low, "[^\\p{L}\\p{M}]", "")) / F.length(low),
+        F.try_divide(
+            F.length(F.regexp_replace(low, "[^\\p{L}\\p{M}]", "")), F.length(low)
+        ),
         4,
     )
 

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from . import query
 
-FIXTURE_ROOT = "/tmp/spark_graft_wrm_fixture/raw"
+# Per-user root: on a shared machine a fixed /tmp path owned by another
+# user would make os.makedirs raise at import and take the whole query
+# registry down with it. The oracle SQL embeds this same constant, so
+# both engines always read the same files.
+FIXTURE_ROOT = f"/tmp/spark_graft_wrm_fixture_{os.getuid()}/raw"
 
 _HEADER = (
     "#id,1705147845|3600|-3600,name,lat,lon,bikes,spaces,installed,"
@@ -64,18 +68,28 @@ _FIXTURE: dict[str, dict[str, list[str]]] = {
 def ensure_fixture() -> str:
     """Write the landing fixture (idempotent, byte-deterministic).
     Write-then-rename per file, so a concurrent reader (the DuckDB
-    oracle in another process) never sees a partial payload."""
+    oracle in another process) never sees a partial payload. Files from
+    an OLDER fixture definition are pruned — the oracle's glob would
+    read them while the Spark side (driven by _FIXTURE) would not,
+    guaranteeing a gate mismatch."""
+    import glob
+
+    expected = set()
     for dt, files in _FIXTURE.items():
         d = f"{FIXTURE_ROOT}/dt={dt}"
         os.makedirs(d, exist_ok=True)
         for ts, rows in files.items():
             path = f"{d}/wrm_stations_{ts}.txt"
+            expected.add(path)
             content = "\n".join([_HEADER] + rows) + "\n"
             if not (os.path.exists(path) and open(path, encoding="utf-8").read() == content):
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "w", encoding="utf-8") as fh:
                     fh.write(content)
                 os.replace(tmp, path)
+    for stale in glob.glob(f"{FIXTURE_ROOT}/dt=*/*.txt"):
+        if stale not in expected:
+            os.remove(stale)
     return FIXTURE_ROOT
 
 

@@ -57,6 +57,16 @@ def upsert_batch(
     arrives last). Spelled as union + one keyed window rather than
     merge_upsert for exactly that reason; equal-timestamp ties break
     on a content hash so replays stay deterministic."""
+    import shutil
+
+    # Crash recovery BEFORE reading state: a death between the two
+    # commit renames leaves table_dir missing and __old holding the
+    # only full copy — restore it, never delete it. Only then is a
+    # leftover __old (table_dir present ⇒ commit completed) garbage.
+    old = f"{table_dir}__old"
+    if not os.path.isdir(table_dir) and os.path.isdir(old):
+        os.rename(old, table_dir)
+
     compacted = latest_per_key(batch, keys, order_col)
     if os.path.isdir(table_dir):
         target = spark.read.parquet(table_dir)
@@ -74,12 +84,10 @@ def upsert_batch(
         merged = compacted
     # write-then-rename: a crash mid-write leaves the old table intact;
     # the rename is the commit point (same contract as LandingZone.land).
-    # Stale __tmp/__old from a crashed earlier apply are cleared first —
-    # os.rename refuses to replace an existing non-empty directory.
-    import shutil
-
+    # Stale __tmp (always scratch) and __old (garbage only once the
+    # commit completed — the recovery above handled the other case) are
+    # cleared first: os.rename refuses to replace a non-empty directory.
     tmp = f"{table_dir}__tmp"
-    old = f"{table_dir}__old"
     for stale in (tmp, old):
         if os.path.isdir(stale):
             shutil.rmtree(stale)

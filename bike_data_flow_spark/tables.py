@@ -114,8 +114,18 @@ def _read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         return spark.read.parquet(path)
     except Exception:
+        # Retry under nanosAsLong (the only schema-resolution failure a
+        # well-formed events file can produce). If the retry ALSO fails,
+        # the original problem was something else (missing path, IO) —
+        # restore the conf so the miss doesn't leave a session-wide
+        # legacy behavior change behind, and surface the retry error.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            raise
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

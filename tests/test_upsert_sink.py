@@ -87,3 +87,19 @@ def test_upsert_batch_recovers_from_stale_tmp_dirs(spark, tmp_path: Path):
     got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
     assert got == {1: "a", 2: "b"}
     assert not Path(f"{table}__tmp").exists() and not Path(f"{table}__old").exists()
+
+
+def test_upsert_batch_restores_table_lost_mid_commit(spark, tmp_path: Path):
+    """Crash between the two commit renames leaves table_dir missing and
+    __old holding the only full copy — the next apply must restore it,
+    not delete it (the batch replays via the stream checkpoint)."""
+    import os
+
+    table = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "k int, ts int, v string")
+    upsert_batch(spark, table, b1, ["k"], "ts")
+    os.rename(table, f"{table}__old")  # simulate death mid-commit
+    b2 = spark.createDataFrame([(3, 11, "c")], "k int, ts int, v string")
+    upsert_batch(spark, table, b2, ["k"], "ts")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # old state survived the crash
