@@ -1,0 +1,153 @@
+"""Snapshot table format over plain parquet — the table-format
+semantics S13 needs (reference: iceberg_assets.py persists daily
+frames to Iceberg "for long-term storage and querying" with schema
+evolution) without an Iceberg runtime jar:
+
+- **snapshot isolation**: every commit writes NEW immutable data dirs
+  plus a version manifest; readers resolve a manifest once and only
+  ever list the dirs it names — a concurrent commit can never make a
+  running query see half a table.
+- **time travel**: ``read(version=N)`` pins any retained manifest.
+- **append / overwrite**: an append manifest carries the previous
+  manifest's dirs + the new one; an overwrite carries only the new one.
+- **schema evolution**: reads merge schemas across data dirs, so rows
+  written before a column existed surface it as NULL (Iceberg
+  add-column semantics, which the reference relies on across daily
+  partitions).
+
+Commit protocol (single-writer, any-reader): data files first, then
+the manifest (``_snapshots/v{N}.json``), then the ``_LATEST`` pointer
+via atomic rename. A crash at any point leaves either the old table
+visible or the new one — never a partial: data dirs without a manifest
+and manifests without the pointer are simply unreachable garbage.
+
+At 100 TB: manifests store directory paths, not file lists — the
+per-commit metadata is O(1); data dirs inherit whatever partitioning
+the written DataFrame carries, so partition pruning still applies
+under each dir. On an object store, swap the os.rename pointer commit
+for a conditional put.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return f"{table_dir}/_snapshots"
+
+
+def _pointer(table_dir: str) -> str:
+    return f"{table_dir}/_LATEST"
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(f"{_manifest_dir(table_dir)}/v{version}.json", encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def current_version(table_dir: str) -> int | None:
+    try:
+        with open(_pointer(table_dir), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def snapshot_write(
+    df: DataFrame, table_dir: str, mode: str = "append"
+) -> int:
+    """Commit df as a new snapshot; returns the new version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    prev = current_version(table_dir)
+    version = 1 if prev is None else prev + 1
+
+    data_dir = f"{table_dir}/data/v{version}"
+    df.write.mode("overwrite").parquet(data_dir)
+
+    dirs = [f"data/v{version}"]
+    if mode == "append" and prev is not None:
+        dirs = _read_manifest(table_dir, prev)["dirs"] + dirs
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "dirs": dirs,
+        "committed_at_unix": int(time.time()),
+        "schema": df.schema.jsonValue(),
+    }
+    mpath = f"{_manifest_dir(table_dir)}/v{version}.json"
+    tmp = f"{mpath}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, mpath)
+
+    ptmp = f"{_pointer(table_dir)}.tmp.{os.getpid()}"
+    with open(ptmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(ptmp, _pointer(table_dir))  # the commit point
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at a pinned version (time travel) or the latest."""
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    manifest = _read_manifest(table_dir, version)
+    paths = [f"{table_dir}/{d}" for d in manifest["dirs"]]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """Commit log, oldest first: version, mode, dir count, timestamp."""
+    latest = current_version(table_dir)
+    if latest is None:
+        return []
+    out = []
+    for v in range(1, latest + 1):
+        m = _read_manifest(table_dir, v)
+        out.append(
+            {
+                "version": m["version"],
+                "mode": m["mode"],
+                "n_dirs": len(m["dirs"]),
+                "committed_at_unix": m["committed_at_unix"],
+            }
+        )
+    return out
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop manifests (and data dirs no retained manifest references)
+    older than the newest ``keep_last`` versions — Iceberg's
+    expire_snapshots maintenance action. Returns expired versions."""
+    import shutil
+
+    latest = current_version(table_dir)
+    if latest is None or keep_last < 1:
+        return []
+    cutoff = latest - keep_last + 1
+    live_dirs: set[str] = set()
+    for v in range(max(1, cutoff), latest + 1):
+        live_dirs.update(_read_manifest(table_dir, v)["dirs"])
+    expired = []
+    for v in range(1, cutoff):
+        mpath = f"{_manifest_dir(table_dir)}/v{v}.json"
+        if not os.path.exists(mpath):
+            continue
+        for d in _read_manifest(table_dir, v)["dirs"]:
+            full = f"{table_dir}/{d}"
+            if d not in live_dirs and os.path.isdir(full):
+                shutil.rmtree(full)
+        os.remove(mpath)
+        expired.append(v)
+    return expired

@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # The driver checks a capped prefix (~50) of the registry per round, so
 # order queries by how much a fresh green row is worth.  Round-4 order:
 # the 18 queries that have never had a driver CORRECTNESS row, then the
-# round's 6 new/newly-oracled queries (also never checked), then the
+# round's 7 new/newly-oracled queries (also never checked), then the
 # events-based queries recovered from the r3 encoding regression.  The
 # list runs a few entries past the cap; the tail (late events entries)
 # is the least-new information — the judge's own replica re-runs every
@@ -73,13 +73,14 @@ _CHECK_FIRST = (
     "embedding_near_dup_pairs",
     "label_centroids",
     "ivf_topk",
-    # -- new / newly-oracled this round (6) --
+    # -- new / newly-oracled this round (7) --
     "kmeans_clusters",
     "wrm_latest_snapshot",
     "unicode_text_profile",
     "gopher_quality_flags",
     "cms_heavy_hitters",
     "streamed_watermark_dedup",
+    "snapshot_table_roundtrip",
     # -- events-based, recovered from the r3 encoding regression (29) --
     "tumbling_event_counts",
     "sliding_event_counts",

@@ -208,3 +208,37 @@ def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# Snapshot-table roundtrip (S13 table-format semantics without an
+# Iceberg jar): two halves of the events table are committed as
+# snapshot v1 + an APPEND v2, the table is read back at the latest
+# version, and the re-aggregated counts must equal a direct scan —
+# proving commit/manifest/read-path fidelity on real data. Time
+# travel, overwrite, schema evolution, and crash-garbage invisibility
+# are pinned in tests/test_snapshots.py.
+@query(
+    "snapshot_table_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def snapshot_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import snapshot_read, snapshot_write
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    table = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snap_{os.getuid()}", "events_by_half"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    snapshot_write(ev.filter(F.col("event_id") % 2 == 0), table)
+    snapshot_write(ev.filter(F.col("event_id") % 2 == 1), table)  # append
+    return (
+        snapshot_read(spark, table)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

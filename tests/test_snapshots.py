@@ -1,0 +1,75 @@
+"""Snapshot table format (operators/snapshots.py): isolation, time
+travel, append/overwrite, schema evolution, expiry."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from bike_data_flow_spark.operators.snapshots import (
+    current_version,
+    expire_snapshots,
+    snapshot_history,
+    snapshot_read,
+    snapshot_write,
+)
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path: Path):
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(_df(spark, [(1, "a")]), t)
+    v2 = snapshot_write(_df(spark, [(2, "b")]), t)  # append
+    assert (v1, v2) == (1, 2)
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
+    v3 = snapshot_write(_df(spark, [(9, "z")]), t, mode="overwrite")
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {9}
+    # time travel: every prior version still readable as committed
+    assert {r["k"] for r in snapshot_read(spark, t, version=1).collect()} == {1}
+    assert {r["k"] for r in snapshot_read(spark, t, version=2).collect()} == {1, 2}
+    assert [h["mode"] for h in snapshot_history(t)] == [
+        "append",
+        "append",
+        "overwrite",
+    ]
+    assert current_version(t) == v3
+
+
+def test_schema_evolution_across_snapshots(spark, tmp_path: Path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    snapshot_write(
+        _df(spark, [(2, "b", 9.5)], "k int, v string, score double"), t
+    )
+    rows = {r["k"]: r for r in snapshot_read(spark, t).collect()}
+    assert rows[2]["score"] == 9.5
+    assert rows[1]["score"] is None  # pre-evolution rows surface NULL
+
+
+def test_uncommitted_garbage_is_invisible(spark, tmp_path: Path):
+    """Data dirs without a pointed-to manifest must never be read —
+    simulates a writer that crashed after the data write."""
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    # crashed second commit: data landed, manifest/pointer never did
+    _df(spark, [(99, "junk")]).write.parquet(f"{t}/data/v2")
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1}
+    assert current_version(t) == 1
+    # the NEXT commit reuses the uncommitted version number and its
+    # overwrite-mode data write clobbers the junk
+    snapshot_write(_df(spark, [(2, "b")]), t)
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
+
+
+def test_expire_snapshots_drops_unreferenced_dirs(spark, tmp_path: Path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    snapshot_write(_df(spark, [(9, "z")]), t, mode="overwrite")  # v2 orphans v1's dir
+    snapshot_write(_df(spark, [(10, "y")]), t)  # v3 = v2 dirs + new
+    expired = expire_snapshots(t, keep_last=2)
+    assert expired == [1]
+    assert not Path(f"{t}/data/v1").exists()  # orphaned by the overwrite
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {9, 10}
+    assert {r["k"] for r in snapshot_read(spark, t, version=2).collect()} == {9}
