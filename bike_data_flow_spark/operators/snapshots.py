@@ -151,3 +151,27 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
         os.remove(mpath)
         expired.append(v)
     return expired
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys,
+    **merge_kwargs,
+) -> int:
+    """MERGE INTO the snapshot table: read the latest snapshot, apply
+    SQL-MERGE semantics (operators/merge.merge_upsert — updates,
+    inserts, matched-only deletes, duplicate-source-key guard), commit
+    the result as a new OVERWRITE snapshot. Readers keep snapshot
+    isolation throughout, and the pre-merge version stays readable —
+    i.e. a bad merge is rolled back by pinning version N-1, the
+    recovery story plain-parquet MERGE lacks. Returns the new version.
+    """
+    from .merge import merge_upsert
+
+    if current_version(table_dir) is None:
+        return snapshot_write(source, table_dir, mode="overwrite")
+    target = snapshot_read(spark, table_dir)
+    merged = merge_upsert(target, source, list(keys), **merge_kwargs)
+    return snapshot_write(merged, table_dir, mode="overwrite")

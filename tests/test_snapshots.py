@@ -73,3 +73,26 @@ def test_expire_snapshots_drops_unreferenced_dirs(spark, tmp_path: Path):
     assert not Path(f"{t}/data/v1").exists()  # orphaned by the overwrite
     assert {r["k"] for r in snapshot_read(spark, t).collect()} == {9, 10}
     assert {r["k"] for r in snapshot_read(spark, t, version=2).collect()} == {9}
+
+
+def test_snapshot_merge_with_rollback(spark, tmp_path: Path):
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.operators.snapshots import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_merge(spark, t, _df(spark, [(1, "a"), (2, "b")]), ["k"])
+    v2 = snapshot_merge(
+        spark,
+        t,
+        _df(spark, [(2, "b2"), (3, "c"), (4, "DEL")]),
+        ["k"],
+        delete_condition=F.col("v") == "DEL",
+    )
+    now = {r["k"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    # 2 updated, 3 inserted, 4 inserted then NOT deleted (delete applies
+    # to matched rows only — 4 was unmatched), 1 untouched
+    assert now == {1: "a", 2: "b2", 3: "c", 4: "DEL"}
+    # rollback story: the pre-merge state is still a readable version
+    before = {r["k"]: r["v"] for r in snapshot_read(spark, t, version=v2 - 1).collect()}
+    assert before == {1: "a", 2: "b"}
