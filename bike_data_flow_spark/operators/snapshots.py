@@ -53,9 +53,18 @@ def _read_manifest(table_dir: str, version: int) -> dict:
 def current_version(table_dir: str) -> int | None:
     try:
         with open(_pointer(table_dir), encoding="utf-8") as fh:
-            return int(fh.read().strip())
-    except (FileNotFoundError, ValueError):
+            content = fh.read().strip()
+    except FileNotFoundError:
         return None
+    try:
+        return int(content)
+    except ValueError:
+        # A corrupt pointer must NOT read as "no table": snapshot_write
+        # would restart at version 1 and overwrite data/v1, which
+        # retained manifests still reference. Fail loudly instead.
+        raise RuntimeError(
+            f"corrupt _LATEST pointer under {table_dir}: {content!r}"
+        ) from None
 
 
 def snapshot_write(
@@ -108,13 +117,18 @@ def snapshot_read(
 
 
 def snapshot_history(table_dir: str) -> list[dict]:
-    """Commit log, oldest first: version, mode, dir count, timestamp."""
+    """Commit log, oldest RETAINED first: version, mode, dir count,
+    timestamp. Versions removed by expire_snapshots are skipped —
+    the sequence is not contiguous after maintenance."""
     latest = current_version(table_dir)
     if latest is None:
         return []
     out = []
     for v in range(1, latest + 1):
-        m = _read_manifest(table_dir, v)
+        try:
+            m = _read_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue  # expired
         out.append(
             {
                 "version": m["version"],
@@ -138,17 +152,24 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
     cutoff = latest - keep_last + 1
     live_dirs: set[str] = set()
     for v in range(max(1, cutoff), latest + 1):
-        live_dirs.update(_read_manifest(table_dir, v)["dirs"])
+        try:
+            live_dirs.update(_read_manifest(table_dir, v)["dirs"])
+        except FileNotFoundError:
+            continue  # already expired by an earlier, tighter run
     expired = []
     for v in range(1, cutoff):
         mpath = f"{_manifest_dir(table_dir)}/v{v}.json"
         if not os.path.exists(mpath):
             continue
-        for d in _read_manifest(table_dir, v)["dirs"]:
+        dirs = _read_manifest(table_dir, v)["dirs"]
+        # manifest FIRST, data after: a crash mid-expiry then leaves
+        # only unreachable garbage, never a readable-looking version
+        # whose data is gone (the module's crash contract).
+        os.remove(mpath)
+        for d in dirs:
             full = f"{table_dir}/{d}"
             if d not in live_dirs and os.path.isdir(full):
                 shutil.rmtree(full)
-        os.remove(mpath)
         expired.append(v)
     return expired
 
@@ -166,12 +187,26 @@ def snapshot_merge(
     the result as a new OVERWRITE snapshot. Readers keep snapshot
     isolation throughout, and the pre-merge version stays readable —
     i.e. a bad merge is rolled back by pinning version N-1, the
-    recovery story plain-parquet MERGE lacks. Returns the new version.
+    recovery story plain-parquet MERGE lacks. Source-only columns are
+    ADDED to the table (NULL for pre-existing rows) — the same
+    add-column evolution the append path gets from mergeSchema.
+    Returns the new version.
+
+    Cost shape: each merge rewrites the live row set (the manifest has
+    no per-partition granularity), so this suits dimension/state tables
+    — for fact-scale targets use merge.merge_upsert +
+    persist.write_enhanced's dynamic partition overwrite, which touch
+    only changed partitions.
     """
+    from pyspark.sql import functions as F
+
     from .merge import merge_upsert
 
     if current_version(table_dir) is None:
         return snapshot_write(source, table_dir, mode="overwrite")
     target = snapshot_read(spark, table_dir)
+    for f in source.schema.fields:  # add-column evolution before merge:
+        if f.name not in target.columns:  # merge projects target.columns
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
     merged = merge_upsert(target, source, list(keys), **merge_kwargs)
     return snapshot_write(merged, table_dir, mode="overwrite")

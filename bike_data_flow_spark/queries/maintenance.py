@@ -231,12 +231,21 @@ def snapshot_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.snapshots import snapshot_read, snapshot_write
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    # pid-scoped path: a concurrent run in another process (judge
+    # replica alongside the driver) must not rmtree a table this
+    # process's lazily-materializing read still references
     table = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_snap_{os.getuid()}", "events_by_half"
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "events_by_half",
     )
     shutil.rmtree(table, ignore_errors=True)
-    snapshot_write(ev.filter(F.col("event_id") % 2 == 0), table)
-    snapshot_write(ev.filter(F.col("event_id") % 2 == 1), table)  # append
+    # pmod + coalesce: plain % maps negative ids to -1 and NULL ids to
+    # NULL — rows silently landing in NEITHER half would break the
+    # equality with the oracle's full scan
+    half = F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
+    snapshot_write(ev.filter(half == 0), table)
+    snapshot_write(ev.filter(half == 1), table)  # append
     return (
         snapshot_read(spark, table)
         .groupBy("event_type")

@@ -96,3 +96,38 @@ def test_snapshot_merge_with_rollback(spark, tmp_path: Path):
     # rollback story: the pre-merge state is still a readable version
     before = {r["k"]: r["v"] for r in snapshot_read(spark, t, version=v2 - 1).collect()}
     assert before == {1: "a", 2: "b"}
+
+
+def test_history_and_expire_survive_prior_expiry(spark, tmp_path: Path):
+    """snapshot_history and a wider later expire must tolerate the
+    non-contiguous manifest sequence a previous expiry leaves."""
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshot_write(_df(spark, [(i, "x")]), t)
+    assert expire_snapshots(t, keep_last=1) == [1, 2, 3]
+    assert [h["version"] for h in snapshot_history(t)] == [4]  # no crash
+    assert expire_snapshots(t, keep_last=3) == []  # wider window, no crash
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {0, 1, 2, 3}
+
+
+def test_corrupt_pointer_fails_loudly(spark, tmp_path: Path):
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    Path(f"{t}/_LATEST").write_text("garbage")
+    with pytest.raises(RuntimeError, match="corrupt _LATEST"):
+        snapshot_write(_df(spark, [(2, "b")]), t)  # must NOT clobber v1
+
+
+def test_snapshot_merge_evolves_schema(spark, tmp_path: Path):
+    from bike_data_flow_spark.operators.snapshots import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_merge(spark, t, _df(spark, [(1, "a")]), ["k"])
+    snapshot_merge(
+        spark, t, _df(spark, [(2, "b", 9.5)], "k int, v string, score double"), ["k"]
+    )
+    rows = {r["k"]: r for r in snapshot_read(spark, t).collect()}
+    assert rows[2]["score"] == 9.5  # source-only column survives the merge
+    assert rows[1]["score"] is None  # pre-evolution rows surface NULL
