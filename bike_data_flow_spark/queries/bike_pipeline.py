@@ -93,7 +93,13 @@ def ensure_fixture() -> str:
     return FIXTURE_ROOT
 
 
-ensure_fixture()
+# Import-time best effort so the files exist whichever side of the gate
+# runs first; guarded so an unwritable tmp can only ever fail THIS
+# query (the fn retries via ensure_fixture), never the registry import.
+try:
+    ensure_fixture()
+except OSError:
+    pass
 
 
 _WRM_ORACLE = f"""
