@@ -340,6 +340,47 @@ def kmeans_lloyd(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    k: int = 5,
+    n_iter: int = 2,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then prune
+    near-duplicates WITHIN each cluster only. Deterministic keep rule:
+    a vector is dropped iff a lower-id vector in the same cluster has
+    cosine ≥ tau. Returns the survivors as (id_col, cluster).
+
+    Scale shape: clustering first is the whole point — the candidate
+    self-join is an equi-join on the cluster id, so pair generation is
+    Σ n_c² over clusters instead of n² over the corpus; k grows with
+    corpus size to bound n_c (paper uses k≈√n). One shuffle partitions
+    both join sides by cluster; the anti-join against the drop set is
+    key-hashed on the id. No driver-side pair materialization.
+    """
+    assign = kmeans_lloyd(
+        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    e = df.select(id_col, vec_col).join(assign, id_col)
+    a = e.select(
+        F.col(id_col).alias("_id_a"), "cluster", F.col(vec_col).alias("_va")
+    )
+    b = e.select(
+        F.col(id_col).alias("_id_b"), "cluster", F.col(vec_col).alias("_vb")
+    )
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        # round-then-compare matches the SQL oracle's boundary exactly
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= F.lit(tau))
+    )
+    drops = near.select(F.col("_id_b").alias(id_col)).distinct()
+    return assign.join(drops, id_col, "left_anti")
+
+
 def quantize_stats(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -54,6 +54,11 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # query regardless.  streamed_event_type_counts / streamed_distinct_-
 # users are omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
+    # -- added late in round 4, never driver-checked --
+    "salted_segment_value",
+    "order_price_position",
+    "semdedup_survivors",
+    "embedding_hof_profile",
     # -- never driver-checked (18) --
     "user_value_scd2",
     "approx_distinct_merged",
@@ -128,6 +133,7 @@ def load_all() -> dict[str, Query]:
         relational6,
         relational7,
         relational8,
+        relational9,
         sketches,
         streaming_q,
         textops,

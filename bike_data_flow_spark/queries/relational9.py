@@ -1,0 +1,96 @@
+"""Ninth wave: physical-strategy and window-analytics surface.
+
+- salted_segment_value: the skew-safe salted equi-join (operators/
+  layout.salted_join) pushed through the correctness gate — the
+  oracle is the PLAIN join, proving salting is a pure physical
+  rewrite (same rows, S× the parallelism on a hot key).
+- order_price_position: the remaining ranking-family window
+  analytics (percent_rank, cume_dist, nth_value over an explicit
+  unbounded frame) the engine exposes but no query exercised yet.
+
+Scale notes: the salted join spreads one hot user over S tasks at the
+cost of replicating the small side S× — the dial for the 1-user-with-
+10⁸-events shape AQE's skew handling can't split (single-key skew
+inside one partition). The window query shuffles once on the
+partition key; percent_rank/cume_dist are rank arithmetic inside the
+sorted partition, no extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "salted_segment_value",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⨝ customer through layout.salted_join (S=8): the big side
+    gets a hash salt, the dimension is exploded 8×, and the join key
+    becomes (custkey, salt). The oracle's plain join proves the rewrite
+    changes nothing semantically. Decimal-cast-before-sum keeps the
+    aggregate exact under any partition order (relational8.py note).
+    """
+    from ..operators.layout import salted_join
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, key="c_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "order_price_position",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS price_pct_rank,
+           round(cume_dist() OVER w, 6) AS price_cume_dist,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_lowest_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC)
+    """,
+)
+def order_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist + partition-wide nth_value per priority
+    class. percent_rank/cume_dist order by price alone (ties share a
+    value identically in both engines — rank arithmetic, not row
+    position); nth_value orders by (price, orderkey) with an explicit
+    unbounded frame so the picked row is deterministic."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"))
+    w_nth = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        F.nth_value("o_totalprice", 2).over(w_nth).alias("second_lowest_price"),
+    )

@@ -8,6 +8,7 @@ so values agree bit-for-bit before the final rounding.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..tables import load
@@ -209,14 +210,15 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
 
 
-def _kmeans_oracle(k: int, n_iter: int) -> str:
+def _kmeans_ctes(k: int, n_iter: int) -> list[str]:
     """Lloyd's k-means unrolled into CTEs — SQL-expressible because the
     iteration count is FIXED (deterministic init from the k smallest
     ids, exactly n_iter update rounds, no data-dependent stopping),
     mirroring operators/similarity.kmeans_lloyd step for step:
     assignment = argmin squared-L2 with smallest-cluster tie-break,
     update = per-(cluster, position) avg, empty clusters keep their
-    previous centroid."""
+    previous centroid. The final assignment CTE is ``a{n_iter+1}``
+    with columns (vec_id, v, cluster, d)."""
     dist = (
         "list_sum([(v[i] - c[i]) * (v[i] - c[i]) "
         "FOR i IN generate_series(1, len(v))])"
@@ -251,8 +253,12 @@ def _kmeans_oracle(k: int, n_iter: int) -> str:
                 f"coalesce(n{it}.c, c{prev}.c) AS c FROM c{prev} "
                 f"LEFT JOIN n{it} ON c{prev}.cluster = n{it}.cluster)"
             )
+    return ctes
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_kmeans_ctes(k, n_iter))
         + f"\nSELECT vec_id, cluster, round(d, 6) AS sq_dist FROM a{n_iter + 1}"
     )
 
@@ -324,4 +330,80 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_id=_QUERY_VEC_ID,
         k=_K,
         nprobe=_NPROBE,
+    )
+
+
+_SEM_K = 5
+_SEM_ITER = 2
+_SEM_TAU = 0.4
+
+
+def _semdedup_oracle() -> str:
+    """kmeans CTEs (shared with the kmeans oracle) → within-cluster
+    near-dup pairs → survivors with no lower-id neighbor ≥ tau."""
+    ctes = _kmeans_ctes(_SEM_K, _SEM_ITER)
+    final = f"a{_SEM_ITER + 1}"
+    ctes.append(f"asg AS (SELECT vec_id, cluster FROM {final})")
+    ctes.append(
+        "ee AS (SELECT asg.vec_id, asg.cluster, emb.embedding "
+        "FROM asg JOIN embeddings emb USING (vec_id))"
+    )
+    ctes.append(
+        "drops AS (SELECT DISTINCT b.vec_id "
+        "FROM ee a JOIN ee b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        f"WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 6) >= {_SEM_TAU})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, cluster FROM asg "
+        "WHERE vec_id NOT IN (SELECT vec_id FROM drops)"
+    )
+
+
+@query("semdedup_survivors", oracle=_semdedup_oracle())
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): cluster embeddings with k-means,
+    prune cosine-near-duplicates within each cluster, keep the
+    lowest-id representative. See operators/similarity.semdedup for
+    the 100 TB shape (cluster-equi-join candidates, no n² pairs)."""
+    return S.semdedup(
+        load(spark, sf_dir, "embeddings"),
+        k=_SEM_K,
+        n_iter=_SEM_ITER,
+        tau=_SEM_TAU,
+    )
+
+
+@query(
+    "embedding_hof_profile",
+    oracle="""
+    SELECT vec_id,
+           len([x FOR x IN embedding IF CAST(x AS DOUBLE) > 0]) AS n_pos,
+           round(list_sum([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 6)
+             AS l1_norm,
+           round(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 6)
+             AS max_abs,
+           len([x FOR x IN embedding IF abs(CAST(x AS DOUBLE)) > 2.0]) > 0
+             AS any_big
+    FROM embeddings
+    """,
+)
+def embedding_hof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions staying entirely JVM-side — no UDF:
+    filter+size, aggregate (left fold, matching the oracle's list_sum
+    order), transform+array_max, exists. The per-row work is whole-
+    stage-codegen'd; at 100 TB this shape is a map-only pass."""
+    v = F.col("embedding")
+    as_double = lambda x: x.cast("double")  # noqa: E731
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: as_double(x) > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + F.abs(as_double(x))),
+            6,
+        ).alias("l1_norm"),
+        F.round(F.array_max(F.transform(v, lambda x: F.abs(as_double(x)))), 6).alias(
+            "max_abs"
+        ),
+        F.exists(v, lambda x: F.abs(as_double(x)) > F.lit(2.0)).alias("any_big"),
     )

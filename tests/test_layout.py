@@ -74,6 +74,7 @@ def test_salted_join_spreads_hot_key_and_beats_naive(spark):
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     prev_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # force shuffle joins and disable AQE's own skew mitigation so
         # the comparison isolates the salting operator; also pin AQE's
@@ -82,6 +83,11 @@ def test_salted_join_spreads_hot_key_and_beats_naive(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # pin the reducer count: tables.tune_session (data-proportional
+        # sizing) leaves spark.sql.shuffle.partitions wherever the LAST
+        # table load put it — after a tiny-fixture test that can be 2,
+        # and 16 salts into 2 reducers shows no spread at all
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
 
         naive = big.join(small, "k")
         salted = salted_join(big, small, "k", salt_buckets=16)
@@ -134,3 +140,4 @@ def test_salted_join_spreads_hot_key_and_beats_naive(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coal)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)

@@ -409,3 +409,41 @@ def test_resize_netpbm_roundtrip(spark):
     w, h, _ = M._decode_image_bytes(bytes(out["img"]["content"]))
     assert (w, h) == (4, 4)  # output re-decodes at the new geometry
     assert not out["jpg"]["resized"]  # honest passthrough, no fabricated bytes
+
+
+def test_semdedup_drop_rule(spark):
+    """semdedup keeps exactly the vectors with NO lower-id same-cluster
+    neighbor at cosine ≥ tau — recomputed here independently from the
+    operator's own cluster assignment."""
+    import numpy as np
+
+    vecs = {
+        0: [1.0, 0.0],
+        1: [0.999, 0.001],  # near-dup of 0
+        2: [0.0, 1.0],
+        3: [0.001, 0.999],  # near-dup of 2
+        4: [-1.0, 0.5],  # isolated
+        5: [0.5, -1.0],  # isolated
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in S.kmeans_lloyd(df, k=2, n_iter=2).collect()
+    }
+
+    def cos(i, j):
+        a, b = np.array(vecs[i]), np.array(vecs[j])
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    expected = {
+        i
+        for i in vecs
+        if not any(
+            j < i and assign[j] == assign[i] and cos(j, i) >= 0.95 for j in vecs
+        )
+    }
+    out = {r["vec_id"] for r in S.semdedup(df, k=2, n_iter=2, tau=0.95).collect()}
+    assert out == expected
+    assert {0, 2} <= out  # group representatives always survive
