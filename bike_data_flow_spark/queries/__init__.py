@@ -57,6 +57,7 @@ _CHECK_FIRST = (
     # -- added late in round 4, never driver-checked --
     "salted_segment_value",
     "order_price_position",
+    "streamed_click_attribution_outer",
     "semdedup_survivors",
     "embedding_hof_profile",
     # -- never driver-checked (18) --

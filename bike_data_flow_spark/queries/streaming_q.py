@@ -268,6 +268,75 @@ def streamed_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_to_memory(joined, "append")
 
 
+# Stream-stream LEFT OUTER join: matched (click, purchase) pairs emit
+# like the inner join; a click with NO purchase in its 30-min window is
+# emitted null-extended only once the engine can PROVE no match can
+# arrive — i.e. its join window closed before the final global
+# watermark (min over both streams of max event time, minus the
+# delay). The oracle replicates that closure rule; clicks whose window
+# is still open at end-of-stream are withheld, exactly as a live
+# pipeline would withhold them.
+@query(
+    "streamed_click_attribution_outer",
+    oracle=f"""
+    WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(us) FROM c), (SELECT max(us) FROM p))
+                       - {_WM_DELAY_MIN * 60 * 1000000} AS w)
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.us >= c.us AND p.us <= c.us + {_WM_DELAY_MIN * 60 * 1000000}
+    UNION ALL
+    SELECT c.user_id, c.event_id AS click_id, NULL AS purchase_id
+    FROM c, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.us >= c.us AND p.us <= c.us + {_WM_DELAY_MIN * 60 * 1000000})
+      AND c.us + {_WM_DELAY_MIN * 60 * 1000000} < wm.w
+    """,
+)
+def streamed_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream left outer join through the real
+    engine: clicks keep their state until the watermark passes their
+    match window, then emit null-extended if still unmatched (bounded
+    state — the production spelling of 'which clicks never converted')."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{_WM_DELAY_MIN} minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{_WM_DELAY_MIN} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {_WM_DELAY_MIN} MINUTES")
+        ),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id")
+    return _run_to_memory(joined, "append")
+
+
 # Stream-static join: the canonical enrichment pattern — a micro-batch
 # stream probes a static dimension that is broadcast into every batch
 # (no state store involved; the dim re-resolves per batch, so slowly-
