@@ -58,6 +58,7 @@ _CHECK_FIRST = (
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",
+    "dsir_importance_weights",
     "semdedup_survivors",
     "embedding_hof_profile",
     # -- never driver-checked (18) --

@@ -22,6 +22,8 @@ from ..operators import dedup as D
 from ..operators import text as T
 from ..tables import load
 from . import query
+from .textops import _TOKS as _T2_TOKS
+from .textops import _sql_hash as _t2_sql_hash
 
 # Deterministic stand-in for the eval-benchmark membership list (no
 # such list ships with the corpus): every 97th doc_id. In production
@@ -528,3 +530,89 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stopwords") >= 1)
     )
     return out.withColumn("passes", passes)
+
+
+# DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169,
+# public): score every document by the log likelihood ratio of a
+# TARGET distribution vs the RAW corpus distribution over a FIXED
+# hashed feature space — the data-selection step that upsamples
+# target-like documents before training. Features are md5-hashed token
+# buckets (B=4096): the feature space is constant-size regardless of
+# vocabulary, which is the paper's trick for corpus-scale selection.
+# Target = the `en` slice (a stand-in for "high-quality domain"; in
+# production this is the curated seed corpus).
+#
+# Scale: one explode + two partial-agg shuffles over (bucket) — 4096
+# keys, perfectly uniform by construction; the per-bucket log-ratio
+# table is B rows → broadcast to the per-token join. Linear in corpus
+# size, no vocabulary-sized state anywhere.
+_DSIR_B = 4096
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_T2_TOKS}) AS tok FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, {_t2_sql_hash("tok")} % {_DSIR_B} AS b FROM tok
+    ),
+    q AS (SELECT b, count(*) AS c_all FROM feat GROUP BY b),
+    p AS (SELECT b, count(*) AS c_tgt FROM feat
+          WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    tots AS (SELECT (SELECT count(*) FROM feat) AS t_all,
+                    (SELECT count(*) FROM feat
+                     WHERE lang = '{_DSIR_TARGET_LANG}') AS t_tgt),
+    stats AS (
+      SELECT b,
+             ln((coalesce(c_tgt, 0) + 1) / (t_tgt + {_DSIR_B}.0))
+               - ln((c_all + 1) / (t_all + {_DSIR_B}.0)) AS lr
+      FROM q LEFT JOIN p USING (b) CROSS JOIN tots
+    )
+    SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 4) AS log_weight
+    FROM feat JOIN stats USING (b)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    feat = tok.withColumn(
+        "b", F.pmod(D.md5_hash64(F.col("tok")), F.lit(_DSIR_B))
+    )
+    q = feat.groupBy("b").agg(F.count(F.lit(1)).alias("c_all"))
+    p = (
+        feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    tots = feat.agg(
+        F.count(F.lit(1)).alias("t_all"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("t_tgt"),
+    )
+    b_lit = F.lit(float(_DSIR_B))
+    stats = (
+        q.join(p, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1) / (F.col("t_tgt") + b_lit)
+                )
+                - F.log((F.col("c_all") + 1) / (F.col("t_all") + b_lit))
+            ).alias("lr"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(stats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("log_weight"),
+        )
+    )
