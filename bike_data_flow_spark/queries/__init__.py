@@ -59,6 +59,7 @@ _CHECK_FIRST = (
     "order_price_position",
     "streamed_click_attribution_outer",
     "dsir_importance_weights",
+    "time_weighted_value",
     "semdedup_survivors",
     "embedding_hof_profile",
     # -- never driver-checked (18) --

@@ -94,3 +94,57 @@ def order_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
         F.nth_value("o_totalprice", 2).over(w_nth).alias("second_lowest_price"),
     )
+
+
+@query(
+    "time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           round(sum(value * (next_us - us)) / sum(next_us - us), 6)
+             AS tw_avg_value
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the TimescaleDB time_weight
+    aggregate, LOCF flavor): each reading counts proportionally to how
+    long it stayed current — the honest mean for irregularly-sampled
+    telemetry, where a plain avg over-weights bursts. The last reading
+    per key has no duration and is excluded, as in the SQL spelling.
+
+    Scale: one shuffle on the partition key for the lead() window,
+    then an ordinary partial-agg — same cost as any per-key sort;
+    no self-join (the naive spelling pairs each row with its
+    successor via join, doubling the shuffle)."""
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    # integer div, not /1000: ns epochs (~1.7e18) exceed double's exact
+    # integer range, so float division could land 1 µs off
+    us = F.expr("ts_ns div 1000")
+    seq = ev.select(
+        "user_id", "value", us.alias("us"), "event_id"
+    ).withColumn("next_us", F.lead("us").over(w))
+    return (
+        seq.filter(F.col("next_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * (F.col("next_us") - F.col("us")))
+                / F.sum(F.col("next_us") - F.col("us")),
+                6,
+            ).alias("tw_avg_value"),
+        )
+    )
