@@ -584,29 +584,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = tok.withColumn(
         "b", F.pmod(D.md5_hash64(F.col("tok")), F.lit(_DSIR_B))
     )
-    q = feat.groupBy("b").agg(F.count(F.lit(1)).alias("c_all"))
-    p = (
-        feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
-    )
-    tots = feat.agg(
-        F.count(F.lit(1)).alias("t_all"),
-        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("t_tgt"),
+    # ONE aggregate pass over the exploded tokens produces both the raw
+    # and the target bucket counts (conditional count); totals then come
+    # from the 4096-row result, not another corpus pass — 2 explode
+    # evaluations total (counts + probe) instead of 4.
+    # cached: two consumers (stats, tots) — 4096 rows pinned vs re-
+    # running the corpus explode+agg for each
+    q = feat.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("c_tgt"),
+    ).cache()
+    tots = q.agg(
+        F.sum("c_all").alias("t_all"), F.sum("c_tgt").alias("t_tgt")
     )
     b_lit = F.lit(float(_DSIR_B))
-    stats = (
-        q.join(p, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1) / (F.col("t_tgt") + b_lit)
-                )
-                - F.log((F.col("c_all") + 1) / (F.col("t_all") + b_lit))
-            ).alias("lr"),
-        )
+    stats = q.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + b_lit))
+            - F.log((F.col("c_all") + 1) / (F.col("t_all") + b_lit))
+        ).alias("lr"),
     )
     return (
         feat.join(F.broadcast(stats), "b")
