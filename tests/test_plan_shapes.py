@@ -1,0 +1,71 @@
+"""Plan-shape regression tests for the round-4 operators: the scale
+claims in SCALE.md (exchange counts, scan counts, no unexpected
+joins) are asserted against the actual formatted plans, so a future
+refactor that silently adds a shuffle or a re-scan fails here instead
+of in a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _count(plan: str, pattern: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+def test_time_weighted_value_single_exchange(spark):
+    """lead() window + groupBy share ONE user_id hash partitioning —
+    the agg must reuse the window's exchange, not add its own."""
+    from bike_data_flow_spark.queries.relational9 import time_weighted_value
+
+    plan = _plan(time_weighted_value(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) Exchange") == 1, plan
+    assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
+
+
+def test_dsir_bounded_scans(spark):
+    """The fused conditional aggregate holds: at most 3 corpus subtree
+    evaluations (probe + cached counts feeding stats/tots), never the
+    naive 4; the per-bucket stats join is a broadcast."""
+    from bike_data_flow_spark.queries.textops2 import dsir_importance_weights
+
+    plan = _plan(dsir_importance_weights(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) Scan parquet") <= 3, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hof_profile_map_only(spark):
+    """Higher-order array functions are a pure map pass: zero
+    exchanges, one scan, and column pruning down to the two columns."""
+    from bike_data_flow_spark.queries.vectors import embedding_hof_profile
+
+    plan = _plan(embedding_hof_profile(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) Exchange") == 0, plan
+    assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m and "text" not in m.group(1), m and m.group(1)
+
+
+def test_semdedup_no_cross_cluster_pairs(spark):
+    """The candidate join is keyed on the cluster id (equi-join), never
+    a cross join — the SemDeDup scale property."""
+    from bike_data_flow_spark.operators.similarity import semdedup
+    from bike_data_flow_spark.tables import load
+
+    df = semdedup(load(spark, SF_DIR, "embeddings"), k=3, n_iter=1, tau=0.4)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
