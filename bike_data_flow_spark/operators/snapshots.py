@@ -68,9 +68,11 @@ def current_version(table_dir: str) -> int | None:
 
 
 def snapshot_write(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame, table_dir: str, mode: str = "append", meta: dict | None = None
 ) -> int:
-    """Commit df as a new snapshot; returns the new version number."""
+    """Commit df as a new snapshot; returns the new version number.
+    ``meta`` (JSON-able) is stored on the manifest — e.g. a streaming
+    sink's batch id, which makes replayed commits detectable."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
@@ -89,6 +91,7 @@ def snapshot_write(
         "dirs": dirs,
         "committed_at_unix": int(time.time()),
         "schema": df.schema.jsonValue(),
+        "meta": meta or {},
     }
     mpath = f"{_manifest_dir(table_dir)}/v{version}.json"
     tmp = f"{mpath}.tmp.{os.getpid()}"
@@ -114,6 +117,15 @@ def snapshot_read(
     manifest = _read_manifest(table_dir, version)
     paths = [f"{table_dir}/{d}" for d in manifest["dirs"]]
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def latest_meta(table_dir: str) -> dict:
+    """The `meta` dict of the current manifest ({} if no table yet).
+    Older manifests (pre-meta) read as {} too."""
+    v = current_version(table_dir)
+    if v is None:
+        return {}
+    return _read_manifest(table_dir, v).get("meta", {})
 
 
 def snapshot_history(table_dir: str) -> list[dict]:

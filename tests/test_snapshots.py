@@ -131,3 +131,42 @@ def test_snapshot_merge_evolves_schema(spark, tmp_path: Path):
     rows = {r["k"]: r for r in snapshot_read(spark, t).collect()}
     assert rows[2]["score"] == 9.5  # source-only column survives the merge
     assert rows[1]["score"] is None  # pre-evolution rows surface NULL
+
+
+def test_streaming_snapshot_sink_and_replay_fence(spark, tmp_path: Path):
+    """Each micro-batch commits as one append snapshot; a replayed
+    batch id (foreachBatch's at-least-once contract) is skipped, so
+    rows never double-append."""
+    from bike_data_flow_spark.operators.snapshots import latest_meta
+    from bike_data_flow_spark.streaming.snapshot_sink import (
+        write_stream_snapshots,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        _df(spark, [(i, f"r{i}")]).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    t = str(tmp_path / "tbl")
+    stream = spark.readStream.schema("k int, v string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = write_stream_snapshots(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {0, 1, 2}
+    assert len(snapshot_history(t)) >= 1  # one commit per micro-batch
+    before = current_version(t)
+    assert latest_meta(t)["batch_id"] is not None
+
+    # replay: a fresh checkpoint restarts batch ids at 0, so every
+    # batch re-arrives with an id ≤ the committed fence — the sink must
+    # skip them all (this is exactly the post-crash replay shape)
+    restarted = write_stream_snapshots(
+        spark.readStream.schema("k int, v string").parquet(str(src)),
+        t,
+        str(tmp_path / "ckpt2"),
+    )
+    restarted.awaitTermination(120)
+    assert current_version(t) == before  # no new commits
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {0, 1, 2}
