@@ -114,6 +114,7 @@ def order_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE next_us IS NOT NULL
     GROUP BY user_id
     """,
+    bench=True,
 )
 def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per user (the TimescaleDB time_weight

@@ -575,6 +575,7 @@ _DSIR_TARGET_LANG = "en"
     FROM feat JOIN stats USING (b)
     GROUP BY doc_id
     """,
+    bench=True,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
