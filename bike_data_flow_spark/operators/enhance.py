@@ -35,15 +35,35 @@ def record_type(station_id: Column, name: Column) -> Column:
     )
 
 
-def enhance(df: DataFrame, partition_date: str) -> DataFrame:
-    """processed → enhanced: classify, stamp partition date + processing
-    time, project to the pinned 20-column order (enhanced_all.py:77-84)."""
+def _enhanced(df: DataFrame, date_col: Column) -> DataFrame:
     return df.select(
         *[F.col(c) for c in ENHANCED_COLUMNS if c not in ("record_type", "date", "processed_at")],
         record_type(F.col("station_id"), F.col("name")).alias("record_type"),
-        F.to_timestamp(F.lit(partition_date), "yyyy-MM-dd").alias("date"),
+        date_col.alias("date"),
         F.current_timestamp().alias("processed_at"),
     ).select(*ENHANCED_COLUMNS)
+
+
+def enhance(df: DataFrame, partition_date: str) -> DataFrame:
+    """processed → enhanced: classify, stamp partition date + processing
+    time, project to the pinned 20-column order (enhanced_all.py:77-84)."""
+    return _enhanced(df, F.to_timestamp(F.lit(partition_date), "yyyy-MM-dd"))
+
+
+def enhance_all(df: DataFrame) -> DataFrame:
+    """Multi-day enhance: the partition date comes from the ``dt=``
+    segment of the lineage path, so a whole-tree backfill is ONE scan
+    and ONE plan — the per-day ``enhance`` loop submits one Spark job
+    per partition, which at a 1000-day history means 1000 scheduler
+    round-trips for work the engine can do in a single stage. (The
+    per-day variant remains the right shape for ST4 streaming rebuilds,
+    where each micro-batch really is one day.) Files outside a dt=
+    layout get a NULL date (try_to_timestamp), matching the tolerant
+    parse path rather than failing the backfill."""
+    dt_str = F.regexp_extract(
+        F.col("s3_source_key"), r"dt=(\d{4}-\d{2}-\d{2})", 1
+    )
+    return _enhanced(df, F.try_to_timestamp(dt_str, F.lit("yyyy-MM-dd")))
 
 
 def write_enhanced(df: DataFrame, out_dir: str, partition_date: str | None = None) -> None:

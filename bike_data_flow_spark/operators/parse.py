@@ -174,9 +174,11 @@ def read_raw_partition(
     the reference's per-file loop + pd.concat (processed_all.py:223,
     U1) disappear: the union is the scan.
     """
-    path = f"{landing_dir}/dt={dt}" if dt else landing_dir
-    lines = spark.read.text(f"{path}/*.txt").select(
-        "value", "_metadata"
+    # one dt= directory, or every partition in one scan (the dt=* glob
+    # resolves at listing time — still a single job over all days)
+    pattern = (
+        f"{landing_dir}/dt={dt}/*.txt" if dt else f"{landing_dir}/dt=*/*.txt"
     )
+    lines = spark.read.text(pattern).select("value", "_metadata")
     parsed = with_lineage(parse_raw_lines(lines))
     return parsed.drop("value", "_metadata")

@@ -173,22 +173,17 @@ def wrm_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     enhanced_all.py classification, create_enhanced_views.py:84-94
     latest view.
     """
-    from ..operators.enhance import enhance
+    from ..operators.enhance import enhance_all
     from ..operators.parse import read_raw_partition
     from ..operators.views import latest_per_station
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = ensure_fixture()
-    # read_raw_partition, not process_partition: the strict empty-
-    # partition probe is an extra Spark job per dt and its contract is
-    # pinned by tests/test_parse.py — the gate query stays lazy.
-    parts = [
-        enhance(read_raw_partition(spark, root, dt), dt)
-        for dt in sorted(_FIXTURE)
-    ]
-    enhanced = parts[0]
-    for p in parts[1:]:
-        enhanced = enhanced.unionByName(p)
+    # Whole-tree single-scan backfill: read_raw_partition with no dt
+    # scans every partition in one job and enhance_all derives each
+    # row's date from its dt= path segment — one plan instead of a
+    # per-day read+enhance+union loop (one Spark job per day).
+    enhanced = enhance_all(read_raw_partition(spark, root))
     latest = latest_per_station(enhanced)
     return latest.select(
         "station_id",

@@ -116,3 +116,20 @@ def test_observed_validation_piggybacks_on_write(spark, landing, tmp_path):
     except SchemaValidationError:
         raised = True
     assert raised
+
+
+def test_enhance_all_matches_per_dt_loop(spark, landing):
+    """The single-scan backfill (enhance_all deriving date from the dt=
+    path) produces exactly the rows of the per-day enhance loop."""
+    from bike_data_flow_spark.operators.enhance import enhance, enhance_all
+
+    dts = ["2025-05-01", "2025-05-02"]
+    parts = [
+        enhance(read_raw_partition(spark, str(landing), dt), dt) for dt in dts
+    ]
+    looped = parts[0].unionByName(parts[1])
+    single = enhance_all(read_raw_partition(spark, str(landing)))
+    cols = [c for c in single.columns if c != "processed_at"]  # wall clock
+    a = sorted(map(tuple, looped.select(*cols).collect()))
+    b = sorted(map(tuple, single.select(*cols).collect()))
+    assert a == b and len(a) > 0
