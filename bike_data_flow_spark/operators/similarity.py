@@ -139,7 +139,7 @@ def cosine_pairs_blocked(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    margin: float = 1e-9,
+    margin: float = 1e-6,
     n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ tau, computed as DISTRIBUTED blocked GEMM
@@ -150,8 +150,9 @@ def cosine_pairs_blocked(
     single task receives block i tagged side A and block j tagged side
     B, stacks each side into a matrix, and runs one BLAS multiply
     (A_norm @ B_normᵀ). Pairs scoring ≥ tau−margin survive; the margin
-    covers BLAS-vs-fold summation order so stage 2 sees every true
-    pair. Each row is replicated to its ≤ n_blocks+1 block-pair groups
+    covers BLAS-vs-fold summation order AND the verify stage's
+    round-to-6 acceptance window (round(cos,6) ≥ tau admits exact
+    cosines down to tau−5e-7) so stage 2 sees every true pair. Each row is replicated to its ≤ n_blocks+1 block-pair groups
     via `explode(sequence(...))` — an ordinary shuffle, never a
     driver-side `collect()` or a full-corpus broadcast; per-task memory
     is 2·N/B vectors, dialed by ``n_blocks``
@@ -368,7 +369,10 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    margin = 1e-9
+    # the verify stage accepts round(cos, 6) >= tau, i.e. exact cosines
+    # down to tau - 5e-7 — the candidate cut must reach at least that
+    # far below tau or boundary pairs never reach the verify
+    margin = 1e-6
     # localCheckpoint: (id, cluster) is corpus-row-sized but narrow;
     # pinning it runs the Arrow assignment pass ONCE instead of once
     # per consumer (pair generation + survivors anti-join)

@@ -128,6 +128,29 @@ def latest_meta(table_dir: str) -> dict:
     return _read_manifest(table_dir, v).get("meta", {})
 
 
+def last_txn_version(table_dir: str, app_id: str) -> int | None:
+    """Highest committed transaction version for a writer (Delta-style
+    txn fencing: meta carries ``txn_app_id``/``txn_version``). Scans
+    ALL retained manifests, so interleaved commits from other writers
+    (e.g. a maintenance compaction with no meta) can never disarm the
+    fence; txn versions rise with snapshot versions, so expiry of old
+    manifests cannot lower the answer."""
+    latest = current_version(table_dir)
+    if latest is None:
+        return None
+    best: int | None = None
+    for v in range(1, latest + 1):
+        try:
+            meta = _read_manifest(table_dir, v).get("meta", {})
+        except FileNotFoundError:
+            continue  # expired
+        if meta.get("txn_app_id") == app_id:
+            tv = meta.get("txn_version")
+            if tv is not None and (best is None or tv > best):
+                best = tv
+    return best
+
+
 def snapshot_history(table_dir: str) -> list[dict]:
     """Commit log, oldest RETAINED first: version, mode, dir count,
     timestamp. Versions removed by expire_snapshots are skipped —

@@ -113,6 +113,7 @@ def order_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM seq
     WHERE next_us IS NOT NULL
     GROUP BY user_id
+    HAVING sum(next_us - us) > 0
     """,
     bench=True,
 )
@@ -121,15 +122,16 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, LOCF flavor): each reading counts proportionally to how
     long it stayed current — the honest mean for irregularly-sampled
     telemetry, where a plain avg over-weights bursts. The last reading
-    per key has no duration and is excluded, as in the SQL spelling.
+    per key has no duration and is excluded, as in the SQL spelling;
+    so is a key whose TOTAL duration is zero (all events in the same
+    microsecond) — 0/0 is NULL in Spark but NaN in DuckDB's IEEE float
+    division, so the degenerate group must not reach the divide.
 
     Scale: one shuffle on the partition key for the lead() window,
     then an ordinary partial-agg — same cost as any per-key sort;
     no self-join (the naive spelling pairs each row with its
     successor via join, doubling the shuffle)."""
-    from ..tables import load as _load
-
-    ev = _load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
     # integer div, not /1000: ns epochs (~1.7e18) exceed double's exact
     # integer range, so float division could land 1 µs off
@@ -142,10 +144,13 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
-            F.round(
-                F.sum(F.col("value") * (F.col("next_us") - F.col("us")))
-                / F.sum(F.col("next_us") - F.col("us")),
-                6,
-            ).alias("tw_avg_value"),
+            F.sum(F.col("value") * (F.col("next_us") - F.col("us"))).alias("_wsum"),
+            F.sum(F.col("next_us") - F.col("us")).alias("_dur"),
+        )
+        .filter(F.col("_dur") > 0)  # oracle HAVING: 0/0 is NULL here, NaN there
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("_wsum") / F.col("_dur"), 6).alias("tw_avg_value"),
         )
     )

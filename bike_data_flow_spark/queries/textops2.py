@@ -22,8 +22,7 @@ from ..operators import dedup as D
 from ..operators import text as T
 from ..tables import load
 from . import query
-from .textops import _TOKS as _T2_TOKS
-from .textops import _sql_hash as _t2_sql_hash
+from .textops import _TOKS, _sql_hash
 
 # Deterministic stand-in for the eval-benchmark membership list (no
 # such list ships with the corpus): every 97th doc_id. In production
@@ -443,7 +442,7 @@ _G_MAX_BIGRAM_SHARE = 0.2
 _G_MAX_DUP_TRIGRAM = 0.3
 
 _G_STOPS = ", ".join(f"'{w}'" for w in T.STOPWORDS)
-_G_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_G_TOKS = _TOKS  # one tokenizer spelling shared with textops.py
 
 
 @query(
@@ -554,10 +553,10 @@ _DSIR_TARGET_LANG = "en"
     "dsir_importance_weights",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, lang, unnest({_T2_TOKS}) AS tok FROM documents
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
     ),
     feat AS (
-      SELECT doc_id, lang, {_t2_sql_hash("tok")} % {_DSIR_B} AS b FROM tok
+      SELECT doc_id, lang, {_sql_hash("tok")} % {_DSIR_B} AS b FROM tok
     ),
     q AS (SELECT b, count(*) AS c_all FROM feat GROUP BY b),
     p AS (SELECT b, count(*) AS c_tgt FROM feat

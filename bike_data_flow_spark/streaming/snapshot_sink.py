@@ -6,25 +6,56 @@ Iceberg; this is the streaming spelling of that persistence path,
 wrm_pipeline/wrm_pipeline/assets/iceberg_assets.py:11-49).
 
 Exactly-once: foreachBatch is at-least-once — after a failure the
-engine REPLAYS the last unacknowledged batch. The sink fences on the
-batch id recorded in each commit's manifest meta: a replayed batch id
-≤ the last committed one is skipped, so the data dirs never double-
-append. (Spark's own file sink achieves the same with a _spark_metadata
-log; here the table's manifest IS that log.) The table_dir must be
-owned by one stream — a concurrent manual snapshot_write would reset
-the fence.
+engine REPLAYS the last unacknowledged batch. The sink fences commits
+Delta-style on a (txn_app_id, txn_version) pair recorded in the
+manifest meta: the app id identifies THIS stream (derived from its
+checkpoint location — the engine's own identity for a run lineage),
+the version is the batch id. A replayed batch (version ≤ the writer's
+last committed) is skipped. Because the fence scans all retained
+manifests for the writer's app id, interleaved commits from OTHER
+writers — manual appends, maintenance compaction overwrites — can
+never disarm it. Restarting with a NEW checkpoint dir is a new writer
+by definition: its batches all commit (Delta's txn semantics; the
+operator chose reprocessing, and silently dropping the new stream's
+data would be worse than duplicating — document, don't guess).
 
 At 100 TB: each commit is O(1) manifest metadata regardless of batch
 size; run expire_snapshots periodically to bound manifest count, and
-compact small per-batch data dirs with a maintenance overwrite commit.
+compact small per-batch data dirs with a maintenance overwrite commit
+(safe: it carries no txn meta, so the fence is unaffected).
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import snapshots as S
+
+
+def _app_id(checkpoint_dir: str) -> str:
+    norm = os.path.abspath(checkpoint_dir)
+    return hashlib.md5(norm.encode()).hexdigest()[:16]
+
+
+def commit_batch(
+    batch_df: DataFrame, batch_id: int, table_dir: str, app_id: str
+) -> bool:
+    """Fenced append of one micro-batch; returns False when the batch
+    is a replay (already committed by this writer)."""
+    last = S.last_txn_version(table_dir, app_id)
+    if last is not None and batch_id <= last:
+        return False
+    S.snapshot_write(
+        batch_df,
+        table_dir,
+        mode="append",
+        meta={"txn_app_id": app_id, "txn_version": batch_id},
+    )
+    return True
 
 
 def write_stream_snapshots(
@@ -34,15 +65,11 @@ def write_stream_snapshots(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start a foreachBatch stream committing each batch as an append
-    snapshot, batch-id-fenced for idempotent replays."""
+    snapshot, txn-fenced for idempotent replays."""
+    app = _app_id(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        last = S.latest_meta(table_dir).get("batch_id")
-        if last is not None and batch_id <= last:
-            return  # replay of an already-committed batch
-        S.snapshot_write(
-            batch_df, table_dir, mode="append", meta={"batch_id": batch_id}
-        )
+        commit_batch(batch_df, batch_id, table_dir, app)
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

@@ -135,10 +135,11 @@ def test_snapshot_merge_evolves_schema(spark, tmp_path: Path):
 
 def test_streaming_snapshot_sink_and_replay_fence(spark, tmp_path: Path):
     """Each micro-batch commits as one append snapshot; a replayed
-    batch id (foreachBatch's at-least-once contract) is skipped, so
-    rows never double-append."""
-    from bike_data_flow_spark.operators.snapshots import latest_meta
+    (app_id, batch_id) txn is skipped, so rows never double-append —
+    and a foreign maintenance commit cannot disarm the fence."""
     from bike_data_flow_spark.streaming.snapshot_sink import (
+        _app_id,
+        commit_batch,
         write_stream_snapshots,
     )
 
@@ -155,18 +156,27 @@ def test_streaming_snapshot_sink_and_replay_fence(spark, tmp_path: Path):
     q = write_stream_snapshots(stream, t, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert {r["k"] for r in snapshot_read(spark, t).collect()} == {0, 1, 2}
-    assert len(snapshot_history(t)) >= 1  # one commit per micro-batch
-    before = current_version(t)
-    assert latest_meta(t)["batch_id"] is not None
+    n_commits = len(snapshot_history(t))
+    assert n_commits >= 1  # one commit per micro-batch
+    app = _app_id(str(tmp_path / "ckpt"))
 
-    # replay: a fresh checkpoint restarts batch ids at 0, so every
-    # batch re-arrives with an id ≤ the committed fence — the sink must
-    # skip them all (this is exactly the post-crash replay shape)
-    restarted = write_stream_snapshots(
-        spark.readStream.schema("k int, v string").parquet(str(src)),
-        t,
-        str(tmp_path / "ckpt2"),
-    )
-    restarted.awaitTermination(120)
-    assert current_version(t) == before  # no new commits
+    # same-writer replay (the post-crash foreachBatch contract): every
+    # already-committed batch id is fenced out
+    before = current_version(t)
+    for bid in range(n_commits):
+        assert commit_batch(_df(spark, [(99, "dup")]), bid, t, app) is False
+    assert current_version(t) == before
     assert {r["k"] for r in snapshot_read(spark, t).collect()} == {0, 1, 2}
+
+    # a foreign maintenance commit (no txn meta — e.g. compaction)
+    # must NOT disarm the fence for the stream's writer id
+    snapshot_write(
+        snapshot_read(spark, t).coalesce(1), t, mode="overwrite"
+    )
+    mid = current_version(t)
+    assert commit_batch(_df(spark, [(99, "dup")]), 0, t, app) is False
+    assert current_version(t) == mid
+
+    # a NEW writer (fresh checkpoint = reprocessing by choice) commits
+    assert commit_batch(_df(spark, [(7, "new")]), 0, t, "other-app") is True
+    assert 7 in {r["k"] for r in snapshot_read(spark, t).collect()}
