@@ -60,6 +60,8 @@ _CHECK_FIRST = (
     "streamed_click_attribution_outer",
     "dsir_importance_weights",
     "time_weighted_value",
+    "weighted_sample",
+    "pmi_collocations",
     "semdedup_survivors",
     "embedding_hof_profile",
     # -- never driver-checked (18) --
@@ -141,6 +143,7 @@ def load_all() -> dict[str, Query]:
         streaming_q,
         textops,
         textops2,
+        textops3,
         vectors,
     )
 

@@ -1,0 +1,150 @@
+"""Third LLM-pipeline wave: distributed sampling and collocation
+statistics.
+
+- weighted_sample: Efraimidis–Spirakis A-ES weighted sampling — the
+  standard one-pass distributed algorithm for "sample k documents with
+  probability proportional to weight" (quality-weighted corpus
+  subsampling). Each row gets key = ln(u)/w with a DETERMINISTIC
+  per-row uniform u (md5 hash → (h+0.5)/2^32, exact in double); the
+  top-k keys are the sample. One TakeOrderedAndProject, no shuffle of
+  the corpus; the classic reservoir becomes a plain distributed top-k.
+- pmi_collocations: pointwise mutual information over adjacent token
+  pairs — collocation/phrase mining, the statistics behind tokenizer
+  phrase-merge decisions. Two explode aggregates (unigrams, bigrams)
+  over one cached tokenized projection + broadcast count joins.
+
+Both oracles are built from the same constants/hash helpers as the
+Spark plans (textops.py), so values agree to the rounding digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as T
+from ..tables import load
+from . import query
+from .textops import _TOKS, _sql_hash
+
+_WS_K = 50
+_WS_SALT = 7
+_U32 = float(1 << 32)
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars + 1 AS w,
+             ({_sql_hash("CAST(doc_id AS VARCHAR)", salt=_WS_SALT)} + 0.5)
+               / {_U32} AS u
+      FROM documents
+    )
+    SELECT doc_id, round(ln(u) / w, 6) AS es_key
+    FROM d
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT {_WS_K}
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by the A-ES key ln(u)/w ≡ sampling k docs w.p. ∝ w
+    (w = n_chars+1, a stand-in quality weight). Deterministic u from
+    the shared md5 hash: (h+0.5)/2^32 is exact in double on both
+    engines, so the sample is reproducible run-to-run and engine-to-
+    engine. Scale: map-only key computation + TakeOrderedAndProject
+    (per-partition heap of k, driver merges k·P rows)."""
+    docs = load(spark, sf_dir, "documents")
+    h = D.md5_hash64(F.col("doc_id").cast("string"), salt=_WS_SALT)
+    u = (h + F.lit(0.5)) / F.lit(_U32)
+    w = F.col("n_chars") + F.lit(1)
+    return (
+        docs.select(
+            "doc_id", F.round(F.log(u) / w, 6).alias("es_key")
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(_WS_K)
+    )
+
+
+_PMI_MIN_COUNT = 10
+_PMI_TOP = 20
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS toks FROM documents
+                  WHERE len(trim(text)) > 0),
+    ucnt AS (SELECT tok, count(*) AS c FROM
+             (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok),
+    utot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ucnt),
+    bcnt AS (SELECT bigram, count(*) AS c_ab FROM (
+               SELECT unnest([toks[i] || ' ' || toks[i+1]
+                              FOR i IN generate_series(1, len(toks) - 1)])
+                      AS bigram
+               FROM toks) GROUP BY bigram),
+    btot AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS m FROM bcnt)
+    SELECT bigram, c_ab,
+           round(ln((c_ab / m) / ((ca.c / n) * (cb.c / n))), 6) AS pmi
+    FROM bcnt
+    JOIN ucnt ca ON ca.tok = string_split(bigram, ' ')[1]
+    JOIN ucnt cb ON cb.tok = string_split(bigram, ' ')[2]
+    CROSS JOIN utot CROSS JOIN btot
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT {_PMI_TOP}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI = ln(p(ab) / (p(a)·p(b))) with a minimum
+    bigram count. The final ordering uses the ROUNDED pmi (both
+    engines), so rank at the cut never depends on sub-rounding float
+    noise; ties break on the bigram string. Scale: unigram and bigram
+    count aggregates over one cached tokenized projection (vocab-sized
+    outputs), then the unigram table joins in twice — broadcast while
+    the vocabulary fits, sort-merge on the token key beyond that."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(T.tokens(F.col("text")).alias("_toks")).cache()
+    ucnt = (
+        toks.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bcnt = (
+        toks.select(
+            F.explode(D.shingles_from_tokens(F.col("_toks"), n=2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    utot = ucnt.agg(F.sum("c").cast("double").alias("n"))
+    btot = bcnt.agg(F.sum("c_ab").cast("double").alias("m"))
+    ca = ucnt.select(F.col("tok").alias("_ta"), F.col("c").alias("_ca"))
+    cb = ucnt.select(F.col("tok").alias("_tb"), F.col("c").alias("_cb"))
+    parts = F.split(F.col("bigram"), " ")
+    return (
+        bcnt.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .withColumn("_ta", parts.getItem(0))
+        .withColumn("_tb", parts.getItem(1))
+        .join(F.broadcast(ca), "_ta")
+        .join(F.broadcast(cb), "_tb")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "bigram",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("m"))
+                    / ((F.col("_ca") / F.col("n")) * (F.col("_cb") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(_PMI_TOP)
+    )
