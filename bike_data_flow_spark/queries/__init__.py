@@ -62,6 +62,7 @@ _CHECK_FIRST = (
     "time_weighted_value",
     "weighted_sample",
     "pmi_collocations",
+    "quantity_quartile_buckets",
     "semdedup_survivors",
     "embedding_hof_profile",
     # -- never driver-checked (18) --

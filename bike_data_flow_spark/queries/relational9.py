@@ -154,3 +154,54 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_wsum") / F.col("_dur"), 6).alias("tw_avg_value"),
         )
     )
+
+
+@query(
+    "quantity_quartile_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.50) AS q2,
+             quantile_cont(l_quantity, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT CASE WHEN l_quantity <= q1 THEN 1
+                WHEN l_quantity <= q2 THEN 2
+                WHEN l_quantity <= q3 THEN 3
+                ELSE 4 END AS bucket,
+           count(*) AS n_rows,
+           round(min(l_quantity), 2) AS min_q,
+           round(max(l_quantity), 2) AS max_q
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def quantity_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quantile bucketing WITHOUT a single-partition window —
+    the fact-scale alternative SCALE.md's trade-offs section promises
+    for `balance_quartiles`' global ntile: quartile boundaries come
+    from one aggregate (3 numbers), broadcast into a map-side CASE.
+    The fact table is scanned, never globally sorted. At 100 TB swap
+    the exact percentile for approx_percentile — same plan shape,
+    sketch-sized aggregate state (exact here for oracle parity)."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("q2"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("l_quantity") <= F.col("q1"), 1)
+        .when(F.col("l_quantity") <= F.col("q2"), 2)
+        .when(F.col("l_quantity") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_quantity"), 2).alias("min_q"),
+            F.round(F.max("l_quantity"), 2).alias("max_q"),
+        )
+    )
