@@ -108,8 +108,10 @@ def test_connector_rows_match_native_scan_through_parser(spark, tmp_path):
     via_connector = parse_raw_lines(
         spark.read.format("station_feed").option("path", str(root)).load()
     )
-    # read_raw_partition = native text scan + the same parser
-    via_text_scan = read_raw_partition(spark, f"{root}/dt=*")
+    # read_raw_partition = native text scan + the same parser; no-dt
+    # mode scans the whole dt= tree natively (the old workaround of
+    # embedding /dt=* in the landing path would now double the glob)
+    via_text_scan = read_raw_partition(spark, str(root))
     a = sorted(via_connector.select("station_id", "bikes").collect())
     b = sorted(via_text_scan.select("station_id", "bikes").collect())
     assert a == b and len(a) == 6
