@@ -245,3 +245,44 @@ def snapshot_merge(
             target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
     merged = merge_upsert(target, source, list(keys), **merge_kwargs)
     return snapshot_write(merged, table_dir, mode="overwrite")
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change feed between two snapshots (Delta CDF analog): rows in
+    `to` but not `from` tagged ``insert``, rows in `from` but not `to`
+    tagged ``delete``; an update surfaces as delete+insert of the row
+    images. Multiset semantics via exceptAll — duplicate rows with
+    different multiplicities emit the count difference, not nothing.
+
+    Both versions must still be retained (expire_snapshots drops old
+    manifests — run the feed before maintenance, as with any CDF).
+
+    Scale shape: two scans + two exceptAll hash anti-diffs keyed by the
+    whole row; fine for daily-sized commits. For narrow-key tables,
+    diff on the key columns instead (join) to avoid hashing wide rows.
+    """
+    if to_version is None:
+        to_version = current_version(table_dir)
+        if to_version is None:
+            raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    from pyspark.sql import functions as F
+
+    old = snapshot_read(spark, table_dir, from_version)
+    new = snapshot_read(spark, table_dir, to_version)
+    # align schemas (append-path evolution adds columns over time):
+    # missing columns read as NULL on the older side
+    cols = list(dict.fromkeys([*old.columns, *new.columns]))
+    old = old.select(
+        *[F.col(c) if c in old.columns else F.lit(None).alias(c) for c in cols]
+    )
+    new = new.select(
+        *[F.col(c) if c in new.columns else F.lit(None).alias(c) for c in cols]
+    )
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)

@@ -180,3 +180,36 @@ def test_streaming_snapshot_sink_and_replay_fence(spark, tmp_path: Path):
     # a NEW writer (fresh checkpoint = reprocessing by choice) commits
     assert commit_batch(_df(spark, [(7, "new")]), 0, t, "other-app") is True
     assert 7 in {r["k"] for r in snapshot_read(spark, t).collect()}
+
+
+def test_snapshot_changes_feed(spark, tmp_path: Path):
+    """CDF between versions: appended rows are inserts, overwritten-away
+    rows are deletes, an update is delete+insert, and schema evolution
+    across the diff surfaces NULL for the pre-evolution side."""
+    from bike_data_flow_spark.operators.snapshots import snapshot_changes
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a"), (2, "b")]), t)  # v1
+    snapshot_write(_df(spark, [(3, "c")]), t)  # v2 append
+    ch = snapshot_changes(spark, t, 1, 2).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == [(3, "insert")]
+
+    # v3 overwrite: 2 updated, 1 and 3 removed
+    snapshot_write(_df(spark, [(2, "B")]), t, mode="overwrite")
+    ch = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in snapshot_changes(spark, t, 2).collect()
+    )
+    assert ch == [
+        (1, "a", "delete"),
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+    ]
+
+    # v4 appends an evolved schema; old-side rows diff with NULL score
+    snapshot_write(
+        _df(spark, [(9, "z", 1.5)], "k int, v string, score double"), t
+    )
+    ch = {(r["k"], r["score"]) for r in snapshot_changes(spark, t, 3, 4).collect()}
+    assert ch == {(9, 1.5)}
