@@ -58,6 +58,7 @@ _CHECK_FIRST = (
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",
+    "streamed_attribution_full_outer",
     "dsir_importance_weights",
     "time_weighted_value",
     "weighted_sample",

@@ -337,6 +337,83 @@ def streamed_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_to_memory(joined, "append")
 
 
+# Stream-stream FULL OUTER join — completes the streaming join matrix
+# (inner / left / full): both sides' state evicts on the watermark,
+# emitting null-extended rows for clicks that never converted AND
+# purchases with no preceding click. Closure rules (engine-calibrated
+# at sf0.001 and sf0.01): a click closes when W passes the END of its
+# match window (click_ts + 30min); a purchase closes when W passes its
+# OWN event time (the engine derives purchase_ts ≥ click_ts from the
+# join condition, so nothing can match it once W > purchase_ts).
+@query(
+    "streamed_attribution_full_outer",
+    oracle=f"""
+    WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(us) FROM c), (SELECT max(us) FROM p))
+                       - {_WM_DELAY_MIN * 60 * 1000000} AS w)
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.us >= c.us AND p.us <= c.us + {_WM_DELAY_MIN * 60 * 1000000}
+    UNION ALL
+    SELECT c.user_id, c.event_id, NULL
+    FROM c, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.us >= c.us AND p.us <= c.us + {_WM_DELAY_MIN * 60 * 1000000})
+      AND c.us + {_WM_DELAY_MIN * 60 * 1000000} < wm.w
+    UNION ALL
+    SELECT p.user_id, NULL, p.event_id
+    FROM p, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND p.us >= c.us AND p.us <= c.us + {_WM_DELAY_MIN * 60 * 1000000})
+      AND p.us < wm.w
+    """,
+)
+def streamed_attribution_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{_WM_DELAY_MIN} minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{_WM_DELAY_MIN} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {_WM_DELAY_MIN} MINUTES")
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+    )
+    return _run_to_memory(joined, "append")
+
+
 # Stream-static join: the canonical enrichment pattern — a micro-batch
 # stream probes a static dimension that is broadcast into every batch
 # (no state store involved; the dim re-resolves per batch, so slowly-
