@@ -64,6 +64,8 @@ _CHECK_FIRST = (
     "weighted_sample",
     "pmi_collocations",
     "quantity_quartile_buckets",
+    "locf_event_values",
+    "similar_part_names",
     "semdedup_survivors",
     "embedding_hof_profile",
     # -- never driver-checked (18) --

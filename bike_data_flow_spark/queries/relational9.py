@@ -205,3 +205,73 @@ def quantity_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_quantity"), 2).alias("max_q"),
         )
     )
+
+
+@query(
+    "locf_event_values",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS filled_value
+    FROM events
+    """,
+)
+def locf_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap filling: readings flagged
+    bad (event_type='error' stands in for a NULL sensor value) take the
+    user's most recent good value; leading bad readings stay NULL. One
+    keyed sort + a last(ignorenulls) running frame — the standard LOCF
+    spelling, no self-join. Values are copied, not computed, so parity
+    needs no rounding."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_ns"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+_FUZZY_MAX_DIST = 4
+
+
+@query(
+    "similar_part_names",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           levenshtein(a.p_name, c.p_name) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): candidate pairs meet
+    only inside a blocking key (the name's last token), then exact
+    Levenshtein filters — the classic blocking-then-verify shape that
+    replaces the O(N²) cross join. At corpus scale the blocking key
+    comes from phonetic/sorted-neighborhood keys; the plan is the
+    same equi-join + map-side distance."""
+    names = (
+        load(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    a = names.select(F.col("p_name").alias("name_a"), blk.alias("blk"))
+    c = names.select(F.col("p_name").alias("name_b"), blk.alias("blk"))
+    return (
+        a.join(c, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .drop("blk")
+    )
