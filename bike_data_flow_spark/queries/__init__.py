@@ -66,6 +66,7 @@ _CHECK_FIRST = (
     "quantity_quartile_buckets",
     "locf_event_values",
     "similar_part_names",
+    "conversion_funnel_users",
     "semdedup_survivors",
     "embedding_hof_profile",
     # -- never driver-checked (18) --

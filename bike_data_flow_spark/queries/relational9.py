@@ -275,3 +275,38 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _FUZZY_MAX_DIST)
         .drop("blk")
     )
+
+
+@query(
+    "conversion_funnel_users",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           regexp_matches(
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id),
+             'v.*c.*p') AS funnel_complete
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def conversion_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence detection (the MATCH_RECOGNIZE / CEP
+    funnel shape): did the user view, then click, then purchase, in
+    chronological order with anything in between? The per-user event
+    string is built order-independently — collect_list + array_sort on
+    a (ts, id, initial) struct gives a deterministic sequence under any
+    partition layout — then one regex does the pattern match. One
+    groupBy shuffle; the per-user state is |events per user| bytes.
+    Event-type initials are unique in this schema (v/c/p/s/e)."""
+    ev = load(spark, sf_dir, "events")
+    item = F.struct(
+        F.col("ts_ns"), F.col("event_id"),
+        F.substring("event_type", 1, 1).alias("i"),
+    )
+    arr = F.array_sort(F.collect_list(item))
+    seq = F.concat_ws("", F.transform(arr, lambda x: x["i"]))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        seq.rlike("v.*c.*p").alias("funnel_complete"),
+    )
