@@ -42,7 +42,7 @@ _U32 = float(1 << 32)
                / {_U32} AS u
       FROM documents
     )
-    SELECT doc_id, round(ln(u) / w, 6) AS es_key
+    SELECT doc_id, round(ln(u) / w, 6) + 0.0 AS es_key
     FROM d
     ORDER BY es_key DESC, doc_id ASC
     LIMIT {_WS_K}
@@ -54,14 +54,19 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared md5 hash: (h+0.5)/2^32 is exact in double on both
     engines, so the sample is reproducible run-to-run and engine-to-
     engine. Scale: map-only key computation + TakeOrderedAndProject
-    (per-partition heap of k, driver merges k·P rows)."""
+    (per-partition heap of k, driver merges k·P rows).
+
+    The `+ 0.0` on both sides: a tiny negative key rounds to zero, and
+    Spark's round gives +0.0 where DuckDB's gives -0.0 — bitwise
+    different under repr()-based value hashing. IEEE x+0.0 is the
+    identity except on -0.0, which it normalizes to +0.0."""
     docs = load(spark, sf_dir, "documents")
     h = D.md5_hash64(F.col("doc_id").cast("string"), salt=_WS_SALT)
     u = (h + F.lit(0.5)) / F.lit(_U32)
     w = F.col("n_chars") + F.lit(1)
     return (
         docs.select(
-            "doc_id", F.round(F.log(u) / w, 6).alias("es_key")
+            "doc_id", (F.round(F.log(u) / w, 6) + F.lit(0.0)).alias("es_key")
         )
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(_WS_K)

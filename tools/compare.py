@@ -118,10 +118,12 @@ def main() -> None:
             "|---|---|---|---|---|",
         ]
         for name, s, d, c in pinned:
-            lines.append(
-                f"| {name} | {s:.3f} | {c:.3f} | {d:.3f} | "
-                "boots a real Structured Streaming query per call |"
+            note = (
+                "commits parquet snapshots to a scratch table per call"
+                if name == "snapshot_table_roundtrip"
+                else "boots a real Structured Streaming query per call"
             )
+            lines.append(f"| {name} | {s:.3f} | {c:.3f} | {d:.3f} | {note} |")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_COMPARE.md"
     )
