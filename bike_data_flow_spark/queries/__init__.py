@@ -55,6 +55,8 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # users are omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
     # -- added late in round 4, never driver-checked --
+    "weekly_cohort_retention",
+    "event_transition_matrix",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

@@ -278,6 +278,88 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) // 86400000000) // 7 AS wk
+      FROM events
+    ),
+    coh AS (
+      SELECT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      FROM wk
+    )
+    SELECT cohort_wk, wk - cohort_wk AS age_weeks, count(*) AS n_users
+    FROM coh GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-active epoch
+    week, counted in every later week they return — the standard
+    retention analysis shape. cohort_wk comes from a min() window over
+    the DISTINCT (user, week) activity table, not a join back to a
+    separate firsts aggregate — one shuffle fewer, same rows.
+
+    Scale: the distinct shrinks events to |user×week| rows before any
+    per-user work; the window then shuffles only that reduced table.
+    Weeks are epoch-day integers div 7 (UTC) — pure integer
+    arithmetic, no calendar/timezone semantics to disagree on."""
+    ev = load(spark, sf_dir, "events")
+    wk_expr = F.expr("ts_ns div 86400000000000 div 7")
+    weeks = ev.select("user_id", wk_expr.alias("wk")).distinct()
+    w = Window.partitionBy("user_id")
+    coh = weeks.withColumn("cohort_wk", F.min("wk").over(w))
+    return coh.groupBy(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_weeks")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, count(*) AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY from_type), 6)
+             AS p
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (from, to) adjacent pairs, normalize each row of
+    the matrix to probabilities. The successor comes from lead() over
+    one (user, time) sort — no self-join; the row-normalizing window
+    runs over the |types|² aggregated matrix, which is tiny by
+    construction at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    counts = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+@query(
     "conversion_funnel_users",
     oracle="""
     SELECT user_id,
