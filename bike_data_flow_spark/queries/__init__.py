@@ -57,6 +57,7 @@ _CHECK_FIRST = (
     # -- added late in round 4, never driver-checked --
     "weekly_cohort_retention",
     "event_transition_matrix",
+    "streamed_funnel_users",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

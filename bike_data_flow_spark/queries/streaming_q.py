@@ -457,3 +457,36 @@ def streamed_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return _run_to_memory(deduped, "complete")
+
+
+# Streaming CEP funnel: the applyInPandasWithState spelling SCALE.md's
+# funnel row promises for unbounded key spaces (operator:
+# streaming/windows.funnel_snapshots; multi-batch + out-of-order
+# correctness pinned in tests/test_streaming_windows.py).
+@query(
+    "streamed_funnel_users",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           regexp_matches(
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id),
+             'v.*c.*p') AS funnel_complete
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streamed_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered v->c->p funnel detection computed BY the streaming
+    engine with arbitrary per-key state; the batch twin
+    (conversion_funnel_users) shares the oracle. Every micro-batch
+    emits a snapshot with a monotone n_events and the final answer
+    keeps each user's last snapshot -- correct under ANY micro-batch
+    split of the input, not just the single-batch availableNow case."""
+    from ..streaming.windows import final_snapshot_per_key, funnel_snapshots
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "ts_ns", "event_id", F.substring("event_type", 1, 1).alias("i")
+    )
+    out = _run_to_memory(funnel_snapshots(ev), "update")
+    return final_snapshot_per_key(out, "user_id", "n_events")

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -250,4 +252,90 @@ def running_key_stats_tws(
         outputStructType=f"{key_col} string, n_events long, max_value double",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("funnel_complete", BooleanType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("ts", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("inits", StringType()),
+    ]
+)
+
+
+def funnel_snapshots(events: DataFrame, pattern: str = "v.*c.*p") -> DataFrame:
+    """Streaming CEP funnel (MATCH_RECOGNIZE shape) with arbitrary
+    per-key state: per user, did `pattern` match over the initials of
+    the chronologically-ordered event log?
+
+    Input columns: user_id, ts_ns, event_id, i (the event's one-char
+    class). Each micro-batch appends the batch's events to the key's
+    state log and emits a snapshot (user_id, n_events,
+    funnel_complete); n_events is strictly monotone per key across
+    emissions, so the final answer for a bounded input is each key's
+    max-n_events row. Out-of-order arrival cannot break the match: the
+    regex evaluates over the state log re-sorted by (ts, id) at every
+    emit, never over arrival order.
+
+    State is |events per key| — the exact-match price the batch
+    collect_list spelling also pays; unbounded histories would age out
+    events behind a watermark instead.
+    """
+    import re
+
+    pat = re.compile(pattern)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ts, ids, inits = state.get if state.exists else ([], [], "")
+        ts, ids = list(ts), list(ids)
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["ts_ns"])
+            ids.extend(int(i) for i in pdf["event_id"])
+            inits += "".join(pdf["i"])
+        state.update((ts, ids, inits))
+        order = sorted(range(len(ts)), key=lambda j: (ts[j], ids[j]))
+        seq = "".join(inits[j] for j in order)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": len(ts),
+                    "funnel_complete": bool(pat.search(seq)),
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_snapshot_per_key(out: DataFrame, key: str, seq_col: str) -> DataFrame:
+    """Reduce an update-mode snapshot log to each key's LAST snapshot:
+    the row with the max `seq_col`, which funnel_snapshots guarantees
+    is strictly monotone per key (a key is only invoked when its batch
+    has rows). Correct under any micro-batch split of the input."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -225,3 +225,51 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     got2 = {r["station_id"]: (r["n_events"], r["max_value"]) for r in spark.table("tws2").collect()}
     assert got2["001"] == (4, 9.0)  # 3 prior + 1 new, new max
     assert got2["003"] == (1, 4.0)  # fresh key
+
+
+def test_funnel_snapshots_multibatch_out_of_order(spark, tmp_path):
+    """The CEP funnel must survive a multi-batch split where the
+    completing events arrive out of chronological order: user 1's 'v'
+    arrives LAST (batch 3) with the EARLIEST timestamp, so only the
+    state-log re-sort can complete the v->c->p match; user 2 never
+    completes. Also pins final_snapshot_per_key: with 3 batches the
+    memory sink holds up to 3 snapshots per user and only each user's
+    last may survive."""
+    from bike_data_flow_spark.streaming.windows import (
+        final_snapshot_per_key,
+        funnel_snapshots,
+    )
+
+    schema = "user_id long, ts_ns long, event_id long, i string"
+    src = tmp_path / "funnel_src"
+    batches = [
+        [(1, 200, 11, "c"), (2, 100, 20, "p")],   # c before v arrives
+        [(1, 300, 12, "p"), (2, 200, 21, "c")],
+        [(1, 100, 10, "v")],                       # earliest ts, last arrival
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = "funnel_mb"
+    q = (
+        funnel_snapshots(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    raw = spark.table(name)
+    assert raw.count() > 2  # several per-batch snapshots actually landed
+    got = {
+        r["user_id"]: (r["n_events"], r["funnel_complete"])
+        for r in final_snapshot_per_key(raw, "user_id", "n_events").collect()
+    }
+    assert got == {1: (3, True), 2: (2, False)}
