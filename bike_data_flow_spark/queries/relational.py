@@ -379,7 +379,8 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            round(value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts ASC, event_id ASC), 2) AS delta
+                                          ORDER BY ts ASC, event_id ASC), 2)
+             + 0.0 AS delta
     FROM events
     """,
 )
@@ -389,7 +390,9 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        (F.round(F.col("value") - F.lag("value").over(w), 2) + F.lit(0.0)).alias(
+            "delta"
+        ),
     )
 
 

@@ -286,16 +286,20 @@ def balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_quantity_corr",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 4) + 0.0 AS qty_disc_covar
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias(
+            "qty_disc_covar"
+        ),
     )
 
 

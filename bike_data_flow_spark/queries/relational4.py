@@ -188,7 +188,8 @@ def cheapest_parts_per_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame
     "user_value_trend",
     oracle="""
     SELECT user_id,
-           round(regr_slope(value, epoch_ms(ts) / 3600000.0), 6) AS slope_per_hour,
+           round(regr_slope(value, epoch_ms(ts) / 3600000.0), 6) + 0.0
+             AS slope_per_hour,
            round(regr_r2(value, epoch_ms(ts) / 3600000.0), 6)    AS r2,
            count(*) AS n
     FROM events GROUP BY user_id
@@ -198,7 +199,9 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     x = F.expr("ts_ns div 1000000") / F.lit(3600000.0)
     return ev.groupBy("user_id").agg(
-        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_hour"),
+        (F.round(F.regr_slope(F.col("value"), x), 6) + F.lit(0.0)).alias(
+            "slope_per_hour"
+        ),
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -92,7 +92,7 @@ _PMI_TOP = 20
                FROM toks) GROUP BY bigram),
     btot AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS m FROM bcnt)
     SELECT bigram, c_ab,
-           round(ln((c_ab / m) / ((ca.c / n) * (cb.c / n))), 6) AS pmi
+           round(ln((c_ab / m) / ((ca.c / n) * (cb.c / n))), 6) + 0.0 AS pmi
     FROM bcnt
     JOIN ucnt ca ON ca.tok = string_split(bigram, ' ')[1]
     JOIN ucnt cb ON cb.tok = string_split(bigram, ' ')[2]
@@ -142,12 +142,15 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bigram",
             "c_ab",
-            F.round(
-                F.log(
-                    (F.col("c_ab") / F.col("m"))
-                    / ((F.col("_ca") / F.col("n")) * (F.col("_cb") / F.col("n")))
-                ),
-                6,
+            (
+                F.round(
+                    F.log(
+                        (F.col("c_ab") / F.col("m"))
+                        / ((F.col("_ca") / F.col("n")) * (F.col("_cb") / F.col("n")))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 → +0.0, see weighted_sample note
             ).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), F.asc("bigram"))
