@@ -301,15 +301,24 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DISTINCT (user, week) activity table, not a join back to a
     separate firsts aggregate — one shuffle fewer, same rows.
 
-    Scale: the distinct shrinks events to |user×week| rows before any
-    per-user work; the window then shuffles only that reduced table.
+    Scale: ONE shuffle on user_id builds each user's distinct-week set
+    (collect_set partials dedupe map-side, so the shuffle carries
+    |user×week|, not |events|), cohort_wk is array_min of the set —
+    no second per-user shuffle, no sort — and the triangle aggregate
+    shuffles only |cohorts × ages| rows. The distinct + min()-window
+    spelling of the same query costs three shuffles and a sort.
     Weeks are epoch-day integers div 7 (UTC) — pure integer
     arithmetic, no calendar/timezone semantics to disagree on."""
     ev = load(spark, sf_dir, "events")
     wk_expr = F.expr("ts_ns div 86400000000000 div 7")
-    weeks = ev.select("user_id", wk_expr.alias("wk")).distinct()
-    w = Window.partitionBy("user_id")
-    coh = weeks.withColumn("cohort_wk", F.min("wk").over(w))
+    per_user = (
+        ev.select("user_id", wk_expr.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+    )
+    coh = per_user.select(
+        F.array_min("wks").alias("cohort_wk"), F.explode("wks").alias("wk")
+    )
     return coh.groupBy(
         "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_weeks")
     ).agg(F.count(F.lit(1)).alias("n_users"))
