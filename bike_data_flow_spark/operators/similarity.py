@@ -488,6 +488,42 @@ def cosine_topk(
     )
 
 
+def per_label_topk(
+    df: DataFrame,
+    vec_id: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diverse retrieval: the k nearest neighbors of ``vec_id`` WITHIN
+    every label class — the per-category variant of cosine_topk that a
+    quota-balanced retriever needs (one global top-k collapses onto
+    the query's own class).
+
+    Scale shape: map-only scoring against the broadcast query vector,
+    then rank<=k over a label-partitioned window — Catalyst rewrites
+    the filter to WindowGroupLimit, so each map task pre-prunes to its
+    local top-k per label before the one shuffle. The +0.0 normalizes
+    a -0.0 rounded cosine (see queries/textops3.weighted_sample).
+    """
+    from pyspark.sql.window import Window
+
+    q = query_vector(df, vec_id, id_col, vec_col)
+    scored = df.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.col(label_col),
+        (F.round(cosine(F.col(vec_col), F.col("q")), 6) + F.lit(0.0)).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy(label_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -58,6 +58,8 @@ _CHECK_FIRST = (
     "weekly_cohort_retention",
     "event_transition_matrix",
     "streamed_funnel_users",
+    "ann_per_label_topk",
+    "bpe_pair_counts",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

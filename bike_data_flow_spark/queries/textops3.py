@@ -156,3 +156,52 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(_PMI_TOP)
     )
+
+
+_BPE_TOP = 30
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+      WHERE len(trim(text)) > 0
+    ),
+    p AS (
+      SELECT unnest([substr(tok, i, 2)
+                     FOR i IN generate_series(1, len(tok) - 1)]) AS pair
+      FROM w WHERE len(tok) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent symbol-pair frequencies within words — the counting
+    kernel of one BPE tokenizer-training round (the highest-count pair
+    is the next merge). Pure expression pipeline: explode words,
+    explode each word's length-2 windows via transform over an index
+    sequence, count. One vocabulary-sized aggregate shuffle; the
+    explode stays map-side. Single-char words contribute no pairs (the
+    length guard also keeps Spark's descending sequence(1, 0) from
+    fabricating windows)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )

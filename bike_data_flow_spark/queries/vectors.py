@@ -407,3 +407,34 @@ def embedding_hof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.exists(v, lambda x: F.abs(as_double(x)) > F.lit(2.0)).alias("any_big"),
     )
+
+
+_PER_LABEL_K = 3
+
+
+@query(
+    "ann_per_label_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings
+               WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round({_sql_cos("e.embedding", "q.qe")}, 6) + 0.0 AS cos_sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, label, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_PER_LABEL_K}
+    """,
+)
+def ann_per_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class nearest neighbors (diverse / quota-balanced retrieval):
+    rank<=k over a label-partitioned window of broadcast-query cosine
+    scores. Catalyst turns the rank filter into WindowGroupLimit —
+    each map task pre-prunes to its local top-k per label before the
+    single shuffle (see operators/similarity.per_label_topk)."""
+    return S.per_label_topk(
+        load(spark, sf_dir, "embeddings"), vec_id=_QUERY_VEC_ID, k=_PER_LABEL_K
+    )
