@@ -60,6 +60,7 @@ _CHECK_FIRST = (
     "streamed_funnel_users",
     "ann_per_label_topk",
     "bpe_pair_counts",
+    "textrank_keywords",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

@@ -205,3 +205,109 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_BPE_TOP)
     )
+
+
+_TR_DAMP = 0.85
+_TR_ITERS = 3
+_TR_TOP = 20
+_TR_BIGRAMS = """
+      SELECT unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+      FROM (SELECT {toks} AS toks FROM documents
+            WHERE len(trim(text)) > 0)
+"""
+
+
+def _textrank_oracle() -> str:
+    toks_sql = _TR_BIGRAMS.format(toks=_TOKS)
+    sql = f"""
+    WITH bc AS (SELECT bigram, count(*) AS c FROM ({toks_sql}) GROUP BY bigram),
+    e0 AS (SELECT string_split(bigram, ' ')[1] AS u,
+                  string_split(bigram, ' ')[2] AS v, c
+           FROM bc),
+    edges AS (
+      SELECT u, v, CAST(sum(c) AS DOUBLE) AS w FROM (
+        SELECT u, v, c FROM e0
+        UNION ALL
+        SELECT v AS u, u AS v, c FROM e0
+      ) GROUP BY u, v
+    ),
+    frac AS (
+      SELECT u, v, w / sum(w) OVER (PARTITION BY u) AS f FROM edges
+    ),
+    r0 AS (SELECT DISTINCT u AS v, 1.0 AS r FROM edges)"""
+    prev = "r0"
+    for i in range(1, _TR_ITERS + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT frac.v, {1 - _TR_DAMP} + {_TR_DAMP} * sum({prev}.r * frac.f) AS r
+      FROM frac JOIN {prev} ON {prev}.v = frac.u
+      GROUP BY frac.v
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT v AS token, round(r, 6) AS rank
+    FROM {prev}
+    ORDER BY rank DESC, token ASC
+    LIMIT {_TR_TOP}
+    """
+    return sql
+
+
+@query("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank (damping 0.85, 3 unrolled
+    rounds, uniform init) over the undirected adjacent-token
+    co-occurrence graph — the classic graph spelling of corpus keyword
+    salience; the oracle unrolls the same rounds as CTEs.
+
+    Scale: ONE corpus-sized aggregate builds the bigram counts; every
+    structure after that (edges, transition fractions, rank vector) is
+    vocabulary-bounded, so the 3 join+agg rounds shuffle vocab-sized
+    tables no matter the corpus. localCheckpoint pins the edge list
+    so iterations don't re-tokenize the corpus, and truncates the
+    3-round lineage the way any sane iterative Spark algorithm must."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    bc = (
+        docs.select(
+            F.explode(
+                D.shingles_from_tokens(T.tokens(F.col("text")), n=2)
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    parts = F.split(F.col("bigram"), " ")
+    e0 = bc.select(
+        parts.getItem(0).alias("u"), parts.getItem(1).alias("v"), "c"
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "c"))
+        .groupBy("u", "v")
+        .agg(F.sum("c").cast("double").alias("w"))
+    )
+    from pyspark.sql.window import Window
+
+    frac = edges.select(
+        "u", "v", (F.col("w") / F.sum("w").over(Window.partitionBy("u"))).alias("f")
+    ).localCheckpoint()
+    ranks = frac.select(F.col("u").alias("v")).distinct().withColumn(
+        "r", F.lit(1.0)
+    )
+    for _ in range(_TR_ITERS):
+        ranks = (
+            frac.join(ranks.withColumnRenamed("v", "u"), "u")
+            .groupBy(F.col("v"))
+            .agg(
+                (
+                    F.lit(1 - _TR_DAMP) + F.lit(_TR_DAMP) * F.sum(F.col("r") * F.col("f"))
+                ).alias("r")
+            )
+        )
+    return (
+        ranks.select(F.col("v").alias("token"), F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("token"))
+        .limit(_TR_TOP)
+    )
