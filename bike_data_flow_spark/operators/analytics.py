@@ -167,3 +167,39 @@ def daily_bike_summary(bikes: DataFrame) -> DataFrame:
         F.round(F.stddev_samp("lon"), 6).alias("lon_std"),
         F.round(F.avg(F.col("installed").cast("double")), 6).alias("installed_fraction"),
     )
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pareto frontier maximizing (x, y): rows no other row beats on
+    both dimensions (ties kept — an exactly-equal pair dominates
+    neither way).
+
+    Skylines are distributive — frontier(A ∪ B) ⊆ frontier(A) ∪
+    frontier(B) — so the plan is the classic two-stage shape: each
+    task prunes its partition to a local frontier with one
+    sort + group-max sweep (mapInPandas), then the single merge task
+    sweeps the union of local frontiers. The shuffle carries only
+    local-frontier rows (for n points per task, expected O(log n) on
+    independent dimensions), never the corpus.
+    """
+    import pandas as pd
+
+    def _frontier(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf
+        pdf = pdf.sort_values([x_col, y_col], ascending=False, kind="mergesort")
+        # keep a row iff its y equals its x-group's max AND that max
+        # strictly beats the best y of every strictly-higher-x group
+        grp_max = pdf.groupby(x_col, sort=False)[y_col].transform("max")
+        firsts = ~pdf[x_col].duplicated()
+        prior = grp_max[firsts].cummax().shift(1)
+        prior_best = prior.reindex(pdf.index).ffill().fillna(float("-inf"))
+        return pdf[(pdf[y_col] == grp_max) & (grp_max > prior_best)]
+
+    def kernel(it):
+        batches = [pdf for pdf in it if not pdf.empty]
+        if batches:
+            yield _frontier(pd.concat(batches, ignore_index=True))
+
+    local = df.mapInPandas(kernel, schema=df.schema)
+    return local.repartition(1).mapInPandas(kernel, schema=df.schema)

@@ -61,6 +61,7 @@ _CHECK_FIRST = (
     "ann_per_label_topk",
     "bpe_pair_counts",
     "textrank_keywords",
+    "pareto_orders",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

@@ -401,3 +401,46 @@ def conversion_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         seq.rlike("v.*c.*p").alias("funnel_complete"),
     )
+
+
+@query(
+    "pareto_orders",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice AS price,
+             epoch_ms(o_orderdate) // 86400000 AS order_day
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderkey, price, order_day,
+             max(order_day) OVER (ORDER BY price DESC
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW
+                                  EXCLUDE GROUP) AS prior_day,
+             max(order_day) OVER (PARTITION BY price) AS peer_day
+      FROM t
+    )
+    SELECT o_orderkey, price, order_day
+    FROM m
+    WHERE order_day = peer_day
+      AND (prior_day IS NULL OR order_day > prior_day)
+    """,
+)
+def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: orders no other order beats on BOTH price and
+    recency (Pareto frontier maximizing (o_totalprice, order day);
+    exactly-equal pairs are both kept). Spark side runs the
+    distributive two-stage operator (operators/analytics.skyline_2d:
+    per-task local frontier, then one merge sweep over frontier rows
+    only); the oracle spells the same dominance test with an
+    EXCLUDE GROUP running-max window."""
+    from ..operators.analytics import skyline_2d
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.expr(
+            "unix_millis(cast(o_orderdate as timestamp)) div 86400000"
+        ).alias("order_day"),
+    )
+    return skyline_2d(o, "price", "order_day")

@@ -270,11 +270,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
+    # materialize the token array BEFORE the shingle lambda — the
+    # shingles_from_tokens perf contract (dedup.py): an inline tokens()
+    # expression is duplicated into every element_at inside the lambda
+    toks = docs.select(T.tokens(F.col("text")).alias("_toks"))
     bc = (
-        docs.select(
-            F.explode(
-                D.shingles_from_tokens(T.tokens(F.col("text")), n=2)
-            ).alias("bigram")
+        toks.select(
+            F.explode(D.shingles_from_tokens(F.col("_toks"), n=2)).alias("bigram")
         )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -290,9 +292,17 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    frac = edges.select(
-        "u", "v", (F.col("w") / F.sum("w").over(Window.partitionBy("u"))).alias("f")
-    ).localCheckpoint()
+    # vocab²-bounded table: one partition is right up to ~1e6 edges
+    # (scale the coalesce with vocabulary, not corpus, beyond that)
+    frac = (
+        edges.select(
+            "u",
+            "v",
+            (F.col("w") / F.sum("w").over(Window.partitionBy("u"))).alias("f"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
     ranks = frac.select(F.col("u").alias("v")).distinct().withColumn(
         "r", F.lit(1.0)
     )

@@ -100,3 +100,34 @@ def test_daily_summaries_deterministic_first_last(spark, landing):
     bikes = enhanced.filter(F.col("record_type") == "bike")
     bs = daily_bike_summary(bikes).collect()
     assert all(x["lat_first"] is not None and x["lon_last"] is not None for x in bs)
+
+
+def test_skyline_2d_partition_invariant_and_exact(spark):
+    """The two-stage skyline must (a) equal brute-force dominance on a
+    tie-heavy input and (b) return identical rows under any partition
+    layout (the distributive-merge property it relies on)."""
+    import random
+
+    from bike_data_flow_spark.operators.analytics import skyline_2d
+
+    random.seed(7)
+    rows = [
+        (i, float(random.randint(0, 6)), random.randint(0, 6))
+        for i in range(200)
+    ]
+    brute = {
+        (k, x, y)
+        for k, x, y in rows
+        if not any(
+            x2 >= x and y2 >= y and (x2 > x or y2 > y)
+            for k2, x2, y2 in rows
+            if k2 != k
+        )
+    }
+    df = spark.createDataFrame(rows, "k long, x double, y long")
+    for parts in (1, 3, 17):
+        got = {
+            (r["k"], r["x"], r["y"])
+            for r in skyline_2d(df.repartition(parts), "x", "y").collect()
+        }
+        assert got == brute, parts
