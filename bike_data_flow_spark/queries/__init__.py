@@ -62,6 +62,7 @@ _CHECK_FIRST = (
     "bpe_pair_counts",
     "textrank_keywords",
     "pareto_orders",
+    "rolling_active_users",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

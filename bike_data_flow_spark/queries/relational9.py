@@ -444,3 +444,49 @@ def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("order_day"),
     )
     return skyline_2d(o, "price", "order_day")
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    x AS (
+      SELECT DISTINCT user_id, day + i AS win_day
+      FROM ud CROSS JOIN generate_series(0, 6) AS s(i)
+    )
+    SELECT win_day AS day, count(*) AS active_users_7d
+    FROM x JOIN days ON win_day = days.day
+    GROUP BY 1
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU engagement curve):
+    a user active on day d counts toward days d..d+6, so each observed
+    day reports the distinct users active in its trailing week. The
+    naive spelling re-scans a 7-day interval per output day; this one
+    explodes each DISTINCT user-day into the ≤7 window days it feeds —
+    the standard interval-explode rewrite of a sliding COUNT DISTINCT.
+
+    Scale: one event-scale shuffle (the user-day distinct); everything
+    after is user-day sized (the 7× explode then dedups map-side into
+    the second distinct). The observed-day semi join is broadcast-
+    sized; the final aggregate moves |days| rows."""
+    ev = load(spark, sf_dir, "events")
+    day = F.expr("ts_ns div 86400000000000")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    x = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_day"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    return (
+        x.join(
+            F.broadcast(days), x["win_day"] == days["day"], "left_semi"
+        )
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )
