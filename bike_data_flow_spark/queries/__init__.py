@@ -63,6 +63,7 @@ _CHECK_FIRST = (
     "textrank_keywords",
     "pareto_orders",
     "rolling_active_users",
+    "streamed_session_stats",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

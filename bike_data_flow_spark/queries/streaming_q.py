@@ -490,3 +490,80 @@ def streamed_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(funnel_snapshots(ev), "update")
     return final_snapshot_per_key(out, "user_id", "n_events")
+
+
+_SG_MS = 30 * 60 * 1000  # session gap, matches relational3.SESSION_GAP_MS
+
+
+# Streaming session windows in append mode: the stateful half of ST6
+# pushed through the gate. The engine gap-merges per-key sessions in
+# the state store and emits a session only once the watermark (max
+# event time − delay) passes its end — the oracle replicates both the
+# islands construction AND the closure rule, so the row set proves the
+# engine's merge/eviction behavior, not just the batch twin's math.
+@query(
+    "streamed_session_stats",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       >= {_SG_MS * 1000}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    ),
+    s AS (
+      SELECT user_id,
+             epoch_us(min(ts)) // 1000 AS session_start_ms,
+             epoch_us(max(ts)) // 1000 + {_SG_MS} AS session_end_ms,
+             count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM tagged GROUP BY user_id, session_no
+    ),
+    wm AS (
+      SELECT max(epoch_us(ts)) // 1000 - {_WM_DELAY_MIN * 60 * 1000} AS cutoff_ms
+      FROM events
+    )
+    SELECT s.user_id, s.session_start_ms, s.session_end_ms,
+           s.n_events, s.total_value
+    FROM s, wm
+    WHERE s.session_end_ms <= wm.cutoff_ms
+    """,
+)
+def streamed_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-merged sessions computed BY the streaming engine
+    (session_window + watermark, append mode); emitted rows are the
+    sessions whose end fell behind the final watermark."""
+    ev = _events_stream(spark, sf_dir).withColumn("ts_event", F.col("ts"))
+    agg = (
+        ev.withWatermark("ts_event", f"{_WM_DELAY_MIN} minutes")
+        .groupBy(
+            "user_id",
+            F.session_window(F.col("ts_event"), "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias(
+                "session_start_ms"
+            ),
+            F.unix_millis(F.col("w.end").cast("timestamp")).alias(
+                "session_end_ms"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "append")
