@@ -488,6 +488,83 @@ def cosine_topk(
     )
 
 
+def top_principal_component(
+    df: DataFrame,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top PCA component of an embedding column: distributed covariance
+    via outer-product partial aggregation, then ``n_iter`` unrolled
+    power-iteration rounds over the dim×dim matrix — the variance-axis
+    probe an embedding-quality monitor runs (collapsed axes, dominant
+    nuisance directions).
+
+    Scale shape: the double posexplode fans each row into dim² terms
+    that PARTIAL-AGGREGATE map-side down to dim² running sums — the
+    textbook distributed covariance; nothing corpus-sized shuffles.
+    Every iteration is a matvec over the dim²-row matrix table joined
+    with the dim-row vector (broadcast), so the iterative state is
+    dimension-bounded exactly like TextRank's vocab-bounded ranks.
+    The result is sign-fixed (component 1 non-negative) because an
+    eigenvector's sign is arbitrary; values round to 6 with the -0.0
+    normalization (see queries/textops3.weighted_sample).
+    """
+    n_total = df.count()
+    e1 = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(F.col(vec_col)).alias("_i0", "_vi"),
+    ).select(
+        "_id", "_v", (F.col("_i0") + 1).alias("i"), _d(F.col("_vi")).alias("vi")
+    )
+    e2 = e1.select(
+        "_id", "i", "vi", F.posexplode(F.col("_v")).alias("_j0", "_vj")
+    ).select("i", "vi", (F.col("_j0") + 1).alias("j"), _d(F.col("_vj")).alias("vj"))
+    # second moments + first moments → covariance by the algebraic
+    # identity cov_ij = (Σ vivj − (Σvi)(Σvj)/N) / N  (exact algebra,
+    # same spelling on the oracle side)
+    smat = e2.groupBy("i", "j").agg(F.sum(F.col("vi") * F.col("vj")).alias("s"))
+    means = e1.groupBy("i").agg((F.sum("vi") / F.lit(float(n_total))).alias("m"))
+    mi = means.select(F.col("i").alias("_mi_i"), F.col("m").alias("mi"))
+    mj = means.select(F.col("i").alias("_mj_j"), F.col("m").alias("mj"))
+    cov = (
+        smat.join(F.broadcast(mi), smat["i"] == mi["_mi_i"])
+        .join(F.broadcast(mj), smat["j"] == mj["_mj_j"])
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("s") - F.col("mi") * F.col("mj") * F.lit(float(n_total)))
+                / F.lit(float(n_total))
+            ).alias("c"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    x = cov.select("i").distinct().select(F.col("i").alias("j"), F.lit(1.0).alias("x"))
+    for _ in range(n_iter):
+        y = (
+            cov.join(x, "j")
+            .groupBy(F.col("i"))
+            .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
+        x = y.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("y") / F.col("n")).alias("x")
+        )
+    sg = x.filter(F.col("j") == 1).select(
+        F.when(F.col("x") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sg")
+    )
+    return (
+        x.crossJoin(F.broadcast(sg))
+        .select(
+            F.col("j").alias("idx"),
+            (F.round(F.col("x") * F.col("sg"), 6) + F.lit(0.0)).alias("component"),
+        )
+    )
+
+
 def per_label_topk(
     df: DataFrame,
     vec_id: int,

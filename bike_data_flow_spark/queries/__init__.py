@@ -64,6 +64,7 @@ _CHECK_FIRST = (
     "pareto_orders",
     "rolling_active_users",
     "streamed_session_stats",
+    "embedding_top_component",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

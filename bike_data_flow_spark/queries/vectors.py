@@ -438,3 +438,60 @@ def ann_per_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.per_label_topk(
         load(spark, sf_dir, "embeddings"), vec_id=_QUERY_VEC_ID, k=_PER_LABEL_K
     )
+
+
+_PCA_ITERS = 5
+
+
+def _pca_oracle(n_iter: int = _PCA_ITERS) -> str:
+    """Unrolled power iteration over the covariance of the embedding
+    columns — same algebra as similarity.top_principal_component:
+    cov from second/first moments, n_iter matvec+normalize rounds,
+    sign fixed on component 1."""
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS vi
+      FROM embeddings CROSS JOIN generate_series(1, {_DIM}) s(i)
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    smat AS (
+      SELECT a.i AS i, b.i AS j, sum(a.vi * b.vi) AS s
+      FROM e a JOIN e b USING (vec_id)
+      GROUP BY a.i, b.i
+    ),
+    means AS (SELECT i, sum(vi) / n AS m FROM e, n GROUP BY i, n),
+    cov AS (
+      SELECT smat.i, smat.j,
+             (s - mi.m * mj.m * n.n) / n.n AS c
+      FROM smat
+      JOIN means mi ON mi.i = smat.i
+      JOIN means mj ON mj.i = smat.j
+      CROSS JOIN n
+    ),
+    x0 AS (SELECT DISTINCT i AS j, 1.0 AS x FROM cov)"""
+    prev = "x0"
+    for k in range(1, n_iter + 1):
+        sql += f""",
+    y{k} AS (SELECT cov.i, sum(cov.c * {prev}.x) AS y
+             FROM cov JOIN {prev} ON {prev}.j = cov.j GROUP BY cov.i),
+    x{k} AS (SELECT i AS j, y / (SELECT sqrt(sum(y * y)) FROM y{k}) AS x
+             FROM y{k})"""
+        prev = f"x{k}"
+    sql += f"""
+    SELECT {prev}.j AS idx,
+           round({prev}.x * sg.sg, 6) + 0.0 AS component
+    FROM {prev}
+    CROSS JOIN (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS sg
+                FROM {prev} WHERE j = 1) sg
+    """
+    return sql
+
+
+@query("embedding_top_component", oracle=_pca_oracle())
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PCA axis of the embedding corpus (power iteration, 5 rounds,
+    deterministic init and sign) — see
+    operators/similarity.top_principal_component."""
+    return S.top_principal_component(
+        load(spark, sf_dir, "embeddings"), n_iter=_PCA_ITERS
+    )
