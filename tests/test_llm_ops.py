@@ -447,3 +447,26 @@ def test_semdedup_drop_rule(spark):
     out = {r["vec_id"] for r in S.semdedup(df, k=2, n_iter=2, tau=0.95).collect()}
     assert out == expected
     assert {0, 2} <= out  # group representatives always survive
+
+
+def test_top_principal_component_invariants(spark):
+    """Unit norm, fixed sign, and recovery of an obvious variance axis:
+    vectors spread along axis 0 with tiny noise elsewhere must yield a
+    top component ~= e0 regardless of partitioning."""
+    import math
+
+    from bike_data_flow_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    rows = [
+        (i, [float(i - 50), 0.01 * (i % 3), 0.0, 0.0]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comp = {
+        r["idx"]: r["component"]
+        for r in top_principal_component(df.repartition(5), n_iter=5).collect()
+    }
+    assert set(comp) == {1, 2, 3, 4}
+    assert math.isclose(sum(v * v for v in comp.values()), 1.0, rel_tol=1e-6)
+    assert comp[1] > 0.999  # sign-fixed onto the dominant axis
