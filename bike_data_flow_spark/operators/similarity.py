@@ -510,7 +510,6 @@ def top_principal_component(
     eigenvector's sign is arbitrary; values round to 6 with the -0.0
     normalization (see queries/textops3.weighted_sample).
     """
-    n_total = df.count()
     e1 = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -523,11 +522,20 @@ def top_principal_component(
     ).select("i", "vi", (F.col("_j0") + 1).alias("j"), _d(F.col("_vj")).alias("vj"))
     # second moments + first moments → covariance by the algebraic
     # identity cov_ij = (Σ vivj − (Σvi)(Σvj)/N) / N  (exact algebra,
-    # same spelling on the oracle side)
+    # same spelling on the oracle side). N rides the moments aggregate
+    # as a per-dimension count — no separate corpus-scan count() job.
     smat = e2.groupBy("i", "j").agg(F.sum(F.col("vi") * F.col("vj")).alias("s"))
-    means = e1.groupBy("i").agg((F.sum("vi") / F.lit(float(n_total))).alias("m"))
-    mi = means.select(F.col("i").alias("_mi_i"), F.col("m").alias("mi"))
-    mj = means.select(F.col("i").alias("_mj_j"), F.col("m").alias("mj"))
+    moments = e1.groupBy("i").agg(
+        F.sum("vi").alias("sv"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    mi = moments.select(
+        F.col("i").alias("_mi_i"),
+        (F.col("sv") / F.col("n")).alias("mi"),
+        F.col("n").alias("_n"),
+    )
+    mj = moments.select(
+        F.col("i").alias("_mj_j"), (F.col("sv") / F.col("n")).alias("mj")
+    )
     cov = (
         smat.join(F.broadcast(mi), smat["i"] == mi["_mi_i"])
         .join(F.broadcast(mj), smat["j"] == mj["_mj_j"])
@@ -535,8 +543,8 @@ def top_principal_component(
             "i",
             "j",
             (
-                (F.col("s") - F.col("mi") * F.col("mj") * F.lit(float(n_total)))
-                / F.lit(float(n_total))
+                (F.col("s") - F.col("mi") * F.col("mj") * F.col("_n"))
+                / F.col("_n")
             ).alias("c"),
         )
         .coalesce(1)
@@ -544,10 +552,16 @@ def top_principal_component(
     )
     x = cov.select("i").distinct().select(F.col("i").alias("j"), F.lit(1.0).alias("x"))
     for _ in range(n_iter):
+        # checkpoint each round's matvec: nrm and the projection both
+        # reference y, so an unmaterialized y doubles the plan every
+        # iteration (2^n_iter subtrees); the dim-row checkpoint keeps
+        # plan growth linear, mirroring the cov checkpoint above
         y = (
             cov.join(x, "j")
             .groupBy(F.col("i"))
             .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
+            .coalesce(1)
+            .localCheckpoint()
         )
         nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
         x = y.crossJoin(F.broadcast(nrm)).select(
