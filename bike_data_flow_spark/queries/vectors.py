@@ -495,3 +495,72 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.top_principal_component(
         load(spark, sf_dir, "embeddings"), n_iter=_PCA_ITERS
     )
+
+
+_KNN_K = 3
+
+
+@query(
+    "knn_graph_edges",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             round({_sql_cos("a.embedding", "b.embedding")}, 6) + 0.0
+               AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT src_id, dst_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src_id ORDER BY cos_sim DESC, dst_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_KNN_K}
+    """,
+)
+def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole corpus — the neighbor-list
+    build stage of graph ANN indexes (HNSW/NN-descent seeds) and of
+    graph-based dedup: every vector gets its k best cosine neighbors
+    among vectors sharing its hyperplane-LSH bucket. Candidates meet
+    only inside a bucket equi-join (expected |corpus|²/2^planes pair
+    work, the standard LSH recall/cost dial — never the full cross
+    product), and the per-source rank<=k filter rewrites to map-side
+    WindowGroupLimit before the one shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    wb = emb.select(
+        "vec_id",
+        "embedding",
+        S.hyperplane_bucket(F.col("embedding"), _DIM).alias("_bucket"),
+    )
+    a = wb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("_va"),
+        "_bucket",
+    )
+    b = wb.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("_vb"),
+        "_bucket",
+    )
+    scored = (
+        a.join(b, "_bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            (F.round(S.cosine(F.col("_va"), F.col("_vb")), 6) + F.lit(0.0)).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+    )
