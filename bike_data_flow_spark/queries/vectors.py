@@ -531,30 +531,35 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     product), and the per-source rank<=k filter rewrites to map-side
     WindowGroupLimit before the one shuffle."""
     emb = load(spark, sf_dir, "embeddings")
+    # norms once per VECTOR, not per pair: cosine(a,b) recomputes both
+    # norms inside every candidate pair (~2/3 of the fold work for the
+    # same values); dot/(na*nb) is the identical arithmetic
     wb = emb.select(
         "vec_id",
         "embedding",
         S.hyperplane_bucket(F.col("embedding"), _DIM).alias("_bucket"),
+        S.norm(F.col("embedding")).alias("_nrm"),
     )
     a = wb.select(
         F.col("vec_id").alias("src_id"),
         F.col("embedding").alias("_va"),
         "_bucket",
+        F.col("_nrm").alias("_na"),
     )
     b = wb.select(
         F.col("vec_id").alias("dst_id"),
         F.col("embedding").alias("_vb"),
         "_bucket",
+        F.col("_nrm").alias("_nb"),
     )
+    cos = S.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     scored = (
         a.join(b, "_bucket")
         .filter(F.col("src_id") != F.col("dst_id"))
         .select(
             "src_id",
             "dst_id",
-            (F.round(S.cosine(F.col("_va"), F.col("_vb")), 6) + F.lit(0.0)).alias(
-                "cos_sim"
-            ),
+            (F.round(cos, 6) + F.lit(0.0)).alias("cos_sim"),
         )
     )
     from pyspark.sql.window import Window
