@@ -65,6 +65,7 @@ _CHECK_FIRST = (
     "streamed_session_stats",
     "embedding_top_component",
     "knn_graph_edges",
+    "doc_bigram_perplexity",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

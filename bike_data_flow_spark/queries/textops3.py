@@ -321,3 +321,86 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("token"))
         .limit(_TR_TOP)
     )
+
+
+_PPL_ROUND = 6
+
+
+@query(
+    "doc_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len(trim(text)) > 0
+    ),
+    uni AS (SELECT tok, count(*) AS c FROM
+            (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+    bi AS (SELECT bigram, count(*) AS c_ab FROM (
+             SELECT unnest([toks[i] || ' ' || toks[i+1]
+                            FOR i IN generate_series(1, len(toks) - 1)])
+                    AS bigram
+             FROM toks) GROUP BY bigram),
+    db AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+      FROM toks WHERE len(toks) >= 2
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(exp(-sum(ln((bi.c_ab + 1) / (uni.c + v.v))) / count(*)),
+                 {_PPL_ROUND}) AS ppl
+    FROM db
+    JOIN bi USING (bigram)
+    JOIN uni ON uni.tok = string_split(db.bigram, ' ')[1]
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed corpus bigram
+    model — the classic perplexity-filter quality gate (CCNet shape):
+    gibberish scores high, fluent-but-repetitive text low. p(b|a) =
+    (c(ab)+1)/(c(a)+V) with both count tables built from the same
+    corpus the documents come from.
+
+    Scale: one corpus pass per count table (vocab-sized outputs) and
+    one per-doc bigram explode; the probability lookup is a broadcast
+    join while the bigram vocabulary fits, sort-merge on the bigram
+    key beyond. The per-doc aggregate is an ordinary partial agg."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks")).cache()
+    uni = (
+        toks.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bi = (
+        toks.select(
+            F.explode(D.shingles_from_tokens(F.col("_toks"), n=2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    db = toks.filter(F.size("_toks") >= 2).select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens(F.col("_toks"), n=2)).alias("bigram"),
+    )
+    uni_a = uni.select(F.col("tok").alias("_a"), F.col("c").alias("c_a"))
+    lp = F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.col("v")))
+    return (
+        db.join(F.broadcast(bi), "bigram")
+        .withColumn("_a", F.split(F.col("bigram"), " ").getItem(0))
+        .join(F.broadcast(uni_a), "_a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.exp(-F.sum(lp) / F.count(F.lit(1))), _PPL_ROUND
+            ).alias("ppl"),
+        )
+    )
