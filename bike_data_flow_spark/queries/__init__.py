@@ -66,6 +66,7 @@ _CHECK_FIRST = (
     "embedding_top_component",
     "knn_graph_edges",
     "doc_bigram_perplexity",
+    "knn_graph_refined",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

@@ -569,3 +569,88 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _KNN_K)
     )
+
+
+@query(
+    "knn_graph_refined",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             round({_sql_cos("a.embedding", "b.embedding")}, 6) + 0.0
+               AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    base AS (
+      SELECT src_id, dst_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src_id ORDER BY cos_sim DESC, dst_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_KNN_K}
+    ),
+    cand AS (
+      SELECT src_id, dst_id FROM base
+      UNION
+      SELECT a.src_id, b.dst_id
+      FROM base a JOIN base b ON a.dst_id = b.src_id
+      WHERE b.dst_id <> a.src_id
+    ),
+    rescored AS (
+      SELECT c.src_id, c.dst_id,
+             round({_sql_cos("s.embedding", "d.embedding")}, 6) + 0.0
+               AS cos_sim
+      FROM cand c
+      JOIN embeddings s ON s.vec_id = c.src_id
+      JOIN embeddings d ON d.vec_id = c.dst_id
+    )
+    SELECT src_id, dst_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src_id ORDER BY cos_sim DESC, dst_id ASC) AS rnk
+      FROM rescored
+    ) WHERE rnk <= {_KNN_K}
+    """,
+)
+def knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round over the LSH k-NN graph: a
+    vector's neighbors' neighbors are likely neighbors, so the
+    candidate set expands from bucket edges to the two-hop closure
+    (≤ k² extra candidates per node, independent of corpus size),
+    everything is re-scored exactly, and the top-k re-ranked. This is
+    how graph ANN escapes LSH bucket boundaries — recall improves
+    every round without ever touching the full cross product."""
+    base = knn_graph_edges(spark, sf_dir).select("src_id", "dst_id")
+    hop2 = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            F.col("a.dst_id") == F.col("b.src_id"),
+        )
+        .filter(F.col("b.dst_id") != F.col("a.src_id"))
+        .select(F.col("a.src_id").alias("src_id"), F.col("b.dst_id").alias("dst_id"))
+    )
+    cand = base.unionByName(hop2).distinct()
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.select(F.col("vec_id").alias("_sid"), F.col("embedding").alias("_vs"))
+    d = emb.select(F.col("vec_id").alias("_did"), F.col("embedding").alias("_vd"))
+    rescored = (
+        cand.join(s, cand["src_id"] == s["_sid"])
+        .join(d, cand["dst_id"] == d["_did"])
+        .select(
+            "src_id",
+            "dst_id",
+            (
+                F.round(S.cosine(F.col("_vs"), F.col("_vd")), 6) + F.lit(0.0)
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+    )
