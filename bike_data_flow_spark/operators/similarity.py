@@ -522,23 +522,23 @@ def top_principal_component(
     ).select("i", "vi", (F.col("_j0") + 1).alias("j"), _d(F.col("_vj")).alias("vj"))
     # second moments + first moments → covariance by the algebraic
     # identity cov_ij = (Σ vivj − (Σvi)(Σvj)/N) / N  (exact algebra,
-    # same spelling on the oracle side). N rides the moments aggregate
-    # as a per-dimension count — no separate corpus-scan count() job.
+    # same spelling on the oracle side). N is count(*) over ALL rows —
+    # the oracle's semantics, symmetric on ragged/NULL input — carried
+    # as a broadcast one-row aggregate, not a driver-side count job
+    # (count-star over parquet is a metadata-only scan).
     smat = e2.groupBy("i", "j").agg(F.sum(F.col("vi") * F.col("vj")).alias("s"))
-    moments = e1.groupBy("i").agg(
-        F.sum("vi").alias("sv"), F.count(F.lit(1)).cast("double").alias("n")
+    ncnt = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    moments = e1.groupBy("i").agg(F.sum("vi").alias("sv"))
+    mi = moments.crossJoin(F.broadcast(ncnt)).select(
+        F.col("i").alias("_mi_i"), (F.col("sv") / F.col("_n")).alias("mi")
     )
-    mi = moments.select(
-        F.col("i").alias("_mi_i"),
-        (F.col("sv") / F.col("n")).alias("mi"),
-        F.col("n").alias("_n"),
-    )
-    mj = moments.select(
-        F.col("i").alias("_mj_j"), (F.col("sv") / F.col("n")).alias("mj")
+    mj = moments.crossJoin(F.broadcast(ncnt)).select(
+        F.col("i").alias("_mj_j"), (F.col("sv") / F.col("_n")).alias("mj")
     )
     cov = (
         smat.join(F.broadcast(mi), smat["i"] == mi["_mi_i"])
         .join(F.broadcast(mj), smat["j"] == mj["_mj_j"])
+        .crossJoin(F.broadcast(ncnt))
         .select(
             "i",
             "j",

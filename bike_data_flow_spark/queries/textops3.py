@@ -323,7 +323,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PPL_ROUND = 6
+_PPL_ROUND = 4  # coarse on purpose: the log-sum is order-dependent
+# float arithmetic on both engines, and a wider rounding step makes a
+# boundary-straddling hash flake ~100x less likely than round-6
 
 
 @query(
@@ -392,7 +394,10 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni_a = uni.select(F.col("tok").alias("_a"), F.col("c").alias("c_a"))
     lp = F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.col("v")))
     return (
-        db.join(F.broadcast(bi), "bigram")
+        # no broadcast hint on bi: the distinct-bigram table grows with
+        # the corpus (unlike vocab-sized uni), so AQE must be free to
+        # pick a shuffle join once the LM outgrows broadcast
+        db.join(bi, "bigram")
         .withColumn("_a", F.split(F.col("bigram"), " ").getItem(0))
         .join(F.broadcast(uni_a), "_a")
         .crossJoin(F.broadcast(v))

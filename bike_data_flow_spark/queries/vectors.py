@@ -622,7 +622,13 @@ def knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is re-scored exactly, and the top-k re-ranked. This is
     how graph ANN escapes LSH bucket boundaries — recall improves
     every round without ever touching the full cross product."""
-    base = knn_graph_edges(spark, sf_dir).select("src_id", "dst_id")
+    # multi-consumer intermediate (self-join + union): pin it so the
+    # bucket-join + window plan runs once, not once per consumer
+    base = (
+        knn_graph_edges(spark, sf_dir)
+        .select("src_id", "dst_id")
+        .localCheckpoint()
+    )
     hop2 = (
         base.alias("a")
         .join(
