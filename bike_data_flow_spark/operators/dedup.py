@@ -531,3 +531,71 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (AllPairs / ppjoin
+    family) — the second classic candidate-generation strategy next to
+    MinHash banding: two sets with Jaccard ≥ t MUST share a token in
+    their first |x| − ⌈t·|x|⌉ + 1 elements under a canonical global
+    ordering, so only docs sharing a rarest-first prefix shingle ever
+    meet. Exact Jaccard verifies candidates; no approximation anywhere
+    (unlike MinHash, which trades recall for speed).
+
+    Plan: distinct shingles (pinned — four consumers) → per-doc sizes
+    and global document frequencies → rank shingles rarest-first per
+    doc → prefix equi-join generates candidates (rare shingles by
+    construction co-occur in FEW docs, so the join is sparse where a
+    full shingle join is dense) → exact intersection count on
+    candidate pairs only. Every stage is an equi-join or aggregate on
+    shingle/doc keys — no cross product at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    gf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = sh.join(gf, "shingle").withColumn("pos", F.row_number().over(w))
+    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    pref = (
+        ranked.join(sizes, id_col)
+        .filter(F.col("pos") <= plen)
+        .select(F.col(id_col), F.col("shingle"))
+    )
+    a = pref.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pref.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("_shb"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("_shb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4
+    )
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

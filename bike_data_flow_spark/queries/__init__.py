@@ -67,6 +67,8 @@ _CHECK_FIRST = (
     "knn_graph_edges",
     "doc_bigram_perplexity",
     "knn_graph_refined",
+    "prefix_filter_jaccard_pairs",
+    "rfm_segments",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

@@ -490,3 +490,72 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("win_day").alias("day"))
         .agg(F.count(F.lit(1)).alias("active_users_7d"))
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             max(epoch_ms(o_orderdate) // 86400000) AS rec_day,
+             count(*) AS freq,
+             round(sum(o_totalprice), 2) AS mon
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT quantile_cont(rec_day, [0.2, 0.4, 0.6, 0.8]) AS qr,
+             quantile_cont(freq,    [0.2, 0.4, 0.6, 0.8]) AS qf,
+             quantile_cont(mon,     [0.2, 0.4, 0.6, 0.8]) AS qm
+      FROM base
+    )
+    SELECT c_custkey,
+           1 + CAST(rec_day > qr[1] AS INT) + CAST(rec_day > qr[2] AS INT)
+             + CAST(rec_day > qr[3] AS INT) + CAST(rec_day > qr[4] AS INT)
+             AS r_score,
+           1 + CAST(freq > qf[1] AS INT) + CAST(freq > qf[2] AS INT)
+             + CAST(freq > qf[3] AS INT) + CAST(freq > qf[4] AS INT)
+             AS f_score,
+           1 + CAST(mon > qm[1] AS INT) + CAST(mon > qm[2] AS INT)
+             + CAST(mon > qm[3] AS INT) + CAST(mon > qm[4] AS INT)
+             AS m_score
+    FROM base CROSS JOIN q
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary, each
+    scored 1-5): the classic marketing-analytics cube. Quintile
+    boundaries come from ONE aggregate (12 numbers) broadcast into
+    map-side comparisons — the same fact-scale bucketing strategy as
+    quantity_quartile_buckets, never a global-sort ntile over the
+    customer dimension. Monetary rounds to 2 before bucketing so the
+    order-dependent float sum cannot straddle a boundary between
+    engines."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(
+            F.expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        ).alias("rec_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("mon"),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    q = base.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"q{c}_{i}")
+            for c in ("rec_day", "freq", "mon")
+            for i, p in enumerate(qs)
+        ]
+    )
+
+    def score(col: str) -> F.Column:
+        s = F.lit(1)
+        for i in range(4):
+            s = s + (F.col(col) > F.col(f"q{col}_{i}")).cast("int")
+        return s
+
+    return base.crossJoin(F.broadcast(q)).select(
+        "c_custkey",
+        score("rec_day").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("mon").alias("m_score"),
+    )

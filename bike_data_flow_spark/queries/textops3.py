@@ -26,7 +26,7 @@ from ..operators import dedup as D
 from ..operators import text as T
 from ..tables import load
 from . import query
-from .textops import _TOKS, _sql_hash
+from .textops import _SHINGLES, _TOKS, _sql_hash
 
 _WS_K = 50
 _WS_SALT = 7
@@ -408,4 +408,53 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.exp(-F.sum(lp) / F.count(F.lit(1))), _PPL_ROUND
             ).alias("ppl"),
         )
+    )
+
+
+_PF_T = 0.6
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    gf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+      SELECT sh.doc_id, sh.shingle,
+             row_number() OVER (PARTITION BY sh.doc_id
+                                ORDER BY gf.df ASC, sh.shingle ASC) AS pos
+      FROM sh JOIN gf USING (shingle)
+    ),
+    pref AS (
+      SELECT r.doc_id, r.shingle
+      FROM ranked r JOIN sizes s USING (doc_id)
+      WHERE r.pos <= s.n - CAST(ceil({_PF_T} * s.n) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS c
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           round(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(c / (sa.n + sb.n - c), 4) >= {_PF_T}
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via AllPairs prefix filtering — the
+    deterministic complement to minhash_lsh_pairs (same problem, no
+    recall loss): see operators/dedup.prefix_filter_jaccard_pairs."""
+    return D.prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=_PF_T
     )
