@@ -69,6 +69,7 @@ _CHECK_FIRST = (
     "knn_graph_refined",
     "prefix_filter_jaccard_pairs",
     "rfm_segments",
+    "sequence_pair_support",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

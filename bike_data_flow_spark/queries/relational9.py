@@ -559,3 +559,47 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("freq").alias("f_score"),
         score("mon").alias("m_score"),
     )
+
+
+@query(
+    "sequence_pair_support",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type, min(epoch_us(ts)) AS first_us
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM firsts a JOIN firsts b
+      ON a.user_id = b.user_id
+     AND a.event_type <> b.event_type
+     AND a.first_us < b.first_us
+    GROUP BY 1, 2
+    """,
+)
+def sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (the 2-sequence core of GSP/PrefixSpan
+    association mining): for every ordered type pair (a, b), how many
+    users saw their first a strictly before their first b. The
+    per-user reduction to first-occurrence timestamps happens BEFORE
+    any pairing, so the self-join operates on |users|×|types| rows
+    (co-partitioned on user_id — one shuffle, reused by both sides)
+    and fans out at most |types|² per user."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts_ns").alias("_first")
+    )
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("_first").alias("_fa")
+    )
+    b = firsts.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("_first").alias("_fb")
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("type_a") != F.col("type_b")) & (F.col("_fa") < F.col("_fb"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
