@@ -70,6 +70,7 @@ _CHECK_FIRST = (
     "prefix_filter_jaccard_pairs",
     "rfm_segments",
     "sequence_pair_support",
+    "user_cusum_extremes",
     "salted_segment_value",
     "order_price_position",
     "streamed_click_attribution_outer",

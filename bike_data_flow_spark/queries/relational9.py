@@ -603,3 +603,47 @@ def sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "user_cusum_extremes",
+    oracle="""
+    WITH m AS (SELECT round(avg(value), 6) AS mu FROM events),
+    c AS (
+      SELECT user_id,
+             sum(value - mu) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cusum
+      FROM events, m
+    )
+    SELECT user_id, count(*) AS n_events,
+           round(max(cusum), 2) AS max_pos_drift,
+           round(min(cusum), 2) AS max_neg_drift
+    FROM c GROUP BY user_id
+    """,
+)
+def user_cusum_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift extremes per user — the classic changepoint /
+    sensor-drift monitor: the running sum of deviations from the
+    global mean peaks where a user's behavior shifts regime. The mean
+    is ROUNDED to 6 before the scan on both sides, so the sequential
+    prefix sum folds bit-identical values in identical order — exact
+    engine parity despite being float arithmetic. One ordered window
+    per user, one aggregate; nothing global except the 1-row mean."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.agg(F.round(F.avg("value"), 6).alias("mu"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_ns"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.crossJoin(F.broadcast(mu)).withColumn(
+        "cusum", F.sum(F.col("value") - F.col("mu")).over(w)
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("cusum"), 2).alias("max_pos_drift"),
+        F.round(F.min("cusum"), 2).alias("max_neg_drift"),
+    )
