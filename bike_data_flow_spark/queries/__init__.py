@@ -53,7 +53,16 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # streamed_event_type_counts / streamed_distinct_users are omitted:
 # they were green in the r3 driver run already.
 _CHECK_FIRST = (
-    # -- added late in round 4, never driver-checked --
+    # -- the only 6 registry entries with no green driver row in any
+    # round (r4 checked positions 0-49; these sat at 50-56).  Front of
+    # the line until the driver has seen each one. --
+    "wrm_latest_snapshot",
+    "unicode_text_profile",
+    "gopher_quality_flags",
+    "cms_heavy_hitters",
+    "streamed_watermark_dedup",
+    "snapshot_table_roundtrip",
+    # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",
     "streamed_funnel_users",
@@ -104,14 +113,8 @@ _CHECK_FIRST = (
     "embedding_near_dup_pairs",
     "label_centroids",
     "ivf_topk",
-    # -- new / newly-oracled this round (7) --
+    # -- newly-oracled in round 4 --
     "kmeans_clusters",
-    "wrm_latest_snapshot",
-    "unicode_text_profile",
-    "gopher_quality_flags",
-    "cms_heavy_hitters",
-    "streamed_watermark_dedup",
-    "snapshot_table_roundtrip",
     # -- events-based, recovered from the r3 encoding regression (29) --
     "tumbling_event_counts",
     "sliding_event_counts",
