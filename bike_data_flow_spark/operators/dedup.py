@@ -552,13 +552,24 @@ def prefix_filter_jaccard_pairs(
     and global document frequencies → rank shingles rarest-first per
     doc → prefix equi-join generates candidates (rare shingles by
     construction co-occur in FEW docs, so the join is sparse where a
-    full shingle join is dense) → exact intersection count on
-    candidate pairs only. Every stage is an equi-join or aggregate on
-    shingle/doc keys — no cross product at any scale.
+    full shingle join is dense), pruned in-join by the ppjoin LENGTH
+    filter (Jaccard ≥ t needs t·max(|x|,|y|) ≤ min(|x|,|y|)) and
+    POSITIONAL filter (a match at prefix positions p_x, p_y caps the
+    remaining overlap at 1 + min(|x|−p_x, |y|−p_y), which must reach
+    the required ⌈t/(1+t)·(|x|+|y|)⌉) — both are sufficient-condition
+    prunes, so the output is bit-identical to the unfiltered join →
+    exact verify at CANDIDATE cardinality via sorted per-doc shingle
+    arrays + ``array_intersect`` (JVM-side), instead of re-expanding
+    every candidate by its full shingle list. Every stage is an
+    equi-join or aggregate on shingle/doc keys — no cross product, no
+    corpus-row broadcast hint (AQE picks the strategy), at any scale.
     """
     from pyspark.sql.window import Window
 
     sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint()
+    arrs = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     gf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
@@ -567,35 +578,48 @@ def prefix_filter_jaccard_pairs(
     pref = (
         ranked.join(sizes, id_col)
         .filter(F.col("pos") <= plen)
-        .select(F.col(id_col), F.col("shingle"))
+        # a shingle seen in ONE doc can never produce a pair; dropping
+        # df=1 rows (typically the long tail) shrinks the self-join input
+        # without touching the output
+        .filter(F.col("df") >= 2)
+        .select(F.col(id_col), F.col("shingle"), F.col("pos"), F.col("n"))
     )
-    a = pref.select(F.col(id_col).alias("id_a"), "shingle")
-    b = pref.select(F.col(id_col).alias("id_b"), "shingle")
+    a = pref.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("pos").alias("pos_a"),
+        F.col("n").alias("na"),
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("pos").alias("pos_b"),
+        F.col("n").alias("nb"),
+    )
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")))
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        # ppjoin length filter: |y| ≥ t·|x| for the larger side x
+        .filter(
+            F.least("na", "nb") >= F.ceil(F.lit(threshold) * F.greatest("na", "nb"))
+        )
+        # ppjoin positional filter: overlap upper bound vs required α
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("pos_a"), F.col("nb") - F.col("pos_b"))
+            >= alpha
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("_shb"))
-    inter = (
-        cand.join(sa, "id_a")
-        .join(
-            sb,
-            (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("_shb")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    jac = F.round(
-        F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4
-    )
+    aa = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    ab = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    na, nb = F.size("arr_a"), F.size("arr_b")
+    jac = F.round(c / (na + nb - c), 4)
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
