@@ -246,12 +246,22 @@ def kmeans_lloyd(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_pct: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — the IVF codebook
     trainer ivf_topk presupposes. Deterministic: centroids initialize
     from the k smallest ids and exactly ``n_iter`` update rounds run
     (no data-dependent stopping), so results are reproducible run to
     run.
+
+    ``train_pct`` (0-100) trains the codebook on a deterministic
+    md5-bucket sample (same portable hash as queries/textops
+    ``deterministic_sample`` — stable across retries, partitions, and
+    engines) and pays the per-round passes on the SAMPLE only; the
+    full corpus is scanned exactly once, by the final assignment.
+    That is the standard codebook-training shape at scale: the sample
+    size is chosen by the caller (bounded), the corpus is not.
+    ``None`` keeps the exact all-rows training of before.
 
     Scale shape per round: ONE assignment pass (distances to k
     plan-time literal centroids — no join, no shuffle) + ONE
@@ -265,10 +275,21 @@ def kmeans_lloyd(
     # cached: every Lloyd round (and the final assignment) scans this
     # projection — without the cache that is n_iter+2 full source scans
     base = df.select(F.col(id_col), F.col(vec_col).alias("_v")).cache()
-    init = base.orderBy(F.asc(id_col)).limit(k).select("_v").collect()
+    if train_pct is not None:
+        bucket = (
+            "pmod(conv(substring(md5(concat('smp|', "
+            f"cast({id_col} as string))), 1, 8), 16, 10), 100)"
+        )
+        # the sample is bounded by construction; coalescing it keeps each
+        # Lloyd round at a handful of Arrow workers instead of one tiny
+        # batch per corpus partition
+        train = base.filter(F.expr(bucket) < F.lit(train_pct)).coalesce(4).cache()
+    else:
+        train = base
+    init = train.orderBy(F.asc(id_col)).limit(k).select("_v").collect()
     centroids = _rows_to_centroids(init)
 
-    def assign(cents: list[list[float]]):
+    def assign(cents: list[list[float]], over: DataFrame = base):
         # Arrow-vectorized assignment pass (mapInPandas): map-only, no
         # shuffle, centroids ride the closure. Replaces k per-centroid
         # zip_with/fold Column trees whose k×dim literals forced a full
@@ -310,28 +331,61 @@ def kmeans_lloyd(
                 )
 
         id_type = df.schema[id_col].dataType.simpleString()
-        return base.mapInPandas(
+        return over.mapInPandas(
             batches,
             f"{id_col} {id_type}, _v array<double>, cluster int, sq_dist double",
         )
 
-    for _ in range(n_iter):
-        assigned = assign(centroids)
-        new_rows = (
-            assigned.select("cluster", F.posexplode(F.col("_v")).alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in new_rows:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        centroids = [
-            [by_cluster[j][i] for i in sorted(by_cluster[j])]
-            if j in by_cluster
-            else centroids[j]  # empty cluster keeps its previous centroid
-            for j in range(k)
-        ]
+    if train_pct is not None:
+        # the sample is driver-sized by contract, so the Lloyd rounds run
+        # driver-side in numpy — one collect replaces n_iter
+        # assignment-job + centroid-collect roundtrips; only the final
+        # full-corpus assignment stays a cluster pass. The arithmetic
+        # reproduces the distributed spelling: per-dimension left fold
+        # from 0.0 for distances (same IEEE order as the Arrow path),
+        # argmin first-occurrence = smallest-cluster tie-break, empty
+        # clusters keep their previous centroid.
+        import numpy as np
+
+        rows = train.orderBy(F.asc(id_col)).select("_v").collect()
+        V = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+        n, dim = V.shape
+        for _ in range(n_iter):
+            c_arr = np.asarray(centroids, dtype=np.float64)
+            dists = np.empty((n, len(c_arr)))
+            for j in range(len(c_arr)):
+                diff = V - c_arr[j]
+                acc = np.zeros(n)
+                for d in range(dim):
+                    acc = acc + diff[:, d] * diff[:, d]
+                dists[:, j] = acc
+            best = dists.argmin(axis=1)
+            centroids = [
+                V[best == j].mean(axis=0).tolist()
+                if (best == j).any()
+                else centroids[j]
+                for j in range(len(centroids))
+            ]
+    else:
+        for _ in range(n_iter):
+            assigned = assign(centroids, train)
+            new_rows = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col("_v")).alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in new_rows:
+                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+            centroids = [
+                [by_cluster[j][i] for i in sorted(by_cluster[j])]
+                if j in by_cluster
+                else centroids[j]  # empty cluster keeps its previous centroid
+                for j in range(k)
+            ]
 
     final = assign(centroids)
     return final.select(

@@ -210,15 +210,18 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
 
 
-def _kmeans_ctes(k: int, n_iter: int) -> list[str]:
+def _kmeans_ctes(k: int, n_iter: int, train_pct: int | None = None) -> list[str]:
     """Lloyd's k-means unrolled into CTEs — SQL-expressible because the
     iteration count is FIXED (deterministic init from the k smallest
     ids, exactly n_iter update rounds, no data-dependent stopping),
     mirroring operators/similarity.kmeans_lloyd step for step:
     assignment = argmin squared-L2 with smallest-cluster tie-break,
     update = per-(cluster, position) avg, empty clusters keep their
-    previous centroid. The final assignment CTE is ``a{n_iter+1}``
-    with columns (vec_id, v, cluster, d)."""
+    previous centroid. ``train_pct`` mirrors the operator's
+    deterministic md5-bucket training sample: init + update rounds
+    read ``vs`` (the sample), the final assignment reads full ``v``.
+    The final assignment CTE is ``a{n_iter+1}`` with columns
+    (vec_id, v, cluster, d)."""
     dist = (
         "list_sum([(v[i] - c[i]) * (v[i] - c[i]) "
         "FOR i IN generate_series(1, len(v))])"
@@ -227,16 +230,26 @@ def _kmeans_ctes(k: int, n_iter: int) -> list[str]:
         # embeddings cast to double once, like the Spark plan's staging
         "v AS MATERIALIZED (SELECT vec_id, "
         "[CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)",
-        # init: centroid j = vector with the j-th smallest id
-        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster, "
-        f"v AS c FROM (SELECT vec_id, v FROM v ORDER BY vec_id ASC LIMIT {k}))",
     ]
+    if train_pct is not None:
+        ctes.append(
+            "vs AS MATERIALIZED (SELECT vec_id, v FROM v WHERE "
+            "CAST(('0x' || substr(md5('smp|' || CAST(vec_id AS VARCHAR)), 1, 8)) "
+            f"AS BIGINT) % 100 < {train_pct})"
+        )
+    src = "vs" if train_pct is not None else "v"
+    ctes.append(
+        # init: centroid j = training vector with the j-th smallest id
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster, "
+        f"v AS c FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id ASC LIMIT {k}))"
+    )
     for it in range(1, n_iter + 2):
         prev = it - 1
+        rel = src if it <= n_iter else "v"
         ctes.append(
             f"a{it} AS (SELECT vec_id, v, cluster, d FROM ("
             f"SELECT vec_id, v, c{prev}.cluster AS cluster, {dist} AS d "
-            f"FROM v CROSS JOIN c{prev}) "
+            f"FROM {rel} CROSS JOIN c{prev}) "
             "QUALIFY row_number() OVER (PARTITION BY vec_id "
             "ORDER BY d ASC, cluster ASC) = 1)"
         )
@@ -256,18 +269,31 @@ def _kmeans_ctes(k: int, n_iter: int) -> list[str]:
     return ctes
 
 
-def _kmeans_oracle(k: int, n_iter: int) -> str:
+def _kmeans_oracle(k: int, n_iter: int, train_pct: int | None = None) -> str:
     return (
-        "WITH " + ",\n".join(_kmeans_ctes(k, n_iter))
+        "WITH " + ",\n".join(_kmeans_ctes(k, n_iter, train_pct))
         + f"\nSELECT vec_id, cluster, round(d, 6) AS sq_dist FROM a{n_iter + 1}"
     )
 
 
-@query("kmeans_clusters", oracle=_kmeans_oracle(k=5, n_iter=5))
+_KMEANS_TRAIN_PCT = 20
+
+
+@query(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(k=5, n_iter=5, train_pct=_KMEANS_TRAIN_PCT),
+)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means (k=5, 5 rounds, deterministic init) — the codebook
-    trainer for IVF ANN. See operators/similarity.kmeans_lloyd."""
-    return S.kmeans_lloyd(load(spark, sf_dir, "embeddings"), k=5, n_iter=5)
+    """Lloyd k-means (k=5, 5 rounds, deterministic init) with the
+    codebook trained on a deterministic ~20% hash-sample — the update
+    rounds cost sample-sized passes and the full corpus is scanned
+    once, by the final assignment. See operators/similarity.kmeans_lloyd."""
+    return S.kmeans_lloyd(
+        load(spark, sf_dir, "embeddings"),
+        k=5,
+        n_iter=5,
+        train_pct=_KMEANS_TRAIN_PCT,
+    )
 
 
 @query(
