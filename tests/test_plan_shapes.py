@@ -69,3 +69,39 @@ def test_semdedup_no_cross_cluster_pairs(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_prefix_filter_join_shape(spark):
+    """Candidate generation is an equi-join on the prefix shingle with
+    ppjoin prunes — no cross product, and no forced corpus-row
+    broadcast (the sizes ride the verify arrays; strategy is AQE's)."""
+    from bike_data_flow_spark.operators.dedup import prefix_filter_jaccard_pairs
+    from bike_data_flow_spark.tables import load
+
+    df = prefix_filter_jaccard_pairs(load(spark, SF_DIR, "documents"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the ppjoin prunes must sit in the candidate join's condition/filter
+    # (pre-shuffle-side), not after the distinct
+    assert "array_intersect" in plan, plan
+
+
+def test_knn_graph_refined_no_cross_product(spark):
+    """LSH-bucket candidates + two-hop closure: every join is keyed;
+    a refactor to all-pairs would surface as a cross product here."""
+    from bike_data_flow_spark.queries.vectors import knn_graph_refined
+
+    plan = _plan(knn_graph_refined(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_top_component_bounded_shuffle(spark):
+    """Power iteration: the only aggregates are dim²-bounded partial
+    aggs — nothing corpus-sized may shuffle, and no join exists."""
+    from bike_data_flow_spark.queries.vectors import embedding_top_component
+
+    plan = _plan(embedding_top_component(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert _count(plan, r"\(\d+\) SortMergeJoin") == 0, plan
