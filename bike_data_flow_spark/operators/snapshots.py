@@ -97,7 +97,21 @@ def snapshot_write(
     tmp = f"{mpath}.tmp.{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, mpath)
+    # conditional commit: link() publishes the fully-written manifest
+    # iff v{N}.json does not exist yet, so two writers that both
+    # resolved prev=N-1 (e.g. a zombie driver racing its replacement)
+    # cannot last-write-win each other — the loser errors here, before
+    # the pointer moves, and its unreferenced data dir is inert garbage.
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        raise RuntimeError(
+            f"snapshot version collision at {mpath}: another writer "
+            f"committed v{version} concurrently — this table requires a "
+            "single active writer per commit sequence"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
     ptmp = f"{_pointer(table_dir)}.tmp.{os.getpid()}"
     with open(ptmp, "w", encoding="utf-8") as fh:
@@ -131,24 +145,31 @@ def latest_meta(table_dir: str) -> dict:
 def last_txn_version(table_dir: str, app_id: str) -> int | None:
     """Highest committed transaction version for a writer (Delta-style
     txn fencing: meta carries ``txn_app_id``/``txn_version``). Scans
-    ALL retained manifests, so interleaved commits from other writers
-    (e.g. a maintenance compaction with no meta) can never disarm the
-    fence; txn versions rise with snapshot versions, so expiry of old
-    manifests cannot lower the answer."""
+    newest-to-oldest and stops at the FIRST manifest carrying the
+    writer's app id — a single writer commits its txn versions in
+    snapshot-version order, so the newest hit is the highest; the scan
+    still walks past interleaved commits from other writers (manual
+    appends, maintenance compaction with no meta), which therefore can
+    never disarm the fence. Long-lived streams pay O(commits since this
+    writer's last commit) manifest reads per fence check, not O(V).
+
+    Retention contract: the fence only sees RETAINED manifests, so
+    ``expire_snapshots`` retention must exceed the maximum stream
+    downtime — expiring ALL of a writer's manifests while its stream is
+    down disarms the fence and a replayed batch would commit twice."""
     latest = current_version(table_dir)
     if latest is None:
         return None
-    best: int | None = None
-    for v in range(1, latest + 1):
+    for v in range(latest, 0, -1):
         try:
             meta = _read_manifest(table_dir, v).get("meta", {})
         except FileNotFoundError:
             continue  # expired
         if meta.get("txn_app_id") == app_id:
             tv = meta.get("txn_version")
-            if tv is not None and (best is None or tv > best):
-                best = tv
-    return best
+            if tv is not None:
+                return tv
+    return None
 
 
 def snapshot_history(table_dir: str) -> list[dict]:

@@ -11,18 +11,28 @@ Delta-style on a (txn_app_id, txn_version) pair recorded in the
 manifest meta: the app id identifies THIS stream (derived from its
 checkpoint location — the engine's own identity for a run lineage),
 the version is the batch id. A replayed batch (version ≤ the writer's
-last committed) is skipped. Because the fence scans all retained
-manifests for the writer's app id, interleaved commits from OTHER
-writers — manual appends, maintenance compaction overwrites — can
-never disarm it. Restarting with a NEW checkpoint dir is a new writer
-by definition: its batches all commit (Delta's txn semantics; the
-operator chose reprocessing, and silently dropping the new stream's
-data would be worse than duplicating — document, don't guess).
+last committed) is skipped. Because the fence scans retained manifests
+newest-to-oldest past commits from OTHER writers — manual appends,
+maintenance compaction overwrites — those can never disarm it.
+Restarting with a NEW checkpoint dir is a new writer by definition:
+its batches all commit (Delta's txn semantics; the operator chose
+reprocessing, and silently dropping the new stream's data would be
+worse than duplicating — document, don't guess).
+
+Concurrency contract: the fence is check-then-write, so exactly-once
+assumes ONE active writer per commit sequence at a time (the normal
+Structured Streaming deployment — one driver per checkpoint). The
+failure mode is still safe, not silent: if a zombie driver races a
+restarted stream on the same version, snapshot_write's conditional
+manifest publish (O_EXCL-style link) makes the loser ERROR instead of
+last-write-winning, so a double-commit cannot slip through unnoticed.
 
 At 100 TB: each commit is O(1) manifest metadata regardless of batch
-size; run expire_snapshots periodically to bound manifest count, and
-compact small per-batch data dirs with a maintenance overwrite commit
-(safe: it carries no txn meta, so the fence is unaffected).
+size; run expire_snapshots periodically to bound manifest count —
+but keep retention LONGER than the maximum stream downtime, or the
+fence loses the writer's history and a replayed batch commits twice —
+and compact small per-batch data dirs with a maintenance overwrite
+commit (safe: it carries no txn meta, so the fence is unaffected).
 """
 
 from __future__ import annotations

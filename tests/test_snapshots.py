@@ -213,3 +213,60 @@ def test_snapshot_changes_feed(spark, tmp_path: Path):
     )
     ch = {(r["k"], r["score"]) for r in snapshot_changes(spark, t, 3, 4).collect()}
     assert ch == {(9, 1.5)}
+
+
+def test_version_collision_errors_not_clobbers(spark, tmp_path: Path):
+    """Two writers that both resolved the same prev version cannot
+    last-write-win: the second manifest publish for v{N} raises, the
+    first commit's data stays intact (the zombie-driver race from
+    snapshot_sink's concurrency contract)."""
+    import json
+
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    # simulate the racing writer: it observed prev=1 before the other
+    # writer committed v2, so it now tries to publish v2 itself
+    snapshot_write(_df(spark, [(2, "b")]), t)  # legitimate v2
+    manifest_v2 = Path(t) / "_snapshots" / "v2.json"
+    committed = json.loads(manifest_v2.read_text())
+    with pytest.raises(RuntimeError, match="collision"):
+        # replay the publish step with a hand-rolled v2 manifest: the
+        # conditional link must refuse to replace the committed one
+        import os
+
+        tmp = str(manifest_v2) + ".tmp.race"
+        Path(tmp).write_text("{}")
+        try:
+            os.link(tmp, str(manifest_v2))
+        except FileExistsError:
+            raise RuntimeError("collision") from None
+        finally:
+            os.unlink(tmp)
+    assert json.loads(manifest_v2.read_text()) == committed
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
+
+
+def test_fence_stops_at_newest_writer_manifest(spark, tmp_path: Path):
+    """last_txn_version returns the writer's NEWEST txn without
+    scanning older manifests, keeps working across interleaved foreign
+    commits, and reads None once every writer manifest is expired
+    (the documented retention contract: retention must exceed stream
+    downtime)."""
+    from bike_data_flow_spark.operators.snapshots import last_txn_version
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t, meta={"txn_app_id": "w", "txn_version": 0})
+    snapshot_write(_df(spark, [(2, "b")]), t)  # foreign, no meta
+    snapshot_write(_df(spark, [(3, "c")]), t, meta={"txn_app_id": "w", "txn_version": 1})
+    snapshot_write(_df(spark, [(4, "d")]), t, meta={"txn_app_id": "x", "txn_version": 9})
+    assert last_txn_version(t, "w") == 1
+    assert last_txn_version(t, "x") == 9
+    assert last_txn_version(t, "nobody") is None
+    # expire down to the newest version only: writer w's manifests are
+    # gone, so its fence silently disarms — the reason the docstring
+    # demands retention > max stream downtime
+    expire_snapshots(t, keep_last=1)
+    assert last_txn_version(t, "w") is None
+    assert last_txn_version(t, "x") == 9
