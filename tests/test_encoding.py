@@ -96,3 +96,56 @@ def test_landing_zone_applies_repair(tmp_path):
     landed = zone.land(_break(clean))
     assert landed is not None
     assert landed.read_text(encoding="utf-8") == clean
+
+
+def _sloppy_cp1252_decode(b: bytes) -> str:
+    # real-world "sloppy" cp1252: unmapped bytes pass through as C1
+    out = []
+    for byte in b:
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+def test_unwinds_double_and_triple_encoded_utf8():
+    """ftfy's double-encoded-UTF-8 family: the mis-decode applied two
+    and three layers deep (each layer re-encoded as UTF-8 and
+    mis-decoded again) unwinds completely through every lens."""
+    for clean in ("łódź nad Wisłą", "it’s a “test” – dash", "café naïve"):
+        for lens in ("latin-1", "cp1252"):
+            s = clean
+            for depth in (1, 2, 3):
+                try:
+                    s = s.encode("utf-8").decode(lens)
+                except UnicodeDecodeError:
+                    break  # strict lens can't even produce this layer
+                assert fix_mojibake(s) == clean, (clean, lens, depth)
+
+
+def test_unwinds_layered_sloppy_cp1252():
+    """Layered sloppy-cp1252 mojibake (the cp1252-unmapped bytes ride
+    through as C1 controls — how 0x9D-containing punctuation like ”
+    and ™ actually breaks in the wild) repairs at depth 1-3."""
+    for clean in ("he said “yes” — then left", "™ and • bullets", "łódź “q” ż"):
+        s = clean
+        for depth in (1, 2, 3):
+            s = _sloppy_cp1252_decode(s.encode("utf-8"))
+            assert fix_mojibake(s) == clean, (clean, depth)
+
+
+def test_unwinds_alternating_lens_mojibake():
+    """Two systems with DIFFERENT wrong codecs in sequence (CE lens
+    then Western lens, and vice versa) still unwind — each round picks
+    the most plausible lens independently."""
+    cases = [
+        ("łódź źle", ("cp1250", "latin-1")),
+        ("śląsk żółty", ("iso-8859-2", "cp1252")),
+        ("Gdańsk ł", ("latin-1", "cp1250")),
+    ]
+    for clean, lenses in cases:
+        s = clean
+        for lens in lenses:
+            s = s.encode("utf-8").decode(lens)
+        assert fix_mojibake(s) == clean, (clean, lenses)
