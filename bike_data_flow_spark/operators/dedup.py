@@ -623,3 +623,70 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_estimate_errors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash calibration check: for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (matching components / k)
+    against the EXACT shingle-set Jaccard — the measurement that tells
+    an operator whether k and the banding are tuned for the corpus
+    (estimate error scales ~1/√k; ghost candidates show up as high
+    estimate / low exact rows).
+
+    Scale shape: signatures compute once and are cached — they feed
+    both the band self-join (candidate generation, the standard LSH
+    equi-join) and the per-pair component comparison (k integer
+    equality checks per CANDIDATE, not per corpus pair). Exact Jaccard
+    reuses the sorted-array `array_intersect` verify, joined at
+    candidate cardinality. Output is |candidates| rows.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, k).cache()
+    keys = minhash_band_keys(sigs, id_col, k, bands)
+    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(k)).alias("_est"))
+    )
+    sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    arrs = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr")
+    )
+    aa = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    ab = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    exact = c / (F.size("arr_a") + F.size("arr_b") - c)
+    return (
+        est.join(aa, "id_a")
+        .join(ab, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("_est", 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("jaccard"),
+            F.round(F.abs(F.col("_est") - exact), 4).alias("abs_err"),
+        )
+    )

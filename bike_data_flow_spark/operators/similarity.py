@@ -738,3 +738,73 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_recall_at_k(
+    df: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = N_HYPERPLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH-bucket ANN against exact brute force, per
+    query — the retrieval-quality gauge every ANN deployment monitors
+    (reference semantics: quantify what the `lsh_topk` probe loses vs
+    `cosine_topk` ground truth). Queries are the ``n_queries`` smallest
+    ids: a deterministic, BOUNDED eval set.
+
+    Scale shape: the bucketed projection is computed once and cached —
+    one corpus scan feeds both arms. The query set broadcasts; the
+    exact arm is one map pass scoring |corpus|×|Q| dots followed by a
+    per-query top-k window (WindowGroupLimit keeps the k·|Q| survivors
+    map-side), the ANN arm scores only bucket-matched rows
+    (≈ corpus/2^planes per query). Nothing corpus-sized shuffles; the
+    output is |Q| rows.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    ).cache()
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_bucket").alias("_qb"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc(id_col))
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select("qid", id_col)
+        )
+
+    exact = topk(
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos"))
+    )
+    ann = topk(
+        base.join(F.broadcast(q), base["_bucket"] == q["_qb"])
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos"))
+    )
+    hits = exact.join(ann, ["qid", id_col]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / k, 4
+            ).alias("recall_at_k"),
+        )
+    )

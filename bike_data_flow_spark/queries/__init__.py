@@ -62,6 +62,9 @@ _CHECK_FIRST = (
     "cms_heavy_hitters",
     "streamed_watermark_dedup",
     "snapshot_table_roundtrip",
+    # -- new in round 5 --
+    "ann_recall_at_k",
+    "minhash_estimate_errors",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",
@@ -152,6 +155,7 @@ def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY)."""
     from . import (  # noqa: F401
         bike_pipeline,
+        evalops,
         maintenance,
         mutations,
         relational,

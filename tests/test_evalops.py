@@ -1,0 +1,70 @@
+"""Index-quality eval operators (queries/evalops.py): recall@k of the
+LSH probe and MinHash estimator calibration. Value parity vs DuckDB is
+the gate's job; these pin the operator INVARIANTS."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_ann_recall_bounds_and_shape(spark):
+    from bike_data_flow_spark.operators.similarity import ann_recall_at_k
+    from bike_data_flow_spark.tables import load
+
+    out = ann_recall_at_k(
+        load(spark, SF_DIR, "embeddings"), n_queries=10, k=5
+    ).collect()
+    assert len(out) == 10  # one row per query, even zero-hit ones
+    assert {r["qid"] for r in out} == set(range(10))
+    for r in out:
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall_at_k"] - r["n_hits"] / 5) < 1e-9
+
+
+def test_ann_recall_self_excluded(spark):
+    """A query must never count ITSELF as a neighbor — with self
+    included every recall would be inflated by the trivial hit."""
+    from bike_data_flow_spark.operators.similarity import ann_recall_at_k
+    from bike_data_flow_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    # k = corpus size: both arms return everything they scored, so a
+    # self-hit would surface as n_hits > corpus_in_bucket - 1
+    n = emb.count()
+    out = ann_recall_at_k(emb, n_queries=3, k=n).collect()
+    for r in out:
+        assert r["n_hits"] <= n - 1
+
+
+def test_minhash_estimate_errors_invariants(spark):
+    from bike_data_flow_spark.operators.dedup import (
+        minhash_estimate_errors,
+        minhash_lsh_candidates,
+    )
+    from bike_data_flow_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    out = minhash_estimate_errors(docs)
+    rows = out.collect()
+    # one row per LSH candidate pair — the estimator audits exactly the
+    # pairs the banding surfaces
+    n_cand = minhash_lsh_candidates(docs).count()
+    assert len(rows) == n_cand > 0
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        # rounding happens per column, so allow 1e-4 + 5e-5 slack
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) < 2e-4
+    # identical texts must estimate AND measure 1.0
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    perfect = minhash_estimate_errors(dup).collect()
+    assert len(perfect) == 1
+    assert perfect[0]["est_jaccard"] == 1.0
+    assert perfect[0]["jaccard"] == 1.0
+    assert perfect[0]["abs_err"] == 0.0
