@@ -1,0 +1,107 @@
+"""Distributed BPE tokenizer training: learn the first N merges.
+
+``bpe_pair_counts`` (queries/textops3.py) is one COUNTING round; this
+operator closes the loop — the full Sennrich et al. (2016,
+arXiv:1508.07909) training iteration, re-expressed as a Spark plan:
+
+    word vocabulary (weighted) → adjacent-pair counts → argmax pair →
+    apply the merge to every word → repeat.
+
+Scale design: the corpus is scanned ONCE (word histogram). Every
+iteration after that runs over the DISTINCT-word vocabulary weighted
+by count — the standard trainer trick, and the property that makes
+BPE training feasible at 100 TB (vocabulary grows ~Heaps' law, orders
+of magnitude smaller than the corpus). Per round: one vocab-sized
+aggregate shuffle (pair counts) + a 1-row broadcast (the argmax
+merge); the iterative state that crosses rounds is ONE row, never
+collected to the driver.
+
+Merge application is a single string ``replace`` per word over a
+double-space symbol encoding ('  a  b  c  '): the needle
+``' a  b '`` consumes one pad space from each side, so adjacent
+non-overlapping occurrences both match while overlapping ones resolve
+greedily left-to-right — exactly BPE's merge order, identically in
+Spark and DuckDB (the oracle replays the same replaces). Merged
+symbols join with a \\x01 marker so multi-char merges stay
+distinguishable; the marker is assumed absent from the input text
+(it is a C0 control byte no honest tokenizer emits) and is stripped
+from the reported merge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+_MARK = "\x01"
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over the weighted vocabulary."""
+    syms = F.split(F.trim(F.col("s")), "  ")
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        cur.select(F.explode(pairs).alias("pr"), "wc")
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        .agg(F.sum("wc").alias("cnt"))
+    )
+
+
+def bpe_learned_merges(
+    df: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The first ``n_merges`` BPE merges over the corpus, as
+    (step, left_sym, right_sym, pair_count). Deterministic: the argmax
+    pair tie-breaks on (count DESC, left ASC, right ASC)."""
+    words = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    cur = words.select(
+        F.concat(F.lit("  "), F.concat_ws("  ", chars), F.lit("  ")).alias("s"),
+        "wc",
+    ).cache()
+
+    merge_tables = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _pair_counts(cur)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .cache()
+        )
+        merge_tables.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.replace(F.col("l"), F.lit(_MARK), F.lit("")).alias("left_sym"),
+                F.replace(F.col("r"), F.lit(_MARK), F.lit("")).alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if step < n_merges:
+            needle = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
+            merged = F.concat(F.lit(" "), F.col("l"), F.lit(_MARK), F.col("r"), F.lit(" "))
+            cur = (
+                cur.crossJoin(F.broadcast(best))
+                .select(F.replace(F.col("s"), needle, merged).alias("s"), "wc")
+                .cache()
+            )
+
+    out = merge_tables[0]
+    for t in merge_tables[1:]:
+        out = out.unionAll(t)
+    return out

@@ -65,6 +65,7 @@ _CHECK_FIRST = (
     # -- new in round 5 --
     "ann_recall_at_k",
     "minhash_estimate_errors",
+    "bpe_learned_merges",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -458,3 +458,63 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=_PF_T
     )
+
+
+_BPE_MERGES = 3
+
+
+def _bpe_merges_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled BPE training rounds (same fixed-iteration trick as the
+    kmeans oracle): pair counts → argmax → string-replace merge over
+    the double-space symbol encoding, step for step with
+    operators/bpe.bpe_learned_merges."""
+    pair_cte = """
+    p{r} AS (
+      SELECT pr.l AS l, pr.r AS r, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        SELECT unnest([{{'l': syms[i], 'r': syms[i+1]}}
+                       FOR i IN generate_series(1, len(syms) - 1)]) AS pr, wc
+        FROM (SELECT string_split(trim(s), '  ') AS syms, wc FROM s{prev})
+      ) GROUP BY pr.l, pr.r
+    )"""
+    best_cte = """
+    b{r} AS (SELECT l, r, cnt FROM p{r}
+             ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+    merge_cte = """
+    s{r} AS (SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                               ' ' || b.l || chr(1) || b.r || ' ') AS s, wc
+             FROM s{prev}, b{r} b)"""
+    ctes = [
+        f"""w AS (
+      SELECT word, count(*) AS wc FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents
+        WHERE len(trim(text)) > 0
+      ) GROUP BY word
+    )""",
+        """s0 AS (
+      SELECT '  ' || array_to_string(
+               [substr(word, i, 1) FOR i IN generate_series(1, len(word))],
+               '  ') || '  ' AS s, wc
+      FROM w
+    )""",
+    ]
+    selects = []
+    for r in range(1, n_merges + 1):
+        ctes.append(pair_cte.format(r=r, prev=r - 1))
+        ctes.append(best_cte.format(r=r))
+        if r < n_merges:
+            ctes.append(merge_cte.format(r=r, prev=r - 1))
+        selects.append(
+            f"SELECT {r} AS step, replace(l, chr(1), '') AS left_sym, "
+            f"replace(r, chr(1), '') AS right_sym, cnt AS pair_count FROM b{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("bpe_learned_merges", oracle=_bpe_merges_oracle())
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First N BPE merges learned over the corpus — the full tokenizer
+    -training iteration (bpe_pair_counts is one counting round of it).
+    See operators/bpe.bpe_learned_merges."""
+    from ..operators.bpe import bpe_learned_merges as _learn
+
+    return _learn(load(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)

@@ -68,3 +68,44 @@ def test_minhash_estimate_errors_invariants(spark):
     assert perfect[0]["est_jaccard"] == 1.0
     assert perfect[0]["jaccard"] == 1.0
     assert perfect[0]["abs_err"] == 0.0
+
+
+def test_bpe_learned_merges_textbook_example(spark):
+    """Sennrich-style hand-checkable corpus: vocab {low×3, lower,
+    lowest, new×2, newer, newest} → merges (l,o) [tie-break over
+    (o,w)], then (lo,w), then (e,w) [lexicographic over (n,e)]."""
+    from bike_data_flow_spark.operators.bpe import bpe_learned_merges
+
+    df = spark.createDataFrame(
+        [("low lower lowest",), ("new newer newest",), ("low low new",)],
+        "text string",
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learned_merges(df, n_merges=4).collect()
+    ]
+    assert got == [
+        (1, "l", "o", 5),
+        (2, "lo", "w", 5),
+        (3, "e", "w", 4),
+        (4, "n", "ew", 4),
+    ]
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """Overlapping occurrences resolve greedily: 'aaa' merges its
+    FIRST two a's only; adjacent non-overlapping pairs both merge
+    ('abab' → two (a,b) merges feeding one (ab,ab))."""
+    from bike_data_flow_spark.operators.bpe import bpe_learned_merges
+
+    df = spark.createDataFrame([("aaa abab abab",)], "text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learned_merges(df, n_merges=3).collect()
+    ]
+    # round 1: (a,b)=4 beats (a,a)=2 (overlap counted) and (b,a)=2
+    assert got[0] == (1, "a", "b", 4)
+    # round 2: each 'abab' is now the symbols [ab, ab] → (ab,ab)=2;
+    # 'aaa' still offers (a,a)=2 — tie-break 'a' < 'ab' picks (a,a)
+    assert got[1] == (2, "a", "a", 2)
+    assert got[2] == (3, "ab", "ab", 2)
