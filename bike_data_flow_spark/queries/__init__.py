@@ -66,6 +66,7 @@ _CHECK_FIRST = (
     "ann_recall_at_k",
     "minhash_estimate_errors",
     "bpe_learned_merges",
+    "token_budget_selection",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -613,3 +613,61 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr"), 4).alias("log_weight"),
         )
     )
+
+
+_SEL_BUDGET = 10_000  # training-token budget for the selection prefix
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round((alpha_ratio
+                    + least(stopword_ratio * 5, 1.0)
+                    + CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                           THEN 1.0 ELSE 0.0 END) / 3, 4) AS score,
+             n_tokens
+      FROM (
+        SELECT doc_id,
+               round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                     / len(lower(text)), 4) AS alpha_ratio,
+               round(len(list_filter({{toks}}, t -> t IN ({{stops}})))
+                     / len({{toks}}), 4) AS stopword_ratio,
+               round(list_sum(list_transform({{toks}}, t -> len(t)))
+                     / len({{toks}}), 4) AS avg_token_len,
+               {_N_TOK} AS n_tokens
+        FROM documents
+      )
+    )
+    SELECT doc_id, score, n_tokens
+    FROM scored
+    WHERE score IS NOT NULL
+    QUALIFY sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) <= {_SEL_BUDGET}
+    """.replace("{toks}", _TOKS).replace(
+        "{stops}", ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    ),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked corpus selection under a global token
+    budget. The oracle spells the global QUALIFY-cumsum; the engine
+    computes the identical set with the two-phase histogram-cutoff
+    plan that never concentrates the corpus in one task — see
+    operators/selection.select_within_token_budget."""
+    from ..operators.selection import select_within_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    staged = docs.select("doc_id", c, T.tokens(c).alias("_toks"))
+    t = F.col("_toks")
+    scored = staged.select(
+        "doc_id",
+        T.quality_score_parts(
+            T.alpha_ratio(c),
+            T.stopword_ratio_t(t),
+            T.avg_token_len_fast(c, t),
+        ).alias("score"),
+        T.token_count(c).alias("n_tokens"),
+    )
+    return select_within_token_budget(scored, budget=_SEL_BUDGET)

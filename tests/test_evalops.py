@@ -109,3 +109,37 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     # 'aaa' still offers (a,a)=2 — tie-break 'a' < 'ab' picks (a,a)
     assert got[1] == (2, "a", "a", 2)
     assert got[2] == (3, "ab", "ab", 2)
+
+
+def test_token_budget_selection_matches_global_prefix(spark):
+    """The two-phase histogram-cutoff plan must return EXACTLY the
+    greedy global (score DESC, id ASC) cumsum prefix — including the
+    boundary rule: a doc overshooting the remaining budget is excluded
+    and ends the prefix (greedy, not knapsack)."""
+    from bike_data_flow_spark.operators.selection import (
+        select_within_token_budget,
+    )
+
+    rows = [
+        # (doc_id, score, n_tokens) — scores span bins, ties included
+        (1, 0.90, 40),
+        (2, 0.90, 30),  # tie with 1: id order decides
+        (3, 0.85, 50),
+        (4, 0.40, 10),
+        (5, 0.39, 100),  # overshoots at its turn → ends the prefix
+        (6, 0.30, 1),   # after the overshoot: NOT selected (greedy)
+        (7, None, 5),   # NULL score: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    got = {
+        r["doc_id"]
+        for r in select_within_token_budget(df, budget=130, bins=10).collect()
+    }
+    # prefix: 1 (40) + 2 (70) + 3 (120) + 4 (130) then 5 overshoots
+    assert got == {1, 2, 3, 4}
+    # budget smaller than the best doc → empty
+    assert select_within_token_budget(df, budget=30, bins=10).count() == 0
+    # huge budget → everything scored
+    assert (
+        select_within_token_budget(df, budget=10_000, bins=10).count() == 6
+    )
