@@ -808,3 +808,53 @@ def ann_recall_at_k(
             ).alias("recall_at_k"),
         )
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    train_pct: int | None = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): the embedding
+    splits into ``m`` contiguous subspaces, each with its own sampled
+    Lloyd codebook of ``k`` centroids; a vector's code is its per-
+    subspace nearest-centroid tuple (c0..c{m-1}) plus the summed
+    squared quantization error. PQ is the compression stage of the
+    production ANN stack (IVF coarse partitions + PQ fine codes — the
+    coarse half is ``ivf_topk``).
+
+    Scale shape: the m codebooks train independently on the SAME
+    deterministic hash-sample (kmeans_lloyd's driver-side rounds);
+    each subspace's final assignment is a shuffle-free Arrow map pass
+    over its slice, and the m assignment frames join on the id — at
+    scale the id-keyed joins share one hash partitioning. Codebook
+    bytes: m·k·(dim/m) doubles — always driver-sized.
+    """
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    sub = dim // m
+    out = None
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
+        )
+        a = kmeans_lloyd(
+            sliced, k=k, n_iter=n_iter, id_col=id_col, vec_col="_sv",
+            train_pct=train_pct,
+        ).select(
+            F.col(id_col),
+            F.col("cluster").alias(f"c{j}"),
+            F.col("sq_dist").alias(f"_d{j}"),
+        )
+        out = a if out is None else out.join(a, id_col)
+    err = F.col("_d0")
+    for j in range(1, m):
+        err = err + F.col(f"_d{j}")
+    return out.select(
+        id_col,
+        *[f"c{j}" for j in range(m)],
+        F.round(err, 6).alias("sq_err"),
+    )

@@ -67,6 +67,7 @@ _CHECK_FIRST = (
     "minhash_estimate_errors",
     "bpe_learned_merges",
     "token_budget_selection",
+    "pq_codes",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

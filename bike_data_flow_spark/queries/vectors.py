@@ -210,7 +210,13 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
 
 
-def _kmeans_ctes(k: int, n_iter: int, train_pct: int | None = None) -> list[str]:
+def _kmeans_ctes(
+    k: int,
+    n_iter: int,
+    train_pct: int | None = None,
+    vec_expr: str = "[CAST(x AS DOUBLE) FOR x IN embedding]",
+    prefix: str = "",
+) -> list[str]:
     """Lloyd's k-means unrolled into CTEs — SQL-expressible because the
     iteration count is FIXED (deterministic init from the k smallest
     ids, exactly n_iter update rounds, no data-dependent stopping),
@@ -219,52 +225,54 @@ def _kmeans_ctes(k: int, n_iter: int, train_pct: int | None = None) -> list[str]
     update = per-(cluster, position) avg, empty clusters keep their
     previous centroid. ``train_pct`` mirrors the operator's
     deterministic md5-bucket training sample: init + update rounds
-    read ``vs`` (the sample), the final assignment reads full ``v``.
-    The final assignment CTE is ``a{n_iter+1}`` with columns
-    (vec_id, v, cluster, d)."""
+    read the sample CTE, the final assignment reads the full one.
+    ``vec_expr``/``prefix`` let several independent chains (e.g. the
+    PQ subspaces) coexist in one statement. The final assignment CTE
+    is ``{prefix}a{n_iter+1}`` with columns (vec_id, v, cluster, d)."""
+    p = prefix
     dist = (
         "list_sum([(v[i] - c[i]) * (v[i] - c[i]) "
         "FOR i IN generate_series(1, len(v))])"
     )
     ctes = [
         # embeddings cast to double once, like the Spark plan's staging
-        "v AS MATERIALIZED (SELECT vec_id, "
-        "[CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)",
+        f"{p}v AS MATERIALIZED (SELECT vec_id, "
+        f"{vec_expr} AS v FROM embeddings)",
     ]
     if train_pct is not None:
         ctes.append(
-            "vs AS MATERIALIZED (SELECT vec_id, v FROM v WHERE "
+            f"{p}vs AS MATERIALIZED (SELECT vec_id, v FROM {p}v WHERE "
             "CAST(('0x' || substr(md5('smp|' || CAST(vec_id AS VARCHAR)), 1, 8)) "
             f"AS BIGINT) % 100 < {train_pct})"
         )
-    src = "vs" if train_pct is not None else "v"
+    src = f"{p}vs" if train_pct is not None else f"{p}v"
     ctes.append(
         # init: centroid j = training vector with the j-th smallest id
-        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster, "
+        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster, "
         f"v AS c FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id ASC LIMIT {k}))"
     )
     for it in range(1, n_iter + 2):
         prev = it - 1
-        rel = src if it <= n_iter else "v"
+        rel = src if it <= n_iter else f"{p}v"
         ctes.append(
-            f"a{it} AS (SELECT vec_id, v, cluster, d FROM ("
-            f"SELECT vec_id, v, c{prev}.cluster AS cluster, {dist} AS d "
-            f"FROM {rel} CROSS JOIN c{prev}) "
+            f"{p}a{it} AS (SELECT vec_id, v, cluster, d FROM ("
+            f"SELECT vec_id, v, {p}c{prev}.cluster AS cluster, {dist} AS d "
+            f"FROM {rel} CROSS JOIN {p}c{prev}) "
             "QUALIFY row_number() OVER (PARTITION BY vec_id "
             "ORDER BY d ASC, cluster ASC) = 1)"
         )
         if it <= n_iter:
             ctes.append(
-                f"n{it} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM ("
+                f"{p}n{it} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM ("
                 "SELECT cluster, pos, avg(val) AS m FROM ("
                 "SELECT cluster, unnest(generate_series(1, len(v))) AS pos, "
-                f"unnest(v) AS val FROM a{it}) GROUP BY cluster, pos) "
+                f"unnest(v) AS val FROM {p}a{it}) GROUP BY cluster, pos) "
                 "GROUP BY cluster)"
             )
             ctes.append(
-                f"c{it} AS (SELECT c{prev}.cluster, "
-                f"coalesce(n{it}.c, c{prev}.c) AS c FROM c{prev} "
-                f"LEFT JOIN n{it} ON c{prev}.cluster = n{it}.cluster)"
+                f"{p}c{it} AS (SELECT {p}c{prev}.cluster, "
+                f"coalesce({p}n{it}.c, {p}c{prev}.c) AS c FROM {p}c{prev} "
+                f"LEFT JOIN {p}n{it} ON {p}c{prev}.cluster = {p}n{it}.cluster)"
             )
     return ctes
 
@@ -685,4 +693,53 @@ def knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rescored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _KNN_K)
+    )
+
+
+_PQ_M, _PQ_K, _PQ_ITER = 4, 4, 2
+
+
+def _pq_oracle() -> str:
+    """m independent unrolled-kmeans chains over contiguous embedding
+    slices, joined on vec_id; per-subspace d rounds to 6 before the
+    summed error (mirroring the Spark side, where kmeans_lloyd emits
+    rounded sq_dist per subspace)."""
+    sub = _DIM // _PQ_M
+    ctes: list[str] = []
+    for j in range(_PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes += _kmeans_ctes(
+            _PQ_K,
+            _PQ_ITER,
+            train_pct=_KMEANS_TRAIN_PCT,
+            vec_expr=(
+                f"[CAST(embedding[i] AS DOUBLE) FOR i IN generate_series({lo}, {hi})]"
+            ),
+            prefix=f"s{j}_",
+        )
+    final = _PQ_ITER + 1
+    joins = "\n    ".join(
+        f"JOIN s{j}_a{final} s{j} ON s{j}.vec_id = s0.vec_id"
+        for j in range(1, _PQ_M)
+    )
+    codes = ", ".join(f"s{j}.cluster AS c{j}" for j in range(_PQ_M))
+    err = " + ".join(f"round(s{j}.d, 6)" for j in range(_PQ_M))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s0.vec_id, {codes}, round({err}, 6) AS sq_err"
+        + f"\nFROM s0_a{final} s0\n    {joins}"
+    )
+
+
+@query("pq_codes", oracle=_pq_oracle())
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: per-subspace sampled Lloyd codebooks
+    + nearest-centroid code tuple per vector — the compression half of
+    the IVF+PQ ANN stack. See operators/similarity.pq_codes."""
+    return S.pq_codes(
+        load(spark, sf_dir, "embeddings"),
+        m=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+        train_pct=_KMEANS_TRAIN_PCT,
     )

@@ -143,3 +143,32 @@ def test_token_budget_selection_matches_global_prefix(spark):
     assert (
         select_within_token_budget(df, budget=10_000, bins=10).count() == 6
     )
+
+
+def test_pq_codes_shape_and_reconstruction_monotonicity(spark):
+    """PQ invariants: one code row per vector, codes in [0, k),
+    sq_err ≥ 0 — and identical vectors get identical codes."""
+    from bike_data_flow_spark.operators.similarity import pq_codes
+    from bike_data_flow_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    out = pq_codes(emb, m=4, k=4, n_iter=1, train_pct=50).collect()
+    assert len(out) == n
+    for r in out:
+        for j in range(4):
+            assert 0 <= r[f"c{j}"] < 4
+        assert r["sq_err"] >= 0.0
+    by_id = {r["vec_id"]: r for r in out}
+    # duplicate a vector under a fresh id: same subvectors → same codes
+    first = emb.orderBy("vec_id").first()
+    dup = spark.createDataFrame(
+        [(999_999, first["embedding"], first["label"])],
+        emb.schema,
+    )
+    out2 = {
+        r["vec_id"]: r
+        for r in pq_codes(emb.unionByName(dup), m=4, k=4, n_iter=1, train_pct=50).collect()
+    }
+    orig, copy = out2[first["vec_id"]], out2[999_999]
+    assert [orig[f"c{j}"] for j in range(4)] == [copy[f"c{j}"] for j in range(4)]
