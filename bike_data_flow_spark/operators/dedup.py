@@ -180,8 +180,14 @@ def ngram_jaccard_pairs(
     sh = doc_shingles(df, id_col, text_col, n, max_shingle_freq).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # set sizes count EVERY shingle, but the pair join only needs the
+    # co-occurring ones: a df=1 shingle (the long tail) meets nobody,
+    # so dropping it shrinks the self-join input without touching the
+    # output
+    gf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    joinable = sh.join(gf.filter(F.col("_df") >= 2).select("shingle"), "shingle")
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
