@@ -274,6 +274,7 @@ def kmeans_lloyd(
 
     # cached: every Lloyd round (and the final assignment) scans this
     # projection — without the cache that is n_iter+2 full source scans
+    # (codebook-only callers go through pq_codebooks instead)
     base = df.select(F.col(id_col), F.col(vec_col).alias("_v")).cache()
     if train_pct is not None:
         bucket = (
@@ -340,32 +341,12 @@ def kmeans_lloyd(
         # the sample is driver-sized by contract, so the Lloyd rounds run
         # driver-side in numpy — one collect replaces n_iter
         # assignment-job + centroid-collect roundtrips; only the final
-        # full-corpus assignment stays a cluster pass. The arithmetic
-        # reproduces the distributed spelling: per-dimension left fold
-        # from 0.0 for distances (same IEEE order as the Arrow path),
-        # argmin first-occurrence = smallest-cluster tie-break, empty
-        # clusters keep their previous centroid.
-        import numpy as np
-
-        rows = train.orderBy(F.asc(id_col)).select("_v").collect()
-        V = np.asarray([r["_v"] for r in rows], dtype=np.float64)
-        n, dim = V.shape
-        for _ in range(n_iter):
-            c_arr = np.asarray(centroids, dtype=np.float64)
-            dists = np.empty((n, len(c_arr)))
-            for j in range(len(c_arr)):
-                diff = V - c_arr[j]
-                acc = np.zeros(n)
-                for d in range(dim):
-                    acc = acc + diff[:, d] * diff[:, d]
-                dists[:, j] = acc
-            best = dists.argmin(axis=1)
-            centroids = [
-                V[best == j].mean(axis=0).tolist()
-                if (best == j).any()
-                else centroids[j]
-                for j in range(len(centroids))
-            ]
+        # full-corpus assignment stays a cluster pass.
+        centroids = _lloyd_rounds_driver_side(
+            train.orderBy(F.asc(id_col)).select("_v").collect(),
+            centroids,
+            n_iter,
+        )
     else:
         for _ in range(n_iter):
             assigned = assign(centroids, train)
@@ -827,34 +808,223 @@ def pq_codes(
     production ANN stack (IVF coarse partitions + PQ fine codes — the
     coarse half is ``ivf_topk``).
 
-    Scale shape: the m codebooks train independently on the SAME
-    deterministic hash-sample (kmeans_lloyd's driver-side rounds);
-    each subspace's final assignment is a shuffle-free Arrow map pass
-    over its slice, and the m assignment frames join on the id — at
-    scale the id-keyed joins share one hash partitioning. Codebook
-    bytes: m·k·(dim/m) doubles — always driver-sized.
+    Scale shape: all m codebooks train from ONE collected hash-sample
+    (driver-sized by contract, sliced in numpy), and all m code
+    assignments fuse into ONE shuffle-free Arrow map pass over the
+    corpus — no joins, no repeated scans. Codebook bytes:
+    m·k·(dim/m) doubles — always driver-sized.
     """
+    import numpy as np
+    import pandas as pd
+
     dim = df.select(F.size(F.col(vec_col))).first()[0]
     sub = dim // m
-    out = None
-    for j in range(m):
-        sliced = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
-        )
-        a = kmeans_lloyd(
-            sliced, k=k, n_iter=n_iter, id_col=id_col, vec_col="_sv",
-            train_pct=train_pct,
-        ).select(
-            F.col(id_col),
-            F.col("cluster").alias(f"c{j}"),
-            F.col("sq_dist").alias(f"_d{j}"),
-        )
-        out = a if out is None else out.join(a, id_col)
-    err = F.col("_d0")
+    books = pq_codebooks(
+        df, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        train_pct=train_pct if train_pct is not None else 100,
+    )
+    b_arrs = [np.asarray(b, dtype=np.float64) for b in books]
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            n = V.shape[0]
+            out = {id_col: pdf[id_col].to_numpy()}
+            for j, c_arr in enumerate(b_arrs):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                dists = np.empty((n, len(c_arr)))
+                for ci in range(len(c_arr)):
+                    diff = Vj - c_arr[ci]
+                    acc = np.zeros(n)
+                    for d in range(sub):  # left fold from 0.0, per row
+                        acc = acc + diff[:, d] * diff[:, d]
+                    dists[:, ci] = acc
+                best = dists.argmin(axis=1)
+                out[f"c{j}"] = best.astype(np.int32)
+                out[f"_d{j}"] = dists[np.arange(n), best]
+            yield pd.DataFrame(out)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"c{j} int" for j in range(m)]
+        + [f"_d{j} double" for j in range(m)]
+    )
+    assigned = df.select(F.col(id_col), F.col(vec_col).alias("_v")).mapInPandas(
+        batches, schema
+    )
+    # per-subspace round BEFORE the sum (the kmeans_lloyd output
+    # contract each subspace chain mirrors), then round the total
+    err = F.round(F.col("_d0"), 6)
     for j in range(1, m):
-        err = err + F.col(f"_d{j}")
-    return out.select(
+        err = err + F.round(F.col(f"_d{j}"), 6)
+    return assigned.select(
         id_col,
         *[f"c{j}" for j in range(m)],
         F.round(err, 6).alias("sq_err"),
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_pct: int = 20,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace Lloyd codebooks from ONE collected
+    deterministic hash-sample (sliced driver-side) — m×k×(dim/m)
+    doubles out, one cluster roundtrip regardless of m."""
+    bucket = (
+        "pmod(conv(substring(md5(concat('smp|', "
+        f"cast({id_col} as string))), 1, 8), 16, 10), 100)"
+    )
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .filter(F.expr(bucket) < F.lit(train_pct))
+        .orderBy(F.asc(id_col))
+        .collect()
+    )
+    dim = len(sample[0]["_v"])
+    sub = dim // m
+    books = []
+    for j in range(m):
+        rows = [{"_v": list(r["_v"])[j * sub : (j + 1) * sub]} for r in sample]
+        init = [list(map(float, r["_v"])) for r in rows[:k]]
+        books.append(_lloyd_rounds_driver_side(rows, init, n_iter))
+    return books
+
+
+def _lloyd_rounds_driver_side(
+    rows, centroids: list[list[float]], n_iter: int
+) -> list[list[float]]:
+    """The Lloyd update loop over a collected (driver-sized) sample.
+    Arithmetic reproduces the distributed spelling: per-dimension left
+    fold from 0.0 for distances (same IEEE order as the Arrow path),
+    argmin first-occurrence = smallest-cluster tie-break, empty
+    clusters keep their previous centroid."""
+    import numpy as np
+
+    V = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    n, dim = V.shape
+    for _ in range(n_iter):
+        c_arr = np.asarray(centroids, dtype=np.float64)
+        dists = np.empty((n, len(c_arr)))
+        for j in range(len(c_arr)):
+            diff = V - c_arr[j]
+            acc = np.zeros(n)
+            for d in range(dim):
+                acc = acc + diff[:, d] * diff[:, d]
+            dists[:, j] = acc
+        best = dists.argmin(axis=1)
+        centroids = [
+            V[best == j].mean(axis=0).tolist()
+            if (best == j).any()
+            else centroids[j]
+            for j in range(len(centroids))
+        ]
+    return centroids
+
+
+def _sq_l2_fold(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² as a left fold from 0.0 (oracle-identical order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_k: int = 4,
+    n_iter: int = 2,
+    train_pct: int = 20,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production ANN stack in one query: IVF coarse probe
+    (the ``ivf_topk`` stage — rank label partitions by centroid
+    distance, scan only the best ``nprobe``) + PQ asymmetric-distance
+    scoring (Jégou et al. 2011 ADC: each probed vector's distance is
+    Σ_j ‖q_j − codebook_j[code_j(x)]‖², i.e. the query measured
+    against the vector's COMPRESSED code, never its raw floats).
+
+    Scale shape: codebooks train once on the bounded hash sample
+    (m·pq_k·(dim/m) doubles — plan literals); the coarse stage is the
+    nlist×dim partial agg + an nprobe-row broadcast; the fine stage is
+    a pure map pass over the probed fraction (≈ nprobe/nlist of the
+    corpus) computing codes and LUT distances from literals — at PQ
+    deployment scale the probed side reads codes (m bytes/vector), not
+    embeddings. Returns (id, label, adc_dist) ranked ascending.
+    """
+    sub = df.select(F.size(F.col(vec_col))).first()[0] // m
+    books = pq_codebooks(
+        df, m=m, k=pq_k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        train_pct=train_pct,
+    )
+
+    # coarse probe — identical to ivf_topk's stage
+    cents = label_centroids(df, label_col, vec_col)
+    qv = (
+        df.filter(F.col(id_col) == vec_id)
+        .select(F.posexplode(F.col(vec_col)).alias("pos", "qval"))
+        .select((F.col("pos") + 1).alias("idx"), _d(F.col("qval")).alias("qval"))
+    )
+    probe = (
+        cents.join(F.broadcast(qv), "idx")
+        .groupBy(label_col)
+        .agg(
+            F.sum(
+                (F.col("centroid_val") - F.col("qval"))
+                * (F.col("centroid_val") - F.col("qval"))
+            ).alias("l2sq")
+        )
+        .orderBy(F.asc("l2sq"), F.asc(label_col))
+        .limit(nprobe)
+        .select(label_col)
+    )
+    probed = df.join(F.broadcast(probe), label_col, "left_semi")
+
+    # fine stage: one map pass; q rides as a broadcast row
+    q = query_vector(df, vec_id, id_col, vec_col)
+    scored = probed.crossJoin(F.broadcast(q))
+    adc = F.lit(0.0)
+    for j in range(m):
+        x_j = F.slice(F.col(vec_col), j * sub + 1, sub)
+        q_j = F.slice(F.col("q"), j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_l2_fold(x_j, F.array(*[F.lit(v) for v in c])).alias("d"),
+                    F.lit(ci).alias("cluster"),
+                )
+                for ci, c in enumerate(books[j])
+            ]
+        )
+        code_j = F.array_min(cands)["cluster"]
+        lut_j = F.array(
+            *[
+                _sq_l2_fold(q_j, F.array(*[F.lit(v) for v in c]))
+                for c in books[j]
+            ]
+        )
+        adc = adc + F.element_at(lut_j, code_j + 1)
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
     )

@@ -68,6 +68,7 @@ _CHECK_FIRST = (
     "bpe_learned_merges",
     "token_budget_selection",
     "pq_codes",
+    "ivfpq_topk",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -743,3 +743,120 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=_PQ_ITER,
         train_pct=_KMEANS_TRAIN_PCT,
     )
+
+
+_IVFPQ_ITER = 2
+
+
+def _ivfpq_oracle() -> str:
+    """IVF coarse probe (the ivf_topk spelling) + PQ asymmetric
+    distance: per subspace, the probed vector's code is its argmin
+    over the trained codebook (chain CTEs, sampled training) and the
+    reported distance measures the QUERY slice against that code's
+    centroid — never the raw vector. Mirrors
+    operators/similarity.ivfpq_topk; distances are ascending-i left
+    folds on both sides."""
+    sub = _DIM // _PQ_M
+    ctes: list[str] = []
+    for j in range(_PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes += _kmeans_ctes(
+            _PQ_K,
+            _IVFPQ_ITER,
+            train_pct=_KMEANS_TRAIN_PCT,
+            vec_expr=(
+                f"[CAST(embedding[i] AS DOUBLE) FOR i IN generate_series({lo}, {hi})]"
+            ),
+            prefix=f"s{j}_",
+        )
+    ctes.append(
+        """cents AS (
+      SELECT label, idx, round(avg(CAST(val AS DOUBLE)), 6) AS centroid_val
+      FROM (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS idx,
+               unnest(embedding) AS val
+        FROM embeddings
+      )
+      GROUP BY label, idx
+    )"""
+    )
+    ctes.append(
+        f"""qv AS (
+      SELECT idx, CAST(val AS DOUBLE) AS qval
+      FROM (
+        SELECT unnest(generate_series(1, len(embedding))) AS idx,
+               unnest(embedding) AS val
+        FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+      )
+    )"""
+    )
+    ctes.append(
+        f"""probe AS (
+      SELECT label
+      FROM cents JOIN qv USING (idx)
+      GROUP BY label
+      ORDER BY sum((centroid_val - qval) * (centroid_val - qval)) ASC, label ASC
+      LIMIT {_NPROBE}
+    )"""
+    )
+    ctes.append(
+        f"q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})"
+    )
+    ctes.append(
+        "probed AS (SELECT vec_id, label, embedding FROM embeddings "
+        "WHERE label IN (SELECT label FROM probe))"
+    )
+    nc = _IVFPQ_ITER  # trained codebook CTE index
+    for j in range(_PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        dx = (
+            f"list_sum([(CAST(p.embedding[i] AS DOUBLE) - c.c[i - {lo} + 1]) "
+            f"* (CAST(p.embedding[i] AS DOUBLE) - c.c[i - {lo} + 1]) "
+            f"FOR i IN generate_series({lo}, {hi})])"
+        )
+        ctes.append(
+            f"""code{j} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster, {dx} AS d
+        FROM probed p CROSS JOIN s{j}_c{nc} c
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d ASC, cluster ASC) = 1
+    )"""
+        )
+        dq = (
+            f"list_sum([(CAST(q.qe[i] AS DOUBLE) - c.c[i - {lo} + 1]) "
+            f"* (CAST(q.qe[i] AS DOUBLE) - c.c[i - {lo} + 1]) "
+            f"FOR i IN generate_series({lo}, {hi})])"
+        )
+        ctes.append(
+            f"lut{j} AS (SELECT c.cluster, {dq} AS ld FROM s{j}_c{nc} c, q)"
+        )
+    code_joins = "\n    ".join(
+        f"JOIN code{j} ON code{j}.vec_id = p.vec_id\n"
+        f"    JOIN lut{j} ON lut{j}.cluster = code{j}.cluster"
+        for j in range(_PQ_M)
+    )
+    err = " + ".join(f"lut{j}.ld" for j in range(_PQ_M))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT p.vec_id, p.label, round({err}, 6) AS adc_dist"
+        + f"\nFROM probed p\n    {code_joins}"
+        + f"\nORDER BY adc_dist ASC, p.vec_id ASC\nLIMIT {_K}"
+    )
+
+
+@query("ivfpq_topk", oracle=_ivfpq_oracle())
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse probe + PQ asymmetric-distance fine scoring — the
+    complete production ANN stack. See operators/similarity.ivfpq_topk."""
+    return S.ivfpq_topk(
+        load(spark, sf_dir, "embeddings"),
+        vec_id=_QUERY_VEC_ID,
+        k=_K,
+        nprobe=_NPROBE,
+        m=_PQ_M,
+        pq_k=_PQ_K,
+        n_iter=_IVFPQ_ITER,
+        train_pct=_KMEANS_TRAIN_PCT,
+    )
