@@ -1,0 +1,89 @@
+"""Streaming CDF source over the snapshot table format
+(sources/snapshot_cdf.py): each append commit arrives as one
+micro-batch of version-tagged inserts; overwrites fail loudly."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from bike_data_flow_spark.operators.snapshots import snapshot_write
+from bike_data_flow_spark.sources.snapshot_cdf import register
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _run_once(spark, table_dir, ckpt, out_dir):
+    stream = spark.readStream.format("snapshot_cdf").option("path", table_dir).load()
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_appends_stream_as_versioned_inserts(spark, tmp_path: Path):
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a"), (2, "b")]), t)
+    snapshot_write(_df(spark, [(3, "c")]), t)
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _run_once(spark, t, ckpt, out)
+    got = {
+        (r["k"], r["v"], r["_commit_version"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "a", 1, "insert"),
+        (2, "b", 1, "insert"),
+        (3, "c", 2, "insert"),
+    }
+
+    # restart from the SAME checkpoint after a new commit: only the
+    # unconsumed version arrives (exactly-once over restarts)
+    snapshot_write(_df(spark, [(4, "d")]), t)
+    _run_once(spark, t, ckpt, out)
+    got2 = {
+        (r["k"], r["_commit_version"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {(1, 1), (2, 1), (3, 2), (4, 3)}
+
+
+def test_schema_evolution_nulls_pre_evolution_appends(spark, tmp_path: Path):
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    snapshot_write(
+        spark.createDataFrame([(2, "b", 9.5)], "k int, v string, w double"), t
+    )
+    out = str(tmp_path / "out")
+    _run_once(spark, t, str(tmp_path / "ckpt"), out)
+    rows = {r["k"]: r["w"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_overwrite_in_range_fails_loudly(spark, tmp_path: Path):
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    snapshot_write(_df(spark, [(9, "z")]), t, mode="overwrite")
+    stream = spark.readStream.format("snapshot_cdf").option("path", t).load()
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only"):
+        q.awaitTermination(120)
+        raise RuntimeError(str(q.exception() or "stream did not fail"))
