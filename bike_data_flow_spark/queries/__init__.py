@@ -69,6 +69,8 @@ _CHECK_FIRST = (
     "token_budget_selection",
     "pq_codes",
     "ivfpq_topk",
+    "group_hash_sample",
+    "user_value_ewma",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",
@@ -171,6 +173,7 @@ def load_all() -> dict[str, Query]:
         relational7,
         relational8,
         relational9,
+        relational10,
         sketches,
         streaming_q,
         textops,

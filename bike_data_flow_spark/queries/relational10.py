@@ -1,0 +1,106 @@
+"""Tenth wave: deterministic per-group sampling and trailing EWMA.
+
+- group_hash_sample: k rows per group chosen by md5-hash order — the
+  per-stratum "uniform" sample that is stable across retries,
+  partitions, and engines (rand()-free sampleBy). One window shuffle;
+  rank filter rewrites to map-side WindowGroupLimit.
+- user_value_ewma: exponentially-weighted moving average over each
+  user's trailing 8 events, spelled as an explicit lag-term CHAIN
+  (t0 + t1·α + … + t7·α⁷) — an expression tree, not an aggregate, so
+  the IEEE addition order is pinned by construction and both engines
+  produce bit-identical doubles before rounding. One (user, ts) sort
+  window serves all 8 lags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from . import query
+
+_GS_K = 3
+_EWMA_ALPHA = 0.5
+_EWMA_DEPTH = 8
+
+
+@query(
+    "group_hash_sample",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY md5('gs|' || CAST(o_orderkey AS VARCHAR)) ASC,
+                        o_orderkey ASC
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= {_GS_K}
+    """,
+)
+def group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: hash order stands in for a
+    uniform draw, reproducibly. The rank filter plans as map-side
+    WindowGroupLimit — at scale only ≤k rows per group per mapper
+    reach the shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc(F.md5(F.concat(F.lit("gs|"), F.col("o_orderkey").cast("string")))),
+        F.asc("o_orderkey"),
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GS_K)
+        .drop("rn")
+    )
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    nums, dens = [], []
+    for d in range(_EWMA_DEPTH):
+        w = _EWMA_ALPHA**d
+        lagv = f"lag(round(value, 2), {d}) OVER w" if d else "round(value, 2)"
+        nums.append(f"coalesce({lagv} * {w!r}, 0.0)")
+        dens.append(f"CASE WHEN {lagv} IS NOT NULL THEN {w!r} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+@query(
+    "user_value_ewma",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(({_ewma_terms_sql()[0]}) / ({_ewma_terms_sql()[1]}), 4) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-8 EWMA of event values per user. The weighted sum is a
+    fixed-shape expression chain over lags (never a frame aggregate),
+    so cross-engine float parity holds with no margin tricks; early
+    rows renormalize over the lags that exist."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    # build the chain in the SAME order as the SQL: d ascending,
+    # left-assoc additions
+    terms = []
+    for d in range(_EWMA_DEPTH):
+        weight = _EWMA_ALPHA**d
+        base = F.round(F.col("value"), 2)
+        lagv = F.lag(base, d).over(w) if d else base
+        terms.append((lagv, weight))
+    num = F.coalesce(terms[0][0] * F.lit(terms[0][1]), F.lit(0.0))
+    den = F.when(terms[0][0].isNotNull(), F.lit(terms[0][1])).otherwise(F.lit(0.0))
+    for lagv, weight in terms[1:]:
+        num = num + F.coalesce(lagv * F.lit(weight), F.lit(0.0))
+        den = den + F.when(lagv.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 4).alias("ewma")
+    )
