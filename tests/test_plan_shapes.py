@@ -105,3 +105,29 @@ def test_embedding_top_component_bounded_shuffle(spark):
     plan = _plan(embedding_top_component(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert _count(plan, r"\(\d+\) SortMergeJoin") == 0, plan
+
+
+def test_group_hash_sample_window_group_limit(spark):
+    """The k-per-group rank filter must push into a map-side
+    WindowGroupLimit — a refactor to filter-after-window would ship
+    whole groups through the shuffle."""
+    from bike_data_flow_spark.queries.relational10 import group_hash_sample
+
+    plan = _plan(group_hash_sample(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_token_budget_selection_no_global_window(spark):
+    """The corpus-side windows are keyed by score bin; the only
+    unpartitioned window runs over the ≤ bins+1 histogram rows. A
+    regression to the naive global cumsum would put a corpus-sized
+    Window with no partitioning into the plan — detectable as a Sort
+    with a single-partition Exchange feeding a Window over the raw
+    scan subtree. Cheap proxy: the scan-side Window must carry the
+    _bin partition key."""
+    from bike_data_flow_spark.queries.textops2 import token_budget_selection
+
+    plan = _plan(token_budget_selection(spark, SF_DIR))
+    # boundary-fill window is partitioned by _bin
+    assert "partitionBy=[_bin" in plan.replace(" ", "") or "_bin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
