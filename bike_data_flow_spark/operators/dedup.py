@@ -653,7 +653,22 @@ def minhash_estimate_errors(
     reuses the sorted-array `array_intersect` verify, joined at
     candidate cardinality. Output is |candidates| rows.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, k).cache()
+    # ONE distinct-shingle scan feeds the signatures AND the exact
+    # verify arrays (MIN over the distinct set equals MIN over the
+    # multiset, so signatures lose nothing)
+    sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint()
+    staged = sh.select(
+        F.col(id_col), (md5_hash64(F.col("shingle")) % MINHASH_PRIME).alias("_hb")
+    )
+    aggs = []
+    for i in range(k):
+        ca, cb = minhash_coeff(i)
+        aggs.append(
+            F.min((F.lit(ca) * F.col("_hb") + F.lit(cb)) % MINHASH_PRIME).alias(
+                f"m{i}"
+            )
+        )
+    sigs = staged.groupBy(id_col).agg(*aggs).cache()
     keys = minhash_band_keys(sigs, id_col, k, bands)
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
@@ -677,7 +692,6 @@ def minhash_estimate_errors(
         .join(sb, "id_b")
         .select("id_a", "id_b", (matches / F.lit(k)).alias("_est"))
     )
-    sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n)
     arrs = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("arr")
     )
