@@ -296,3 +296,92 @@ def test_scd2_interval_laws(spark, changelog):
         # first interval opens at the key's earliest change
         first_ts = min(ts for kk, ts, _ in changelog if kk == k)
         assert rows[0]["valid_from"] == first_ts
+
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(_doc, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_prefix_filter_matches_brute_force_jaccard(spark, texts):
+    """ppjoin candidate pruning + array verify must return EXACTLY the
+    brute-force pairs with Jaccard ≥ t over 3-gram shingle sets."""
+    t = 0.6
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.prefix_filter_jaccard_pairs(df, threshold=t).collect()
+    }
+
+    def sh(s):
+        toks = s.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = set()
+    sets = [sh(s) for s in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            jac = round(len(a & b) / len(a | b), 4)
+            if jac >= t:
+                want.add((i, j, jac))
+    assert got == want
+
+
+def _bpe_reference(corpus: list[str], n_merges: int):
+    """Straightforward Python BPE trainer (Sennrich): weighted word
+    vocab, overlap-counted pair frequencies, greedy left-to-right
+    merge, tie-break (count DESC, left ASC, right ASC)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for doc in corpus:
+        for w in doc.lower().split():
+            vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), cnt = best
+        merges.append((l, r, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges
+
+
+@given(st.lists(_doc.filter(lambda s: s.strip()), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_bpe_matches_python_reference(spark, texts):
+    """The distributed string-replace merge must track the classic
+    in-memory trainer merge for merge, including overlap resolution
+    and tie-breaks."""
+    from bike_data_flow_spark.operators.bpe import bpe_learned_merges
+
+    want = _bpe_reference(texts, 3)
+    df = spark.createDataFrame([(s,) for s in texts], "text string")
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learned_merges(df, n_merges=3).collect()
+    ]
+    assert got == want[: len(got)]
+    assert len(got) == len(want)
