@@ -71,6 +71,7 @@ _CHECK_FIRST = (
     "ivfpq_topk",
     "group_hash_sample",
     "user_value_ewma",
+    "knn_label_spread",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

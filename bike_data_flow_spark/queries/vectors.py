@@ -860,3 +860,132 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=_IVFPQ_ITER,
         train_pct=_KMEANS_TRAIN_PCT,
     )
+
+
+_LS_SEED_PCT = 40
+_LS_ROUNDS = 2
+_KNN_EDGES_SQL = f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             round({_sql_cos("a.embedding", "b.embedding")}, 6) + 0.0
+               AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    edges AS (
+      SELECT src_id, dst_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src_id ORDER BY cos_sim DESC, dst_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_KNN_K}
+    )
+"""
+
+
+def _label_spread_oracle() -> str:
+    """Unrolled label-propagation rounds: seeds clamp, every other
+    node takes the majority label among its k-NN neighbors' CURRENT
+    labels (ties → smallest label), unlabeled neighbors abstain."""
+    seed = (
+        "CAST(('0x' || substr(md5('smp|' || CAST(vec_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % 100 < {_LS_SEED_PCT}"
+    )
+    ctes = [
+        f"l0 AS (SELECT vec_id, CASE WHEN {seed} THEN label END AS lab "
+        "FROM embeddings)"
+    ]
+    for r in range(1, _LS_ROUNDS + 1):
+        prev = r - 1
+        ctes.append(
+            f"""m{r} AS (
+      SELECT vec_id, lab FROM (
+        SELECT e.src_id AS vec_id, l.lab, count(*) AS c,
+               row_number() OVER (PARTITION BY e.src_id
+                                  ORDER BY count(*) DESC, l.lab ASC) AS rn
+        FROM edges e JOIN l{prev} l ON l.vec_id = e.dst_id
+        WHERE l.lab IS NOT NULL
+        GROUP BY e.src_id, l.lab
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"l{r} AS (SELECT l.vec_id, coalesce(l.lab, m.lab) AS lab "
+            f"FROM l{prev} l LEFT JOIN m{r} m ON m.vec_id = l.vec_id)"
+        )
+    return (
+        _KNN_EDGES_SQL.rstrip()
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+    SELECT l.vec_id, l.lab AS final_label,
+           CASE WHEN s.lab IS NOT NULL THEN 'seed'
+                WHEN l.lab IS NOT NULL THEN 'spread'
+                ELSE 'none' END AS origin
+    FROM l{_LS_ROUNDS} l JOIN l0 s ON s.vec_id = l.vec_id
+    """
+    )
+
+
+@query("knn_label_spread", oracle=_label_spread_oracle())
+def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the LSH k-NN graph — the
+    weak-supervision primitive (Zhu & Ghahramani 2002 label spreading,
+    majority-vote discrete variant): a deterministic ~40% hash-seeded
+    subset keeps its labels, everyone else takes the per-round
+    majority of its neighbors, unrolled a fixed 2 rounds.
+
+    Scale shape: the edge list builds once (bucket equi-join + map-side
+    WindowGroupLimit) and is pinned; each round is ONE edge-keyed join
+    + a (node, label) partial-agg majority — iterative state is the
+    corpus-row (vec_id, lab) pair list, never collected."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed = (
+        "pmod(conv(substring(md5(concat('smp|', cast(vec_id as string))), "
+        f"1, 8), 16, 10), 100) < {_LS_SEED_PCT}"
+    )
+    labels = emb.select(
+        "vec_id",
+        F.when(F.expr(seed), F.col("label")).alias("lab"),
+    ).localCheckpoint()
+    edges = (
+        knn_graph_edges(spark, sf_dir).select("src_id", "dst_id").localCheckpoint()
+    )
+    cur = labels
+    w = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LS_ROUNDS):
+        votes = (
+            edges.join(
+                cur.filter(F.col("lab").isNotNull()).select(
+                    F.col("vec_id").alias("dst_id"), "lab"
+                ),
+                "dst_id",
+            )
+            .groupBy("src_id", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        maj = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src_id").alias("vec_id"), F.col("lab").alias("_maj"))
+        )
+        cur = (
+            cur.join(maj, "vec_id", "left")
+            .select("vec_id", F.coalesce("lab", "_maj").alias("lab"))
+        )
+    return (
+        cur.join(labels.select("vec_id", F.col("lab").alias("_seed")), "vec_id")
+        .select(
+            "vec_id",
+            F.col("lab").alias("final_label"),
+            F.when(F.col("_seed").isNotNull(), F.lit("seed"))
+            .when(F.col("lab").isNotNull(), F.lit("spread"))
+            .otherwise(F.lit("none"))
+            .alias("origin"),
+        )
+    )
