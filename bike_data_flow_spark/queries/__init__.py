@@ -72,6 +72,7 @@ _CHECK_FIRST = (
     "group_hash_sample",
     "user_value_ewma",
     "knn_label_spread",
+    "knn_graph_triangles",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -989,3 +989,89 @@ def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("origin"),
         )
     )
+
+
+@query(
+    "knn_graph_triangles",
+    oracle=_KNN_EDGES_SQL.rstrip()
+    + """,
+    und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+      ) GROUP BY id
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS lo,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS hi
+      FROM und JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
+    ),
+    tris AS (
+      SELECT count(*) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e2.lo = e1.hi
+      JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+    SELECT n_triangles, n_wedges,
+           round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+    FROM tris, wedges
+    """,
+)
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the k-NN
+    graph — the manifold-quality probe (high clustering = neighbors
+    agree; near-random graphs signal broken embeddings). Degree-ordered
+    edge orientation (Schank–Wagner compact-forward): every edge points
+    low-rank → high-rank by (degree, id), so each triangle is
+    enumerated exactly once and the wedge join fans out by the LOW
+    endpoint's out-degree — bounded by max degree ≤ corpus-wide k
+    in a k-NN graph, never by hub in-degree."""
+    edges = (
+        knn_graph_edges(spark, sf_dir).select("src_id", "dst_id").localCheckpoint()
+    )
+    und = edges.select(
+        F.least("src_id", "dst_id").alias("u"),
+        F.greatest("src_id", "dst_id").alias("v"),
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+        .localCheckpoint()
+    )
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    return tris.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "clustering_coeff"
+        ),
+    )
