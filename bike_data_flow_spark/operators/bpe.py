@@ -105,3 +105,41 @@ def bpe_learned_merges(
     for t in merge_tables[1:]:
         out = out.unionAll(t)
     return out
+
+
+def bpe_vocab_lengths(
+    df: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """ENCODE side of the trainer: replay the ``n_merges`` learned
+    merges over the word vocabulary and return (w, n_syms) — each
+    distinct word's post-merge symbol count. A corpus encode is then
+    a words→vocab join + per-doc sum (vocabulary-sized state, the
+    same scale story as training)."""
+    words = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    cur = words.select(
+        "w",
+        F.concat(F.lit("  "), F.concat_ws("  ", chars), F.lit("  ")).alias("s"),
+        "wc",
+    ).cache()
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(cur)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+        needle = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
+        merged = F.concat(F.lit(" "), F.col("l"), F.lit(_MARK), F.col("r"), F.lit(" "))
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select("w", F.replace(F.col("s"), needle, merged).alias("s"), "wc")
+            .cache()
+        )
+    return cur.select(
+        "w", F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_syms")
+    )

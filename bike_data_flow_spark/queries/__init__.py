@@ -73,6 +73,7 @@ _CHECK_FIRST = (
     "user_value_ewma",
     "knn_label_spread",
     "knn_graph_triangles",
+    "bpe_doc_compression",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

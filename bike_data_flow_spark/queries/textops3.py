@@ -518,3 +518,93 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_learned_merges as _learn
 
     return _learn(load(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+
+
+def _bpe_vocab_ctes(n_merges: int = _BPE_MERGES) -> str:
+    """Word-carrying variant of the merge chains: replay ALL learned
+    merges (including the last) and keep the word key, so the final
+    CTE is the (word, n_syms) encode vocabulary."""
+    pair_cte = """
+    ep{r} AS (
+      SELECT pr.l AS l, pr.r AS r, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        SELECT unnest([{{'l': syms[i], 'r': syms[i+1]}}
+                       FOR i IN generate_series(1, len(syms) - 1)]) AS pr, wc
+        FROM (SELECT string_split(trim(s), '  ') AS syms, wc FROM es{prev})
+      ) GROUP BY pr.l, pr.r
+    )"""
+    best_cte = """
+    eb{r} AS (SELECT l, r FROM ep{r}
+              ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+    merge_cte = """
+    es{r} AS (SELECT word, replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                                      ' ' || b.l || chr(1) || b.r || ' ') AS s, wc
+              FROM es{prev}, eb{r} b)"""
+    ctes = [
+        f"""ew AS (
+      SELECT word, count(*) AS wc FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents
+        WHERE len(trim(text)) > 0
+      ) GROUP BY word
+    )""",
+        """es0 AS (
+      SELECT word, '  ' || array_to_string(
+               [substr(word, i, 1) FOR i IN generate_series(1, len(word))],
+               '  ') || '  ' AS s, wc
+      FROM ew
+    )""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(pair_cte.format(r=r, prev=r - 1))
+        ctes.append(best_cte.format(r=r))
+        ctes.append(merge_cte.format(r=r, prev=r - 1))
+    ctes.append(
+        f"evocab AS (SELECT word, len(string_split(trim(s), '  ')) AS n_syms "
+        f"FROM es{n_merges})"
+    )
+    return ",\n".join(ctes)
+
+
+@query(
+    "bpe_doc_compression",
+    oracle=f"""
+    WITH {_bpe_vocab_ctes()}
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(len(word)) AS BIGINT) AS n_chars,
+           CAST(sum(n_syms) AS BIGINT) AS n_syms,
+           round(CAST(sum(n_syms) AS DOUBLE) / sum(len(word)), 4) AS compression
+    FROM (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+      WHERE len(trim(text)) > 0
+    )
+    JOIN evocab USING (word)
+    GROUP BY doc_id
+    """,
+)
+def bpe_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of BPE training: replay the learned merges over the
+    word vocabulary, then measure per-document compression (post-merge
+    symbols / characters) via a words→vocab join — the metric that
+    tells a tokenizer team whether the merge table is earning its
+    keep on THIS corpus. Vocabulary-sized state throughout."""
+    from ..operators.bpe import bpe_vocab_lengths
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    vocab = bpe_vocab_lengths(docs, n_merges=_BPE_MERGES)
+    words = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("word")
+    )
+    return (
+        words.join(vocab.withColumnRenamed("w", "word"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_syms").alias("n_syms"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.sum(F.length("word")), 4
+            ).alias("compression"),
+        )
+    )
