@@ -104,3 +104,60 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(num / den, 4).alias("ewma")
     )
+
+
+# MATCH_RECOGNIZE-lite: each user's event history compresses to a
+# symbol string (first letter of the type, ts order) and CEP patterns
+# become plain regexes over it. 'v+c' = a view-run converting to a
+# click; 'c[^p]*p' = click eventually followed by purchase.
+_SEQ_PATTERNS = {"view_burst_click": "v+c", "click_to_purchase": "c[^p]*p"}
+
+
+@query(
+    "event_regex_matches",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts ASC, event_id ASC) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           {", ".join(
+             f"len(regexp_extract_all(s, '{p}')) AS {name}"
+             for name, p in _SEQ_PATTERNS.items()
+           )}
+    FROM seq
+    """,
+)
+def event_regex_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite complex-event patterns: per-user event
+    histories become symbol strings (one char per event, time order),
+    and sequence patterns become ordinary regex counts — the batch
+    complement of the streaming CEP funnel, with full regex power
+    (alternation, negation, runs) instead of a fixed step list.
+
+    Non-overlapping leftmost match semantics on BOTH engines (RE2 and
+    java.util.regex agree for these patterns). One user-keyed
+    aggregate; the symbol string is bounded by events-per-user."""
+    ev = load(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts_ns"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            )
+        )
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda x: x["ch"]), ""
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        *[
+            F.size(F.regexp_extract_all(F.col("s"), F.lit(p), F.lit(0))).alias(name)
+            for name, p in _SEQ_PATTERNS.items()
+        ],
+    )
