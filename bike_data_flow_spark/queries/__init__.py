@@ -75,6 +75,7 @@ _CHECK_FIRST = (
     "knn_graph_triangles",
     "bpe_doc_compression",
     "event_regex_matches",
+    "dedup_quality_keepers",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -620,3 +620,66 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_token_share"),
         F.round(F.count(F.lit(1)) / F.sum("cnt"), 4).alias("distinct_ratio"),
     )
+
+
+@query(
+    "dedup_quality_keepers",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM walk GROUP BY id),
+    scored AS (
+      SELECT doc_id,
+             round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   / len(lower(text)), 4) AS q
+      FROM documents
+    )
+    SELECT cluster_id, doc_id AS keeper_id, q AS keeper_quality,
+           n_members
+    FROM (
+      SELECT c.cluster_id, c.doc_id, s.q,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY s.q DESC NULLS LAST, c.doc_id ASC) AS rn
+      FROM clusters c JOIN scored s USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority canonicalization: within each near-dup cluster
+    keep the HIGHEST-quality member (alpha-ratio score, ties → smallest
+    id) instead of the arbitrary min-id — the curation rule a real
+    pipeline wants ("drop the mojibake copy, keep the clean one").
+    One rank window over the cluster assignment joined with per-doc
+    scores; cluster sizes ride the same window partitioning."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs)
+    clusters = D.connected_components(pairs, docs.select("doc_id"))
+    scored = docs.select("doc_id", T.alpha_ratio(F.col("text")).alias("q"))
+    joined = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.desc_nulls_last("q"), F.asc("doc_id"))
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("q").alias("keeper_quality"),
+            "n_members",
+        )
+    )
