@@ -76,6 +76,7 @@ _CHECK_FIRST = (
     "bpe_doc_compression",
     "event_regex_matches",
     "dedup_quality_keepers",
+    "copurchase_pairs",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -161,3 +161,72 @@ def event_regex_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, p in _SEQ_PATTERNS.items()
         ],
     )
+
+
+_MB_MIN_SUPPORT = 3
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n FROM items),
+    part_counts AS (SELECT part, count(*) AS c FROM items GROUP BY part),
+    pair_counts AS (
+      SELECT a.part AS part_a, b.part AS part_b, count(*) AS c_ab
+      FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY a.part, b.part
+    )
+    SELECT part_a, part_b, c_ab,
+           round((c_ab / n) / ((ca.c / n) * (cb.c / n)), 4) AS lift
+    FROM pair_counts
+    JOIN part_counts ca ON ca.part = part_a
+    JOIN part_counts cb ON cb.part = part_b
+    CROSS JOIN n_orders
+    WHERE c_ab >= {_MB_MIN_SUPPORT}
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairwise association: parts co-occurring in ≥
+    min_support orders, with lift = P(ab)/(P(a)·P(b)) — the 2-itemset
+    core of Apriori/FP-growth. The pair join is keyed on the ORDER
+    (only co-purchased parts ever meet), so pair work is Σ basket²
+    over orders, never parts² — baskets are small by construction and
+    a pathological mega-basket is the skew knob a basket-size cap
+    would bound. Part-frequency joins broadcast at catalog scale."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("okey").cast("double").alias("n")
+    )
+    part_counts = items.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pair_counts = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _MB_MIN_SUPPORT)
+    )
+    ca = part_counts.select(F.col("part").alias("part_a"), F.col("c").alias("_ca"))
+    cb = part_counts.select(F.col("part").alias("part_b"), F.col("c").alias("_cb"))
+    return (
+        pair_counts.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(
+                (F.col("c_ab") / F.col("n"))
+                / ((F.col("_ca") / F.col("n")) * (F.col("_cb") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+    )
