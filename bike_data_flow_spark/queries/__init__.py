@@ -77,6 +77,7 @@ _CHECK_FIRST = (
     "event_regex_matches",
     "dedup_quality_keepers",
     "copurchase_pairs",
+    "value_psi_drift",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -230,3 +230,80 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# PSI drift bins: fixed [0, 500) range in 10 equal bins (deterministic
+# — quantile-derived bins would couple the metric to its own data);
+# reference window = first half of the month, comparison = second.
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0.0, 500.0
+_PSI_SPLIT = "2024-01-16"
+_PSI_EPS = 1e-6  # empty-bin smoothing, same literal both engines
+
+
+@query(
+    "value_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 'ref' ELSE 'cur' END
+               AS win,
+             least(CAST(floor((value - {_PSI_LO})
+                              / (({_PSI_HI} - {_PSI_LO}) / {_PSI_BINS}))
+                        AS BIGINT), {_PSI_BINS - 1}) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                   CAST(sum(n_cur) AS DOUBLE) AS tc FROM counts)
+    SELECT bin,
+           round(n_ref / tr, 6) AS p_ref,
+           round(n_cur / tc, 6) AS p_cur,
+           round((n_cur / tc - n_ref / tr)
+                 * ln((n_cur / tc + {_PSI_EPS}) / (n_ref / tr + {_PSI_EPS})),
+                 6) + 0.0 AS psi_term
+    FROM counts, tot
+    """,
+)
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of the event value distribution
+    between the month's first and second half: per-bin (p_ref, p_cur)
+    and the PSI contribution (p_cur−p_ref)·ln(p_cur/p_ref), smoothed
+    against empty bins — the ML-ops distribution monitor (Σ psi_term
+    > 0.2 is the conventional alarm). One scan, one bins-sized
+    aggregate; fixed equal-width bins keep the metric decoupled from
+    its own data (quantile bins would drift with the drift)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    binned = ev.select(
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("win"),
+        F.least(
+            F.floor((F.col("value") - _PSI_LO) / width).cast("long"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("tr"),
+        F.sum("n_cur").cast("double").alias("tc"),
+    )
+    pr = F.col("n_ref") / F.col("tr")
+    pc = F.col("n_cur") / F.col("tc")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(pr, 6).alias("p_ref"),
+        F.round(pc, 6).alias("p_cur"),
+        (
+            F.round((pc - pr) * F.log((pc + _PSI_EPS) / (pr + _PSI_EPS)), 6)
+            + F.lit(0.0)
+        ).alias("psi_term"),
+    )
