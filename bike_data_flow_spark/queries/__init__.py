@@ -78,6 +78,7 @@ _CHECK_FIRST = (
     "dedup_quality_keepers",
     "copurchase_pairs",
     "value_psi_drift",
+    "zipf_fit",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

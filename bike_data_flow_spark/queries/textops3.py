@@ -608,3 +608,91 @@ def bpe_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+_ZIPF_TOP = 100
+_ZIPF_SCALE = 1_000_000
+
+
+@query(
+    "zipf_fit",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk, c
+      FROM (
+        SELECT tok, count(*) AS c FROM (
+          SELECT unnest({_TOKS}) AS tok FROM documents
+          WHERE len(trim(text)) > 0
+        ) GROUP BY tok
+      )
+      ORDER BY c DESC, tok ASC LIMIT {_ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT CAST(round(ln(rnk) * {_ZIPF_SCALE}) AS BIGINT) AS x,
+             CAST(round(ln(c) * {_ZIPF_SCALE}) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_tokens,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx) * sx)
+                 / n / {_ZIPF_SCALE}, 6) AS intercept_ln
+    FROM s
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top token ranks: OLS slope of
+    ln(freq) ~ ln(rank) (natural corpora sit near −1; a flat or
+    broken slope flags templated/duplicated text). Parity pattern:
+    the log points scale to INTEGERS before the regression sums, so
+    every aggregate is exact and order-independent — no float-fold
+    drift between engines — and doubles appear only in the final
+    closed-form division. Vocab-sized aggregate + a 100-row fit."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    from pyspark.sql.window import Window
+
+    cnt = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_ZIPF_TOP)
+    )
+    ranked = cnt.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk")) * _ZIPF_SCALE).cast("bigint").alias("x"),
+        F.round(F.log(F.col("c")) * _ZIPF_SCALE).cast("bigint").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / _ZIPF_SCALE,
+            6,
+        ).alias("intercept_ln"),
+    )
