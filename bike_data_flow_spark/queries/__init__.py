@@ -79,6 +79,7 @@ _CHECK_FIRST = (
     "copurchase_pairs",
     "value_psi_drift",
     "zipf_fit",
+    "referential_integrity_audit",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

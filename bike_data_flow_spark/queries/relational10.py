@@ -307,3 +307,66 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("psi_term"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk, count(*) AS n_rows,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', count(*),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', count(*),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', count(*),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', count(*),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit over the star schema — the referential
+    health check a warehouse runs after every load. Each FK is one
+    left join + conditional count; dimension sides broadcast, the two
+    fact-fact legs shuffle on their keys (AQE-planned). At 100 TB the
+    orphan COUNT (not the orphan rows) is the steady-state monitor;
+    the same joins with a filter materialize the quarantine set."""
+    def leg(fact, fcol, dim, dcol, name):
+        f = load(spark, sf_dir, fact)
+        d = load(spark, sf_dir, dim).select(F.col(dcol).alias("_dk"))
+        return (
+            f.join(d, f[fcol] == F.col("_dk"), "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_dk").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        )
+
+    legs = [
+        leg("orders", "o_custkey", "customer", "c_custkey",
+            "orders.o_custkey->customer"),
+        leg("lineitem", "l_orderkey", "orders", "o_orderkey",
+            "lineitem.l_orderkey->orders"),
+        leg("lineitem", "l_partkey", "part", "p_partkey",
+            "lineitem.l_partkey->part"),
+        leg("lineitem", "l_suppkey", "supplier", "s_suppkey",
+            "lineitem.l_suppkey->supplier"),
+        leg("customer", "c_nationkey", "nation", "n_nationkey",
+            "customer.c_nationkey->nation"),
+    ]
+    out = legs[0]
+    for more in legs[1:]:
+        out = out.unionAll(more)
+    return out
