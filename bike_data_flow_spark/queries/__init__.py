@@ -80,6 +80,7 @@ _CHECK_FIRST = (
     "value_psi_drift",
     "zipf_fit",
     "referential_integrity_audit",
+    "seasonal_value_outliers",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

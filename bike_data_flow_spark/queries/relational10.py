@@ -370,3 +370,89 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for more in legs[1:]:
         out = out.unionAll(more)
     return out
+
+
+_SEAS_SIGMA = 3.0
+
+
+@query(
+    "seasonal_value_outliers",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, user_id, value,
+             dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS xi
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT dow, hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx
+      FROM pts GROUP BY dow, hod
+    ),
+    enriched AS (
+      SELECT p.event_id, p.user_id, p.value, p.dow, p.hod,
+             CAST(s.sx AS DOUBLE) / s.n / 100 AS mu,
+             CASE WHEN s.n > 1
+                  THEN sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+                            / s.n / (s.n - 1)) / 100
+                  ELSE 0.0 END AS sigma
+      FROM pts p JOIN stats s ON s.dow = p.dow AND s.hod = p.hod
+    )
+    SELECT event_id, user_id, dow, hod,
+           round(value, 2) AS value,
+           round(mu, 4) AS expected,
+           round(sigma, 4) AS sigma
+    FROM enriched
+    WHERE abs(value - mu) > {_SEAS_SIGMA} * sigma AND sigma > 0
+    """,
+)
+def seasonal_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each event scored against
+    its (day-of-week, hour) cohort's mean ± 3σ — the time-of-day-aware
+    outlier gate plain z-scores miss. Parity pattern: values scale to
+    integer centi-units so the count/sum/sum-of-squares are EXACT and
+    order-independent; mean and σ derive from those integers in
+    identical IEEE ops on both engines, so the >3σ cut never flickers.
+    One seasonal-cell aggregate (≤ 7×24 rows, broadcast back)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("xi"),
+    )
+    stats = pts.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n") / 100
+    sigma = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / F.col("n")
+            / (F.col("n") - 1)
+        )
+        / 100,
+    ).otherwise(F.lit(0.0))
+    enriched = pts.join(
+        F.broadcast(stats.select("dow", "hod", mu.alias("mu"), sigma.alias("sigma"))),
+        ["dow", "hod"],
+    )
+    return enriched.filter(
+        (F.abs(F.col("value") - F.col("mu")) > _SEAS_SIGMA * F.col("sigma"))
+        & (F.col("sigma") > 0)
+    ).select(
+        "event_id",
+        "user_id",
+        "dow",
+        "hod",
+        F.round("value", 2).alias("value"),
+        F.round("mu", 4).alias("expected"),
+        F.round("sigma", 4).alias("sigma"),
+    )
