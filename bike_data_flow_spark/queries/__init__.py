@@ -81,6 +81,7 @@ _CHECK_FIRST = (
     "zipf_fit",
     "referential_integrity_audit",
     "seasonal_value_outliers",
+    "point_in_time_value_band",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -117,3 +117,87 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("valid_to div 1000000").alias("valid_to_ms"),
         "is_current",
     )
+
+
+@query(
+    "point_in_time_value_band",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value / 10) AS BIGINT) AS value_band
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, ts, event_id, value_band FROM (
+        SELECT *, lag(value_band) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+        FROM t
+      ) WHERE prev IS NULL OR value_band <> prev
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) AS purchase_ts_ms,
+           c.value_band AS band_at_purchase
+    FROM p LEFT JOIN chg c
+      ON c.user_id = p.user_id
+    QUALIFY row_number() OVER (
+      PARTITION BY p.event_id
+      ORDER BY (c.ts <= p.ts) DESC, c.ts DESC, c.event_id DESC) = 1
+    """,
+)
+def point_in_time_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase gets the user's
+    value-band STATE at purchase time — the as-of join against the
+    SCD2 changelog that makes historical features leakage-free (a
+    plain latest-value join would read the future). Spark side: the
+    generic asof_join operator (union + last-ignorenulls window, one
+    (key, ts) sort); the oracle ranks preceding changes per purchase.
+
+    The oracle's QUALIFY orders matches-first so a purchase with NO
+    preceding change still emits one NULL-band row — identical to the
+    operator's left semantics."""
+    from pyspark.sql.window import Window
+
+    from ..operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    bands = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.floor(F.col("value") / 10).alias("value_band"),
+    )
+    # the changelog stage of SCD2 (lag filter), with the event id kept
+    # so the as-of tie-break at equal timestamps matches the oracle's
+    # event_id ordering exactly
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    chg = (
+        bands.withColumn("_prev", F.lag("value_band").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("value_band") != F.col("_prev")))
+        .select(
+            "user_id",
+            F.col("ts_ns").alias("chg_ts_ns"),
+            F.col("event_id").alias("chg_event_id"),
+            "value_band",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ns", F.col("ts").alias("purchase_ts")
+    )
+    joined = asof_join(
+        purchases,
+        chg,
+        on="user_id",
+        left_ts="ts_ns",
+        right_ts="chg_ts_ns",
+        right_id="chg_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("purchase_ts")).alias("purchase_ts_ms"),
+        F.col("r_value_band").alias("band_at_purchase"),
+    )
