@@ -82,6 +82,7 @@ _CHECK_FIRST = (
     "referential_integrity_audit",
     "seasonal_value_outliers",
     "point_in_time_value_band",
+    "k_anonymity_audit",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

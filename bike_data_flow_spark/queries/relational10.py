@@ -456,3 +456,47 @@ def seasonal_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mu", 4).alias("expected"),
         F.round("sigma", 4).alias("sigma"),
     )
+
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cells)
+    SELECT c_nationkey, c_mktsegment, bal_band, n,
+           n < {_KANON_K} AS violates_k,
+           round(n / t, 6) AS cell_frac
+    FROM cells, tot
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier cells (nation ×
+    segment × coarse balance band): cells with fewer than k members
+    re-identify their rows and need suppression/generalization before
+    release — the privacy-compliance scan a data-sharing pipeline
+    runs pre-export. One grouping-key aggregate; the violating-cell
+    list is the suppression worklist."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").cast("double").alias("t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "n",
+        (F.col("n") < _KANON_K).alias("violates_k"),
+        F.round(F.col("n") / F.col("t"), 6).alias("cell_frac"),
+    )
