@@ -172,3 +172,63 @@ def test_pq_codes_shape_and_reconstruction_monotonicity(spark):
     }
     orig, copy = out2[first["vec_id"]], out2[999_999]
     assert [orig[f"c{j}"] for j in range(4)] == [copy[f"c{j}"] for j in range(4)]
+
+
+def test_label_spread_clamps_seeds_and_spreads(spark):
+    """Seeds keep their ORIGINAL labels verbatim; spread labels only
+    ever take values that exist among the seeds; origin tags are
+    consistent with nullability."""
+    from bike_data_flow_spark.queries.vectors import (
+        _LS_SEED_PCT,
+        knn_label_spread,
+    )
+    from bike_data_flow_spark.tables import load
+
+    out = {r["vec_id"]: r for r in knn_label_spread(spark, SF_DIR).collect()}
+    emb = {r["vec_id"]: r["label"] for r in
+           load(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()}
+    import hashlib
+
+    def is_seed(vid):
+        h = int(hashlib.md5(f"smp|{vid}".encode()).hexdigest()[:8], 16)
+        return h % 100 < _LS_SEED_PCT
+
+    seed_labels = {emb[v] for v in emb if is_seed(v)}
+    for vid, r in out.items():
+        if is_seed(vid):
+            assert r["origin"] == "seed" and r["final_label"] == emb[vid]
+        elif r["final_label"] is not None:
+            assert r["origin"] == "spread"
+            assert r["final_label"] in seed_labels
+        else:
+            assert r["origin"] == "none"
+
+
+def test_ivfpq_adc_matches_manual_reconstruction(spark):
+    """The ADC distance of each returned row must equal the manually
+    reconstructed Σ_j ‖q_j − codebook_j[code_j(x)]‖² computed in
+    Python from the same codebooks — no silent LUT/code mixups."""
+    import numpy as np
+
+    from bike_data_flow_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+    )
+    from bike_data_flow_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    out = ivfpq_topk(emb, vec_id=0, k=5, nprobe=2, n_iter=1).collect()
+    books = [np.asarray(b) for b in pq_codebooks(emb, m=4, k=4, n_iter=1)]
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    q = vecs[0]
+    sub = len(q) // 4
+    for r in out:
+        x = vecs[r["vec_id"]]
+        adc = 0.0
+        for j in range(4):
+            xj = x[j * sub : (j + 1) * sub]
+            qj = q[j * sub : (j + 1) * sub]
+            code = int(np.argmin(((xj - books[j]) ** 2).sum(axis=1)))
+            adc += float(((qj - books[j][code]) ** 2).sum())
+        assert abs(r["adc_dist"] - adc) < 1e-4, (r, adc)

@@ -131,3 +131,30 @@ def test_token_budget_selection_no_global_window(spark):
     # boundary-fill window is partitioned by _bin
     assert "partitionBy=[_bin" in plan.replace(" ", "") or "_bin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_round5_graph_and_ann_queries_no_cross_product(spark):
+    """Every round-5 graph/ANN query must stay keyed: no cartesian, no
+    non-broadcast nested-loop join anywhere in the plan."""
+    from bike_data_flow_spark.queries.mutations import point_in_time_value_band
+    from bike_data_flow_spark.queries.relational10 import copurchase_pairs
+    from bike_data_flow_spark.queries.vectors import (
+        knn_graph_triangles,
+        knn_label_spread,
+    )
+
+    for fn in (knn_label_spread, knn_graph_triangles, copurchase_pairs,
+               point_in_time_value_band):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+
+
+def test_ivfpq_probed_scan_and_no_python(spark):
+    """The IVF+PQ fine stage is JVM expression work over the probed
+    fraction — no Python evaluation node may appear, and the only
+    nested-loop is the broadcast of the 1-row query vector."""
+    from bike_data_flow_spark.queries.vectors import ivfpq_topk
+
+    plan = _plan(ivfpq_topk(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
