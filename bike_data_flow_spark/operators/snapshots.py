@@ -60,8 +60,8 @@ def current_version(table_dir: str) -> int | None:
         return int(content)
     except ValueError:
         # A corrupt pointer must NOT read as "no table": snapshot_write
-        # would restart at version 1 and overwrite data/v1, which
-        # retained manifests still reference. Fail loudly instead.
+        # would restart at version 1 and collide with the committed v1
+        # manifest (an error, but a confusing one). Fail loudly instead.
         raise RuntimeError(
             f"corrupt _LATEST pointer under {table_dir}: {content!r}"
         ) from None
@@ -79,10 +79,17 @@ def snapshot_write(
     prev = current_version(table_dir)
     version = 1 if prev is None else prev + 1
 
-    data_dir = f"{table_dir}/data/v{version}"
+    # per-attempt unique dir: two writers racing toward the same version
+    # can never clobber each other's DATA — the loser's files become
+    # unreachable garbage when its manifest publish fails below, and a
+    # crashed attempt's files are likewise simply never referenced.
+    import uuid
+
+    rel_dir = f"data/v{version}-{uuid.uuid4().hex[:8]}"
+    data_dir = f"{table_dir}/{rel_dir}"
     df.write.mode("overwrite").parquet(data_dir)
 
-    dirs = [f"data/v{version}"]
+    dirs = [rel_dir]
     if mode == "append" and prev is not None:
         dirs = _read_manifest(table_dir, prev)["dirs"] + dirs
     manifest = {

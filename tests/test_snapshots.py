@@ -54,23 +54,27 @@ def test_uncommitted_garbage_is_invisible(spark, tmp_path: Path):
     t = str(tmp_path / "tbl")
     snapshot_write(_df(spark, [(1, "a")]), t)
     # crashed second commit: data landed, manifest/pointer never did
-    _df(spark, [(99, "junk")]).write.parquet(f"{t}/data/v2")
+    _df(spark, [(99, "junk")]).write.parquet(f"{t}/data/v2-deadbeef")
     assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1}
     assert current_version(t) == 1
-    # the NEXT commit reuses the uncommitted version number and its
-    # overwrite-mode data write clobbers the junk
+    # the NEXT commit takes the same version NUMBER but its own unique
+    # data dir — the junk stays unreferenced forever, never read
     snapshot_write(_df(spark, [(2, "b")]), t)
     assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
+    assert Path(f"{t}/data/v2-deadbeef").exists()  # inert, not clobbered
 
 
 def test_expire_snapshots_drops_unreferenced_dirs(spark, tmp_path: Path):
     t = str(tmp_path / "tbl")
+    from bike_data_flow_spark.operators.snapshots import _read_manifest
+
     snapshot_write(_df(spark, [(1, "a")]), t)
+    v1_dir = _read_manifest(t, 1)["dirs"][0]
     snapshot_write(_df(spark, [(9, "z")]), t, mode="overwrite")  # v2 orphans v1's dir
     snapshot_write(_df(spark, [(10, "y")]), t)  # v3 = v2 dirs + new
     expired = expire_snapshots(t, keep_last=2)
     assert expired == [1]
-    assert not Path(f"{t}/data/v1").exists()  # orphaned by the overwrite
+    assert not Path(f"{t}/{v1_dir}").exists()  # orphaned by the overwrite
     assert {r["k"] for r in snapshot_read(spark, t).collect()} == {9, 10}
     assert {r["k"] for r in snapshot_read(spark, t, version=2).collect()} == {9}
 
@@ -270,3 +274,26 @@ def test_fence_stops_at_newest_writer_manifest(spark, tmp_path: Path):
     expire_snapshots(t, keep_last=1)
     assert last_txn_version(t, "w") is None
     assert last_txn_version(t, "x") == 9
+
+
+def test_snapshot_write_collision_via_stale_version_read(spark, tmp_path, monkeypatch):
+    """A zombie writer that resolved prev BEFORE another writer's
+    commit must ERROR inside snapshot_write itself (not just in a
+    hand-rolled replay): patch current_version to return the stale
+    value and let the real code path hit the conditional publish."""
+    import pytest
+
+    from bike_data_flow_spark.operators import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    snapshot_write(_df(spark, [(2, "b")]), t)  # real v2
+
+    real = S.current_version
+    monkeypatch.setattr(S, "current_version", lambda d: 1)  # stale view
+    with pytest.raises(RuntimeError, match="collision"):
+        S.snapshot_write(_df(spark, [(9, "z")]), t)
+    monkeypatch.setattr(S, "current_version", real)
+    # the winner's commit is intact and the table still reads
+    assert current_version(t) == 2
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
