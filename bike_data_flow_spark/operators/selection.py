@@ -48,7 +48,10 @@ def select_within_token_budget(
     d = df.filter(F.col(score_col).isNotNull()).select(
         id_col, score_col, weight_col
     )
-    binned = d.withColumn("_bin", F.floor(F.col(score_col) * bins))
+    # cached: three consumers (bin totals, full-bin keep, boundary
+    # fill) would otherwise re-run the caller's scoring pipeline —
+    # typically regex-heavy quality metrics — once each
+    binned = d.withColumn("_bin", F.floor(F.col(score_col) * bins)).cache()
     totals = binned.groupBy("_bin").agg(F.sum(weight_col).alias("_bin_w"))
     wdesc = Window.orderBy(F.desc("_bin")).rowsBetween(
         Window.unboundedPreceding, -1

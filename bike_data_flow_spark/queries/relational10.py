@@ -197,9 +197,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pathological mega-basket is the skew knob a basket-size cap
     would bound. Part-frequency joins broadcast at catalog scale."""
     li = load(spark, sf_dir, "lineitem")
+    # cached: four consumers (order count, part counts, both join
+    # sides) of the distinct basket-items projection
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
+    ).distinct().cache()
     n_orders = items.agg(
         F.countDistinct("okey").cast("double").alias("n")
     )
