@@ -83,6 +83,8 @@ _CHECK_FIRST = (
     "seasonal_value_outliers",
     "point_in_time_value_band",
     "k_anonymity_audit",
+    "temperature_mixture",
+    "hard_negative_mining",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -671,3 +671,53 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(c).alias("n_tokens"),
     )
     return select_within_token_budget(scored, budget=_SEL_BUDGET)
+
+
+_MIX_TAU = 0.5  # temperature: 1 = proportional, 0 = uniform
+
+
+@query(
+    "temperature_mixture",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(sum({_N_TOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_tokens,
+             n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s) AS share
+      FROM s
+    )
+    SELECT source, n_tokens,
+           round(share, 6) AS share,
+           round(pow(share, {_MIX_TAU})
+                 / (SELECT sum(pow(share, {_MIX_TAU})) FROM p), 6)
+             AS sample_prob,
+           round(pow(share, {_MIX_TAU})
+                 / (SELECT sum(pow(share, {_MIX_TAU})) FROM p) / share, 4)
+             AS upweight
+    FROM p
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (the multilingual-LM mixture
+    rule, p_i ∝ share_i^τ): τ<1 upweights small sources without the
+    full flattening of uniform — `upweight` is the per-source repeat
+    factor the data loader applies. One |sources|-row aggregate; the
+    normalizers are window sums over it."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    p = s.select("source", "n_tokens", share.alias("share"))
+    z = F.sum(F.pow(F.col("share"), _MIX_TAU)).over(w)
+    prob = F.pow(F.col("share"), _MIX_TAU) / z
+    return p.select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(prob, 6).alias("sample_prob"),
+        F.round(prob / F.col("share"), 4).alias("upweight"),
+    )

@@ -1075,3 +1075,79 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coeff"
         ),
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, embedding, {_sql_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS negative_id, b.label AS negative_label,
+             round({_sql_cos("a.embedding", "b.embedding")}, 6) + 0.0
+               AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.label <> b.label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk = 1
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: each
+    anchor's MOST similar different-label vector (the negatives that
+    actually teach the model, vs easy random ones). Same LSH-bucket
+    candidate shape as the k-NN graph — pairs meet only inside a
+    bucket equi-join with the label-inequality pushed into the join —
+    and the per-anchor top-1 rewrites to map-side WindowGroupLimit."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    wb = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        S.hyperplane_bucket(F.col("embedding"), _DIM).alias("_bucket"),
+        S.norm(F.col("embedding")).alias("_nrm"),
+    )
+    a = wb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("_va"),
+        "_bucket",
+        F.col("_nrm").alias("_na"),
+    )
+    b = wb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("_vb"),
+        "_bucket",
+        F.col("_nrm").alias("_nb"),
+    )
+    cos = S.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    scored = (
+        a.join(b, "_bucket")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            (F.round(cos, 6) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
