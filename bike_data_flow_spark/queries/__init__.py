@@ -85,6 +85,9 @@ _CHECK_FIRST = (
     "k_anonymity_audit",
     "temperature_mixture",
     "hard_negative_mining",
+    "embedding_dim_stats",
+    "stratified_split_counts",
+    "boilerplate_scores",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -721,3 +721,37 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 6).alias("sample_prob"),
         F.round(prob / F.col("share"), 4).alias("upweight"),
     )
+
+
+# Deterministic 80/10/10 split buckets (train < 80, val < 90, test).
+_SPLIT_HASH_D = "CAST(('0x' || substr(md5('spl|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+_SPLIT_HASH_S = "pmod(conv(substring(md5(concat('spl|', cast(doc_id as string))), 1, 8), 16, 10), 100)"
+
+
+@query(
+    "stratified_split_counts",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_SPLIT_HASH_D} < 80 THEN 'train'
+                WHEN {_SPLIT_HASH_D} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum({_N_TOK}) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash-bucketed 80/10/10
+    — stable across retries, partitions, engines) with the per-language
+    census that verifies the split didn't skew any stratum. The split
+    column is a pure map expression; one grouping aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(_SPLIT_HASH_S)
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(F.col("lang"), split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
+    )

@@ -696,3 +696,44 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept_ln"),
     )
+
+
+_BP_COMMON_DF = 20  # a shingle in more than this many docs is boilerplate
+
+
+@query(
+    "boilerplate_scores",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    gf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN gf.df > {_BP_COMMON_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
+           round(CAST(sum(CASE WHEN gf.df > {_BP_COMMON_DF} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS boilerplate_ratio
+    FROM sh JOIN gf USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document boilerplate detection: the fraction of a doc's
+    shingles shared with MANY other docs (templates, headers, nav
+    chrome) — high ratio flags machine-generated filler that per-doc
+    quality metrics miss. One shingle-keyed frequency join over the
+    distinct-shingle projection; document frequencies are vocab-sized."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, id_col="doc_id", text_col="text", n=3).cache()
+    gf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    common = F.when(F.col("df") > _BP_COMMON_DF, 1).otherwise(0)
+    return (
+        sh.join(gf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(common).cast("bigint").alias("n_common"),
+            F.round(
+                F.sum(common).cast("double") / F.count(F.lit(1)), 4
+            ).alias("boilerplate_ratio"),
+        )
+    )

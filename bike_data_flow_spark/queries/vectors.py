@@ -1151,3 +1151,64 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") == 1)
         .drop("_r")
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH pts AS (
+      SELECT idx, CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      FROM (
+        SELECT unnest(generate_series(1, len(embedding))) AS idx,
+               unnest(embedding) AS val
+        FROM embeddings
+      )
+    ),
+    s AS (
+      SELECT idx, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx
+      FROM pts GROUP BY idx
+    )
+    SELECT idx,
+           round(CAST(sx AS DOUBLE) / n / 1000000, 6) AS mean,
+           round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1))
+                 / 1000000, 6) AS std
+    FROM s
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std of the embedding space — the whitening
+    statistics (and the collapsed-dimension detector: std ≈ 0 flags a
+    dead axis). Integer-scaled exact sums make the variance
+    order-independent across engines; one posexplode partial agg,
+    dim rows out."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.posexplode("embedding").alias("_i0", "_v")
+    ).select(
+        (F.col("_i0") + 1).alias("idx"),
+        F.round(F.col("_v").cast("double") * 1_000_000).cast("bigint").alias("xi"),
+    )
+    s = pts.groupBy("idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    )
+    return s.select(
+        "idx",
+        F.round(F.col("sx").cast("double") / F.col("n") / 1_000_000, 6).alias(
+            "mean"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                / F.col("n")
+                / (F.col("n") - 1)
+            )
+            / 1_000_000,
+            6,
+        ).alias("std"),
+    )
