@@ -87,6 +87,7 @@ _CHECK_FIRST = (
     "embedding_dim_stats",
     "stratified_split_counts",
     "boilerplate_scores",
+    "conversion_latency_quantiles",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

@@ -502,3 +502,67 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") < _KANON_K).alias("violates_k"),
         F.round(F.col("n") / F.col("t"), 6).alias("cell_frac"),
     )
+
+
+@query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    paired AS (
+      SELECT p.user_id, p.event_id,
+             epoch_us(p.ts) - max(epoch_us(c.ts)) AS latency_us
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.user_id, p.event_id, epoch_us(p.ts)
+    ),
+    seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT c_mktsegment,
+           count(*) AS n_conversions,
+           round(quantile_cont(latency_us / 1000000.0, 0.5), 4) AS p50_s,
+           round(quantile_cont(latency_us / 1000000.0, 0.9), 4) AS p90_s
+    FROM paired JOIN seg ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion latency percentiles per customer
+    segment — the funnel-health metric (how long users deliberate,
+    segmented). Each purchase pairs with its user's LATEST preceding
+    click (an as-of max, one grouped aggregate over the time-ordered
+    pair join); percentiles run per segment after a broadcast
+    dimension join."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_ns").alias("c_ts_ns")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ns"
+    )
+    paired = (
+        p.join(c, (F.col("c_user") == F.col("user_id"))
+               & (F.col("c_ts_ns") <= F.col("ts_ns")))
+        .groupBy("user_id", "event_id", "ts_ns")
+        .agg(
+            ((F.col("ts_ns") - F.max("c_ts_ns")) / F.lit(1000)).alias(
+                "latency_us"
+            )
+        )
+    )
+    seg = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        paired.join(F.broadcast(seg), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(
+                F.percentile(F.col("latency_us") / 1_000_000.0, F.lit(0.5)), 4
+            ).alias("p50_s"),
+            F.round(
+                F.percentile(F.col("latency_us") / 1_000_000.0, F.lit(0.9)), 4
+            ).alias("p90_s"),
+        )
+    )
