@@ -88,6 +88,7 @@ _CHECK_FIRST = (
     "stratified_split_counts",
     "boilerplate_scores",
     "conversion_latency_quantiles",
+    "weekly_growth_rates",
     # -- added late in round 4, checked green in r4 --
     "weekly_cohort_retention",
     "event_transition_matrix",

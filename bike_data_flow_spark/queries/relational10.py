@@ -566,3 +566,44 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90_s"),
         )
     )
+
+
+@query(
+    "weekly_growth_rates",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('week', ts)) AS week_ms,
+             count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_ms, n, total_value,
+           round(CAST(n AS DOUBLE)
+                 / lag(n) OVER (PARTITION BY event_type ORDER BY week_ms)
+                 - 1, 4) AS wow_growth
+    FROM w
+    """,
+)
+def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the BI trend table
+    (NULL growth on each series' first week). One (type, week)
+    aggregate + a lag window sharing its partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type",
+        F.unix_millis(F.date_trunc("week", F.col("ts"))).alias("week_ms"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    win = Window.partitionBy("event_type").orderBy("week_ms")
+    return w.select(
+        "event_type",
+        "week_ms",
+        "n",
+        "total_value",
+        F.round(F.col("n").cast("double") / F.lag("n").over(win) - 1, 4).alias(
+            "wow_growth"
+        ),
+    )
