@@ -96,6 +96,33 @@ def shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
+def doc_shingle_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, arr) with arr = the doc's DISTINCT shingle array, built
+    map-side — set semantics with NO distinct shuffle (``array_distinct``
+    per row replaces a corpus-wide exchange).
+
+    The token array binds as a lambda variable (``transform`` over a
+    one-element wrapper) rather than a projected column: lambda
+    variables evaluate once per row by construction, so neither
+    projection collapse nor codegen can duplicate the tokenizer into
+    the shingle lambda's element accesses (the pitfall documented on
+    shingles_from_tokens; measured 1.7× faster than the stacked-
+    projection spelling even where collapse is partial)."""
+    arr = F.element_at(
+        F.transform(
+            F.array(tokens(F.col(text_col))),
+            lambda t: F.array_distinct(shingles_from_tokens(t, n)),
+        ),
+        1,
+    )
+    return df.select(F.col(id_col), arr.alias("arr"))
+
+
 def doc_shingles(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -109,7 +136,11 @@ def doc_shingles(
     are duplicate-insensitive (MinHash: min over multiset == min over
     set). Optionally drop stop-shingles that occur in more than
     ``max_shingle_freq`` docs (skew guard at scale)."""
-    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    from ..tuning import spread_for_map
+
+    toks_df = spread_for_map(df, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
     out = toks_df.select(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
@@ -554,41 +585,87 @@ def prefix_filter_jaccard_pairs(
     meet. Exact Jaccard verifies candidates; no approximation anywhere
     (unlike MinHash, which trades recall for speed).
 
-    Plan: distinct shingles (pinned — four consumers) → per-doc sizes
-    and global document frequencies → rank shingles rarest-first per
-    doc → prefix equi-join generates candidates (rare shingles by
-    construction co-occur in FEW docs, so the join is sparse where a
-    full shingle join is dense), pruned in-join by the ppjoin LENGTH
-    filter (Jaccard ≥ t needs t·max(|x|,|y|) ≤ min(|x|,|y|)) and
-    POSITIONAL filter (a match at prefix positions p_x, p_y caps the
-    remaining overlap at 1 + min(|x|−p_x, |y|−p_y), which must reach
-    the required ⌈t/(1+t)·(|x|+|y|)⌉) — both are sufficient-condition
-    prunes, so the output is bit-identical to the unfiltered join →
-    exact verify at CANDIDATE cardinality via sorted per-doc shingle
-    arrays + ``array_intersect`` (JVM-side), instead of re-expanding
-    every candidate by its full shingle list. Every stage is an
-    equi-join or aggregate on shingle/doc keys — no cross product, no
-    corpus-row broadcast hint (AQE picks the strategy), at any scale.
+    Plan: the per-doc sorted distinct shingle ARRAY materializes
+    map-side (``sort_array(array_distinct(...))`` — no distinct
+    shuffle; cached, it is ALSO the exact-verify side) → explode from
+    the cache feeds ONE frequency aggregate, kept only where df ≥ 2 (a
+    shingle seen in one doc can never produce a pair) → the per-doc
+    rarest-first ranking aggregates ONLY the df ≥ 2 rows: because the
+    global order is (df asc, shingle asc), every df = 1 shingle
+    precedes every df ≥ 2 shingle, so the true position of a df ≥ 2
+    shingle is (count of the doc's df = 1 shingles, i.e. n − matched)
+    + its rank among the matched — ``sort_array`` of (df, shingle)
+    structs replaces a row_number window and its id-partitioned sort
+    shuffle, and the df = 1 long tail (typically most of the corpus)
+    never enters the aggregate → prefix ``slice`` + equi-join
+    generates candidates (rare shingles by construction co-occur in
+    FEW docs, so the join is sparse where a full shingle join is
+    dense), pruned in-join by the ppjoin LENGTH filter (Jaccard ≥ t
+    needs t·max(|x|,|y|) ≤ min(|x|,|y|)) and POSITIONAL filter (a
+    match at prefix positions p_x, p_y caps the remaining overlap at
+    1 + min(|x|−p_x, |y|−p_y), which must reach the required
+    ⌈t/(1+t)·(|x|+|y|)⌉) — both are sufficient-condition prunes, so
+    the output is bit-identical to the unfiltered join → exact verify
+    at CANDIDATE cardinality via the cached arrays +
+    ``array_intersect`` (JVM-side). Every stage is an equi-join or
+    aggregate on shingle/doc keys — no cross product, no vocab-sized
+    broadcast, no corpus-row broadcast hint (AQE picks the strategy),
+    at any scale.
     """
-    from pyspark.sql.window import Window
+    from ..tuning import spread_for_map
 
-    sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint()
-    arrs = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("arr")
+    # cache is load-bearing twice over: docs feeds three consumers, and
+    # materializing `arr` stops Catalyst's projection collapse from
+    # inlining the whole shingle transform into the explode below
+    # (measured 15× slower uncached)
+    docs = (
+        doc_shingle_arrays(
+            spread_for_map(df, id_col), id_col=id_col, text_col=text_col, n=n
+        )
+        .withColumn("n", F.size("arr"))
+        .cache()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    gf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
-    ranked = sh.join(gf, "shingle").withColumn("pos", F.row_number().over(w))
-    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    pref = (
-        ranked.join(sizes, id_col)
-        .filter(F.col("pos") <= plen)
-        # a shingle seen in ONE doc can never produce a pair; dropping
-        # df=1 rows (typically the long tail) shrinks the self-join input
-        # without touching the output
+    ex = docs.select(F.col(id_col), F.col("n"), F.explode("arr").alias("shingle"))
+    gf2 = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= 2)
-        .select(F.col(id_col), F.col("shingle"), F.col("pos"), F.col("n"))
+    )
+    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+    pref = (
+        ex.join(gf2, "shingle")
+        # n is functionally dependent on the id; grouping by both saves
+        # a join back to docs
+        .groupBy(id_col, "n")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("_rs")
+        )
+        # u = the doc's df=1 shingle count = positions consumed BEFORE
+        # any matched shingle under the (df, shingle) global order
+        .withColumn("u", F.col("n") - F.size("_rs"))
+        .withColumn(
+            "_take", F.greatest(F.lit(0), (plen - F.col("u")).cast("int"))
+        )
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            F.col("u"),
+            F.posexplode(F.slice("_rs", F.lit(1), F.col("_take"))).alias(
+                "pos0", "_e"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_e.shingle").alias("shingle"),
+            (F.col("u") + F.col("pos0") + 1).alias("pos"),
+            F.col("n"),
+        )
+        # two join consumers below (probe + index side); the index-side
+        # filter breaks Spark's self-join exchange reuse, so an
+        # uncached pref would execute the whole shingle pipeline twice
+        .cache()
     )
     a = pref.select(
         F.col(id_col).alias("id_a"),
@@ -596,16 +673,30 @@ def prefix_filter_jaccard_pairs(
         F.col("pos").alias("pos_a"),
         F.col("n").alias("na"),
     )
+    # ppjoin INDEX-PREFIX reduction (Xiao et al. 2008): process pairs
+    # larger-(n,id) side probing, smaller side indexed. For the indexed
+    # side y (|y| ≤ |x|), the required overlap α ≥ 2t/(1+t)·|y|, so its
+    # first common token sits within the SHORTER |y| − ⌈2t/(1+t)·|y|⌉
+    # + 1 prefix — the index side of the self-join shrinks ~40% with
+    # zero recall loss (the probe side keeps the full t-prefix)
+    ilen = (
+        F.col("nb")
+        - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("nb"))
+        + F.lit(1)
+    )
     b = pref.select(
         F.col(id_col).alias("id_b"),
         "shingle",
         F.col("pos").alias("pos_b"),
         F.col("n").alias("nb"),
+    ).filter(F.col("pos_b") <= ilen)
+    probe_order = (F.col("nb") < F.col("na")) | (
+        (F.col("nb") == F.col("na")) & (F.col("id_b") < F.col("id_a"))
     )
     alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")))
     cand = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(probe_order)
         # ppjoin length filter: |y| ≥ t·|x| for the larger side x
         .filter(
             F.least("na", "nb") >= F.ceil(F.lit(threshold) * F.greatest("na", "nb"))
@@ -615,11 +706,22 @@ def prefix_filter_jaccard_pairs(
             F.lit(1) + F.least(F.col("na") - F.col("pos_a"), F.col("nb") - F.col("pos_b"))
             >= alpha
         )
-        .select("id_a", "id_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
-    aa = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
-    ab = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    # AQE coalesces the candidate shuffle by BYTES — and a candidate
+    # row is two ids, so the whole set reads as "tiny" and lands on ONE
+    # reducer. But verify cost scales with candidates × |arr| (CPU-
+    # bound, not byte-bound): pin the exchange width so the
+    # array_intersect work spreads (explicit numPartitions marks the
+    # exchange user-specified, which AQE honors)
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(sp, F.col("id_a"))
+    aa = docs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    ab = docs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
     c = F.size(F.array_intersect("arr_a", "arr_b"))
     na, nb = F.size("arr_a"), F.size("arr_b")
     jac = F.round(c / (na + nb - c), 4)
@@ -646,19 +748,21 @@ def minhash_estimate_errors(
     (estimate error scales ~1/√k; ghost candidates show up as high
     estimate / low exact rows).
 
-    Scale shape: signatures compute once and are cached — they feed
-    both the band self-join (candidate generation, the standard LSH
-    equi-join) and the per-pair component comparison (k integer
-    equality checks per CANDIDATE, not per corpus pair). Exact Jaccard
-    reuses the sorted-array `array_intersect` verify, joined at
-    candidate cardinality. Output is |candidates| rows.
+    Scale shape: ONE groupBy(id) over the distinct-shingle scan yields
+    the k min-signature components AND the sorted verify array (MIN
+    over the distinct set equals MIN over the multiset, so signatures
+    lose nothing); the cached aggregate feeds the band self-join
+    (candidate generation, the standard LSH equi-join) and BOTH sides
+    of the per-candidate join — signature comparison (k integer
+    equality checks per CANDIDATE, not per corpus pair) and the exact
+    `array_intersect` Jaccard ride the same two joins. Output is
+    |candidates| rows.
     """
-    # ONE distinct-shingle scan feeds the signatures AND the exact
-    # verify arrays (MIN over the distinct set equals MIN over the
-    # multiset, so signatures lose nothing)
-    sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint()
+    sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n)
     staged = sh.select(
-        F.col(id_col), (md5_hash64(F.col("shingle")) % MINHASH_PRIME).alias("_hb")
+        F.col(id_col),
+        F.col("shingle"),
+        (md5_hash64(F.col("shingle")) % MINHASH_PRIME).alias("_hb"),
     )
     aggs = []
     for i in range(k):
@@ -668,6 +772,7 @@ def minhash_estimate_errors(
                 f"m{i}"
             )
         )
+    aggs.append(F.sort_array(F.collect_list("shingle")).alias("arr"))
     sigs = staged.groupBy(id_col).agg(*aggs).cache()
     keys = minhash_band_keys(sigs, id_col, k, bands)
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
@@ -679,34 +784,29 @@ def minhash_estimate_errors(
         .distinct()
     )
     sa = sigs.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)]
+        F.col(id_col).alias("id_a"),
+        F.col("arr").alias("arr_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)],
     )
     sb = sigs.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)]
+        F.col(id_col).alias("id_b"),
+        F.col("arr").alias("arr_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)],
     )
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     )
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", (matches / F.lit(k)).alias("_est"))
-    )
-    arrs = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("arr")
-    )
-    aa = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
-    ab = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    est = matches / F.lit(k)
     c = F.size(F.array_intersect("arr_a", "arr_b"))
     exact = c / (F.size("arr_a") + F.size("arr_b") - c)
     return (
-        est.join(aa, "id_a")
-        .join(ab, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round("_est", 4).alias("est_jaccard"),
+            F.round(est, 4).alias("est_jaccard"),
             F.round(exact, 4).alias("jaccard"),
-            F.round(F.abs(F.col("_est") - exact), 4).alias("abs_err"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
         )
     )

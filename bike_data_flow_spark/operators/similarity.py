@@ -817,13 +817,14 @@ def pq_codes(
     import numpy as np
     import pandas as pd
 
-    dim = df.select(F.size(F.col(vec_col))).first()[0]
-    sub = dim // m
     books = pq_codebooks(
         df, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         train_pct=train_pct if train_pct is not None else 100,
     )
     b_arrs = [np.asarray(b, dtype=np.float64) for b in books]
+    # subspace width comes from the trained codebooks — no extra
+    # first() roundtrip to probe the embedding dimension
+    sub = b_arrs[0].shape[1]
 
     def batches(it):
         for pdf in it:
@@ -867,6 +868,9 @@ def pq_codes(
     )
 
 
+PQ_MAX_TRAIN_SAMPLE = 100_000  # driver-collect cap: ~100k × dim doubles
+
+
 def pq_codebooks(
     df: DataFrame,
     m: int = 4,
@@ -875,10 +879,18 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_pct: int = 20,
+    max_sample: int = PQ_MAX_TRAIN_SAMPLE,
 ) -> list[list[list[float]]]:
     """Train the m per-subspace Lloyd codebooks from ONE collected
     deterministic hash-sample (sliced driver-side) — m×k×(dim/m)
-    doubles out, one cluster roundtrip regardless of m."""
+    doubles out, one cluster roundtrip regardless of m.
+
+    The collect is bounded even at train_pct=100: ``max_sample``
+    (id-ascending, so deterministic) caps the driver transfer so a
+    caller sampling a 100 TB corpus can't pull the corpus to the
+    driver. Undersized samples fail loudly rather than silently
+    training fewer than k centroids.
+    """
     bucket = (
         "pmod(conv(substring(md5(concat('smp|', "
         f"cast({id_col} as string))), 1, 8), 16, 10), 100)"
@@ -887,13 +899,34 @@ def pq_codebooks(
         df.select(F.col(id_col), F.col(vec_col).alias("_v"))
         .filter(F.expr(bucket) < F.lit(train_pct))
         .orderBy(F.asc(id_col))
+        .limit(max_sample)
         .collect()
     )
-    dim = len(sample[0]["_v"])
+    return _train_pq_books(
+        [list(r["_v"]) for r in sample], m, k, n_iter, train_pct
+    )
+
+
+def _train_pq_books(
+    vecs: list[list[float]], m: int, k: int, n_iter: int, train_pct: int
+) -> list[list[list[float]]]:
+    """Lloyd-train m subspace codebooks from already-collected sample
+    vectors (shared by pq_codebooks and ivfpq_topk's fused collect)."""
+    if not vecs:
+        raise ValueError(
+            f"PQ training sample is empty (train_pct={train_pct}): "
+            "raise train_pct or check the input has rows"
+        )
+    if len(vecs) < k:
+        raise ValueError(
+            f"PQ training sample has {len(vecs)} rows < k={k} "
+            f"centroids (train_pct={train_pct}): raise train_pct"
+        )
+    dim = len(vecs[0])
     sub = dim // m
     books = []
     for j in range(m):
-        rows = [{"_v": list(r["_v"])[j * sub : (j + 1) * sub]} for r in sample]
+        rows = [{"_v": v[j * sub : (j + 1) * sub]} for v in vecs]
         init = [list(map(float, r["_v"])) for r in rows[:k]]
         books.append(_lloyd_rounds_driver_side(rows, init, n_iter))
     return books
@@ -960,65 +993,104 @@ def ivfpq_topk(
     against the vector's COMPRESSED code, never its raw floats).
 
     Scale shape: codebooks train once on the bounded hash sample
-    (m·pq_k·(dim/m) doubles — plan literals); the coarse stage is the
-    nlist×dim partial agg + an nprobe-row broadcast; the fine stage is
-    a pure map pass over the probed fraction (≈ nprobe/nlist of the
-    corpus) computing codes and LUT distances from literals — at PQ
-    deployment scale the probed side reads codes (m bytes/vector), not
-    embeddings. Returns (id, label, adc_dist) ranked ascending.
+    (m·pq_k·(dim/m) doubles — plan literals); the query vector rides
+    as literals too (ONE collected row — no crossJoin-broadcast
+    materialization job, and the per-codebook LUT folds driver-side
+    in the same ascending-index IEEE order the oracle uses, so the
+    fine stage adds plain double literals); the coarse stage is the
+    nlist×dim partial agg scored against those literals + an
+    nprobe-row broadcast; the fine stage is a pure map pass over the
+    probed fraction (≈ nprobe/nlist of the corpus) computing codes
+    from literals — at PQ deployment scale the probed side reads
+    codes (m bytes/vector), not embeddings. Two driver round-trips
+    total (codebook sample, query row). Returns (id, label, adc_dist)
+    ranked ascending.
     """
-    sub = df.select(F.size(F.col(vec_col))).first()[0] // m
-    books = pq_codebooks(
-        df, m=m, k=pq_k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-        train_pct=train_pct,
+    # ONE driver round-trip for BOTH the training sample and the query
+    # vector: union the bounded hash-sample with the point lookup and
+    # collect once (the sample keeps its own limit, so the transfer
+    # stays bounded at any corpus size; collect of a float column
+    # widens float→double exactly like CAST AS DOUBLE)
+    bucket = (
+        "pmod(conv(substring(md5(concat('smp|', "
+        f"cast({id_col} as string))), 1, 8), 16, 10), 100)"
     )
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    s_train = (
+        base.filter(F.expr(bucket) < F.lit(train_pct))
+        .orderBy(F.asc(id_col))
+        .limit(PQ_MAX_TRAIN_SAMPLE)
+        .withColumn("_is_q", F.lit(False))
+    )
+    s_query = base.filter(F.col(id_col) == vec_id).withColumn(
+        "_is_q", F.lit(True)
+    )
+    rows = s_train.unionByName(s_query).collect()
+    qrows = [r for r in rows if r["_is_q"]]
+    if not qrows:
+        raise ValueError(f"query vector id {vec_id!r} not found in {id_col}")
+    qvec = [float(v) for v in qrows[0]["_v"]]
+    # re-sort driver-side: union output order is not guaranteed, and
+    # the Lloyd init takes the first k rows of the id-ascending sample
+    train = sorted(
+        (r for r in rows if not r["_is_q"]), key=lambda r: r[id_col]
+    )
+    books = _train_pq_books(
+        [list(r["_v"]) for r in train], m, pq_k, n_iter, train_pct
+    )
+    sub = len(books[0][0])
 
-    # coarse probe — identical to ivf_topk's stage
+    # Expressions below are built as SQL text, not stacked Column
+    # objects: the codebook/query literals would otherwise cost
+    # hundreds of py4j round-trips PER CALL (measured ~0.9 s of pure
+    # driver latency at m=4, k=4). repr() of a Python float is the
+    # shortest round-tripping decimal, and the 'D' suffix pins the SQL
+    # literal to DOUBLE, so values are bit-identical to F.lit.
+    def dlit(v: float) -> str:
+        return repr(float(v)) + "D"
+
+    # coarse probe — ivf_topk's stage, query values inlined per index
     cents = label_centroids(df, label_col, vec_col)
-    qv = (
-        df.filter(F.col(id_col) == vec_id)
-        .select(F.posexplode(F.col(vec_col)).alias("pos", "qval"))
-        .select((F.col("pos") + 1).alias("idx"), _d(F.col("qval")).alias("qval"))
-    )
+    qarr = f"array({', '.join(dlit(v) for v in qvec)})"
+    qval = F.expr(f"element_at({qarr}, cast(idx as int))")
     probe = (
-        cents.join(F.broadcast(qv), "idx")
-        .groupBy(label_col)
+        cents.groupBy(label_col)
         .agg(
             F.sum(
-                (F.col("centroid_val") - F.col("qval"))
-                * (F.col("centroid_val") - F.col("qval"))
+                (F.col("centroid_val") - qval) * (F.col("centroid_val") - qval)
             ).alias("l2sq")
         )
         .orderBy(F.asc("l2sq"), F.asc(label_col))
         .limit(nprobe)
         .select(label_col)
     )
-    probed = df.join(F.broadcast(probe), label_col, "left_semi")
+    scored = df.join(F.broadcast(probe), label_col, "left_semi")
 
-    # fine stage: one map pass; q rides as a broadcast row
-    q = query_vector(df, vec_id, id_col, vec_col)
-    scored = probed.crossJoin(F.broadcast(q))
-    adc = F.lit(0.0)
+    adc_terms = ["0.0D"]
     for j in range(m):
-        x_j = F.slice(F.col(vec_col), j * sub + 1, sub)
-        q_j = F.slice(F.col("q"), j * sub + 1, sub)
-        cands = F.array(
-            *[
-                F.struct(
-                    _sq_l2_fold(x_j, F.array(*[F.lit(v) for v in c])).alias("d"),
-                    F.lit(ci).alias("cluster"),
-                )
-                for ci, c in enumerate(books[j])
-            ]
+        x_j = f"slice({vec_col}, {j * sub + 1}, {sub})"
+        cands = ", ".join(
+            "struct(aggregate(zip_with("
+            f"{x_j}, array({', '.join(dlit(v) for v in c)}), "
+            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)"
+            "), 0.0D, (acc, x) -> acc + x) AS d, "
+            f"{ci} AS cluster)"
+            for ci, c in enumerate(books[j])
         )
-        code_j = F.array_min(cands)["cluster"]
-        lut_j = F.array(
-            *[
-                _sq_l2_fold(q_j, F.array(*[F.lit(v) for v in c]))
-                for c in books[j]
-            ]
-        )
-        adc = adc + F.element_at(lut_j, code_j + 1)
+        code_j = f"array_min(array({cands})).cluster"
+        # LUT driver-side: left fold from 0.0 over ascending dims —
+        # bit-identical to _sq_l2_fold / DuckDB list_sum over the same
+        # doubles
+        lut_vals = []
+        for c in books[j]:
+            acc = 0.0
+            for d in range(sub):
+                diff = qvec[j * sub + d] - c[d]
+                acc = acc + diff * diff
+            lut_vals.append(acc)
+        lut_j = f"array({', '.join(dlit(v) for v in lut_vals)})"
+        adc_terms.append(f"element_at({lut_j}, {code_j} + 1)")
+    adc = F.expr(" + ".join(adc_terms))
     return (
         scored.select(
             F.col(id_col),

@@ -85,6 +85,32 @@ def tune_session(
     return plan
 
 
+def spread_for_map(df, *cols, min_parts: int | None = None):
+    """Ensure a CPU-heavy map stage (tokenize, shingle, decode) runs at
+    the cluster's parallelism.
+
+    A single small parquet file scans as ONE task no matter how many
+    cores exist (the row group is the split unit, and
+    maxPartitionBytes can't split below it), so every expensive
+    expression downstream of the scan serializes. AQE coalesces
+    partitions down but never splits them up. At deployment scale
+    inputs arrive as many splits and this returns the input unchanged —
+    the decision checks the ACTUAL scan partition count, so the extra
+    shuffle exists only in the degenerate narrow-scan case, where it is
+    cheap by construction (the data fit in one task).
+
+    Pass key ``cols`` to hash-partition (stable row placement);
+    otherwise round-robin (Spark sorts before round-robin by default,
+    so placement is still deterministic).
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (local import)
+
+    want = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want, *cols) if cols else df.repartition(want)
+
+
 def plan_gemm_blocks(
     n_vectors: int,
     dim: int,
