@@ -59,6 +59,7 @@ _RK = 10  # recall@k
            round(CAST(coalesce(hits.c, 0) AS DOUBLE) / {_RK}, 4) AS recall_at_k
     FROM q LEFT JOIN hits ON hits.qid = q.qid
     """,
+    bench=True,
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH-bucket probe vs exact brute-force top-k over
@@ -135,7 +136,7 @@ def _minhash_est_oracle() -> str:
     """
 
 
-@query("minhash_estimate_errors", oracle=_minhash_est_oracle())
+@query("minhash_estimate_errors", oracle=_minhash_est_oracle(), bench=True)
 def minhash_estimate_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-candidate MinHash Jaccard estimate vs exact Jaccard — the
     k/banding calibration check. See operators/dedup.minhash_estimate_errors."""

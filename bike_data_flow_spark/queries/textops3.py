@@ -450,6 +450,7 @@ _PF_T = 0.6
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE round(c / (sa.n + sb.n - c), 4) >= {_PF_T}
     """,
+    bench=True,
 )
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity join via AllPairs prefix filtering — the

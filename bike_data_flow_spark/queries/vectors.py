@@ -394,7 +394,7 @@ def _semdedup_oracle() -> str:
     )
 
 
-@query("semdedup_survivors", oracle=_semdedup_oracle())
+@query("semdedup_survivors", oracle=_semdedup_oracle(), bench=True)
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): cluster embeddings with k-means,
     prune cosine-near-duplicates within each cluster, keep the
@@ -521,7 +521,7 @@ def _pca_oracle(n_iter: int = _PCA_ITERS) -> str:
     return sql
 
 
-@query("embedding_top_component", oracle=_pca_oracle())
+@query("embedding_top_component", oracle=_pca_oracle(), bench=True)
 def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top PCA axis of the embedding corpus (power iteration, 5 rounds,
     deterministic init and sign) — see
@@ -554,6 +554,7 @@ _KNN_K = 3
       FROM scored
     ) WHERE rnk <= {_KNN_K}
     """,
+    bench=True,
 )
 def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph over the whole corpus — the neighbor-list
@@ -647,6 +648,7 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rescored
     ) WHERE rnk <= {_KNN_K}
     """,
+    bench=True,
 )
 def knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One NN-descent refinement round over the LSH k-NN graph: a
@@ -846,7 +848,7 @@ def _ivfpq_oracle() -> str:
     )
 
 
-@query("ivfpq_topk", oracle=_ivfpq_oracle())
+@query("ivfpq_topk", oracle=_ivfpq_oracle(), bench=True)
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse probe + PQ asymmetric-distance fine scoring — the
     complete production ANN stack. See operators/similarity.ivfpq_topk."""
@@ -930,7 +932,7 @@ def _label_spread_oracle() -> str:
     )
 
 
-@query("knn_label_spread", oracle=_label_spread_oracle())
+@query("knn_label_spread", oracle=_label_spread_oracle(), bench=True)
 def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation over the LSH k-NN graph — the
     weak-supervision primitive (Zhu & Ghahramani 2002 label spreading,
@@ -1020,6 +1022,7 @@ def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
     FROM tris, wedges
     """,
+    bench=True,
 )
 def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the k-NN
@@ -1099,6 +1102,7 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     ) WHERE rnk = 1
     """,
+    bench=True,
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive embedding training: each
