@@ -733,6 +733,143 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Cross-document exact SUBSTRING dedup (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better"
+    suffix-array family, re-expressed for a shuffle-bounded engine):
+    find every maximal token span that occurs verbatim at least
+    ``min_occurrences`` times anywhere in the corpus — the dedup
+    modality that catches boilerplate and quoted passages doc-level
+    near-dup misses entirely.
+
+    Spelling: instead of a global suffix array (which needs the corpus
+    concatenated and sorted in one address space), each doc emits one
+    fingerprint per ``window``-token sliding position (md5 of the
+    space-joined window — engine-portable, so the DuckDB oracle
+    reproduces it); a fingerprint seen ≥ min_occurrences times marks
+    its windows duplicated, exactly as in the suffix-array method any
+    duplicated substring of length ≥ window marks all its length-
+    ``window`` subwindows; overlapping/adjacent duplicated windows then
+    merge per doc into maximal spans (gaps-and-islands over start
+    positions: a new island starts when the gap exceeds ``window``).
+
+    Scale shape: the window explode is map-local (≤ |tokens| rows per
+    doc); ONE groupBy(fp) counts occurrences (md5 keys — uniform, no
+    skew); the semi-join back is fp-partitioned; the island merge
+    windows per doc (bounded by doc length). Shuffled rows are bounded
+    by corpus token count, and the output by |duplicated spans| — no
+    pairwise term anywhere, unlike the similarity joins.
+
+    Returns (id, span_start, span_end, span_tokens), 1-based inclusive
+    token positions.
+    """
+    from pyspark.sql.window import Window
+
+    from ..tuning import spread_for_map
+
+    W = int(window)
+    toks_df = spread_for_map(df, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    # Spark's sequence(start, stop) rejects stop < start, so guard the
+    # short-doc case to an empty window list (mirrors the oracle's
+    # empty generate_series)
+    fps = F.when(
+        F.size("_toks") >= W,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (W - 1)),
+            lambda p: F.md5(F.concat_ws(" ", F.slice("_toks", p, W))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = (
+        toks_df.select(F.col(id_col), F.posexplode(fps).alias("pos0", "fp"))
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("fp"))
+        .cache()  # two consumers: the frequency agg and the semi-join
+    )
+    dupfp = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("fp")
+    )
+    dup = wins.join(dupfp, "fp", "left_semi")
+    w_pos = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        dup.withColumn("_prev", F.lag("pos").over(w_pos))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > W),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("_new").over(
+                w_pos.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(W - 1)).alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("span_start"),
+            F.col("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Companion rewrite step: cut every duplicated span out of each
+    doc's token stream, keeping the first corpus occurrence intact is
+    NOT attempted (Lee et al. drop all but one occurrence globally,
+    which needs an ordering authority; the standard large-scale
+    simplification — also what most reimplementations ship — removes
+    every duplicated span and keeps singleton text). Docs with no
+    duplicated span pass through unchanged."""
+    spans = duplicate_spans(df, window, id_col, text_col, min_occurrences)
+    cut = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks_df = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    joined = toks_df.join(cut, id_col, "left")
+    keep = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s["p"] >= sp["span_start"])
+            & (s["p"] <= sp["span_end"]),
+        ),
+    )
+    out_text = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", F.transform(keep, lambda s: s["t"]))
+    )
+    return joined.select(F.col(id_col), out_text.alias("text"))
+
+
 def minhash_estimate_errors(
     df: DataFrame,
     id_col: str = "doc_id",

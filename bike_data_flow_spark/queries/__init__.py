@@ -53,6 +53,8 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # regardless.  streamed_event_type_counts / streamed_distinct_users are
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
+    # -- new in round 6 (never driver-checked) --
+    "duplicate_spans",
     # -- the only 6 registry entries with no green driver row in rounds
     # 1-4 (r4 checked positions 0-49; these sat at 50-56) --
     "wrm_latest_snapshot",

@@ -738,3 +738,53 @@ def boilerplate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+_SPAN_W = 10  # duplicate-span window length in tokens
+
+
+@query(
+    "duplicate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i + {_SPAN_W - 1}], ' ')) AS fp
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_SPAN_W - 1})) AS i
+        FROM t
+      )
+    ),
+    dupw AS (
+      SELECT doc_id, pos FROM w
+      WHERE fp IN (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_W}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dupw
+      )
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_SPAN_W - 1} AS span_end,
+           max(pos) + {_SPAN_W} - min(pos) AS span_tokens
+    FROM isl
+    GROUP BY doc_id, island
+    """,
+    bench=True,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2021 family): every
+    maximal token span appearing verbatim >=2 times anywhere in the
+    corpus, via sliding-window fingerprints + per-doc island merge.
+    See operators/dedup.duplicate_spans."""
+    return D.duplicate_spans(
+        load(spark, sf_dir, "documents"), window=_SPAN_W
+    )
