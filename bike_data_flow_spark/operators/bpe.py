@@ -63,7 +63,17 @@ def bpe_learned_merges(
 ) -> DataFrame:
     """The first ``n_merges`` BPE merges over the corpus, as
     (step, left_sym, right_sym, pair_count). Deterministic: the argmax
-    pair tie-breaks on (count DESC, left ASC, right ASC)."""
+    pair tie-breaks on (count DESC, left ASC, right ASC).
+
+    Iterative-state hygiene (ADVICE r5): each round collects the 1-row
+    argmax to the driver (bounded by contract) and rewrites the
+    vocabulary with LITERAL needles — so the superseded round's cached
+    vocabulary can be unpersisted as soon as the new one materializes,
+    instead of every intermediate copy staying pinned in executor
+    storage for the session. The per-round count() that forces the new
+    cache also truncates the recompute chain, the same reason the
+    connected-components loop checkpoints."""
+    spark = df.sparkSession
     words = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -76,35 +86,43 @@ def bpe_learned_merges(
         "wc",
     ).cache()
 
-    merge_tables = []
+    schema = "step int, left_sym string, right_sym string, pair_count bigint"
+    rows = []
+    pending = None  # superseded round, safe to drop after the NEXT argmax
     for step in range(1, n_merges + 1):
         best = (
             _pair_counts(cur)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
-            .cache()
+            .first()
         )
-        merge_tables.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.replace(F.col("l"), F.lit(_MARK), F.lit("")).alias("left_sym"),
-                F.replace(F.col("r"), F.lit(_MARK), F.lit("")).alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
+        # this argmax just materialized cur's cache, so the round it
+        # superseded is no longer needed by anything — drop it now
+        # (deferred one round: unpersisting before cur materializes
+        # would force a full-chain recompute)
+        if pending is not None:
+            pending.unpersist()
+            pending = None
+        if best is None:  # vocabulary exhausted / empty corpus
+            break
+        rows.append(
+            (
+                step,
+                best["l"].replace(_MARK, ""),
+                best["r"].replace(_MARK, ""),
+                int(best["cnt"]),
             )
         )
         if step < n_merges:
-            needle = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
-            merged = F.concat(F.lit(" "), F.col("l"), F.lit(_MARK), F.col("r"), F.lit(" "))
-            cur = (
-                cur.crossJoin(F.broadcast(best))
-                .select(F.replace(F.col("s"), needle, merged).alias("s"), "wc")
-                .cache()
-            )
-
-    out = merge_tables[0]
-    for t in merge_tables[1:]:
-        out = out.unionAll(t)
-    return out
+            needle = f" {best['l']}  {best['r']} "
+            merged = f" {best['l']}{_MARK}{best['r']} "
+            pending = cur
+            cur = pending.select(
+                F.replace(F.col("s"), F.lit(needle), F.lit(merged)).alias("s"),
+                "wc",
+            ).cache()
+    cur.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def bpe_vocab_lengths(
@@ -132,14 +150,20 @@ def bpe_vocab_lengths(
             _pair_counts(cur)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
+            .first()
         )
-        needle = F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
-        merged = F.concat(F.lit(" "), F.col("l"), F.lit(_MARK), F.col("r"), F.lit(" "))
-        cur = (
-            cur.crossJoin(F.broadcast(best))
-            .select("w", F.replace(F.col("s"), needle, merged).alias("s"), "wc")
-            .cache()
-        )
+        if best is None:
+            break
+        needle = f" {best['l']}  {best['r']} "
+        merged = f" {best['l']}{_MARK}{best['r']} "
+        prev = cur
+        cur = prev.select(
+            "w",
+            F.replace(F.col("s"), F.lit(needle), F.lit(merged)).alias("s"),
+            "wc",
+        ).cache()
+        cur.count()  # materialize before dropping the superseded round
+        prev.unpersist()
     return cur.select(
         "w", F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_syms")
     )

@@ -16,10 +16,13 @@ evolution) without an Iceberg runtime jar:
   partitions).
 
 Commit protocol (single-writer, any-reader): data files first, then
-the manifest (``_snapshots/v{N}.json``), then the ``_LATEST`` pointer
+the manifest (``_snapshots/v{N}.json``, O_EXCL-published so racing
+writers cannot last-write-win a version), then the ``_LATEST`` pointer
 via atomic rename. A crash at any point leaves either the old table
 visible or the new one — never a partial: data dirs without a manifest
-and manifests without the pointer are simply unreachable garbage.
+are unreachable garbage, and a fully-published manifest whose pointer
+move crashed is rolled forward (the commit was already durable) by the
+next snapshot_write — see _recover_orphan_manifests.
 
 At 100 TB: manifests store directory paths, not file lists — the
 per-commit metadata is O(1); data dirs inherit whatever partitioning
@@ -67,6 +70,66 @@ def current_version(table_dir: str) -> int | None:
         ) from None
 
 
+def _write_pointer(table_dir: str, version: int) -> None:
+    ptmp = f"{_pointer(table_dir)}.tmp.{os.getpid()}"
+    with open(ptmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(ptmp, _pointer(table_dir))
+
+
+def _recover_orphan_manifests(table_dir: str, prev: int | None) -> int | None:
+    """Complete a crashed commit's pointer move (write-path self-heal).
+
+    A manifest publishes atomically (O_EXCL link of a fully-written
+    file) BEFORE the pointer moves, so a writer that crashed between
+    the two leaves a durable, complete v{N}.json with the pointer at
+    N−1. Without recovery every later snapshot_write would resolve
+    version N and hit the collision error forever — the table would be
+    permanently unwritable (the failure mode the pre-fence os.replace
+    spelling silently papered over by last-write-winning the orphan).
+    Rolling the pointer FORWARD is correct because the orphan's data
+    dirs and manifest are already durable: the crash interrupted only
+    the visibility flip, exactly like replaying a journal tail.
+
+    Worst case under a live zombie (writer paused between link and
+    pointer move while a new writer recovers past it), the zombie's
+    own pointer write can briefly regress visibility by one version —
+    the next write-start recovery rolls it forward again; versions are
+    never reused and no data is lost (staleness, not corruption).
+    """
+    base = prev if prev is not None else 0
+    v = base
+    while os.path.exists(f"{_manifest_dir(table_dir)}/v{v + 1}.json"):
+        v += 1
+    if v == base:
+        return prev
+    _write_pointer(table_dir, v)
+    return v
+
+
+def _publish_manifest(table_dir: str, version: int, manifest: dict) -> None:
+    """Atomically publish v{version}.json iff it does not exist yet
+    (os.link is O_EXCL-like: hard-linking a fully-written tmp file
+    either creates the name or raises). Raises RuntimeError when
+    another writer won the version — the conditional-commit fence."""
+    mpath = f"{_manifest_dir(table_dir)}/v{version}.json"
+    tmp = f"{mpath}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        raise RuntimeError(
+            f"snapshot version collision at {mpath}: another writer "
+            f"committed v{version} concurrently — this table requires a "
+            "single active writer per commit sequence (a CRASHED writer "
+            "is not the cause: its orphaned manifest self-heals at the "
+            "next write start)"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
 def snapshot_write(
     df: DataFrame, table_dir: str, mode: str = "append", meta: dict | None = None
 ) -> int:
@@ -76,7 +139,7 @@ def snapshot_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
-    prev = current_version(table_dir)
+    prev = _recover_orphan_manifests(table_dir, current_version(table_dir))
     version = 1 if prev is None else prev + 1
 
     # per-attempt unique dir: two writers racing toward the same version
@@ -100,30 +163,13 @@ def snapshot_write(
         "schema": df.schema.jsonValue(),
         "meta": meta or {},
     }
-    mpath = f"{_manifest_dir(table_dir)}/v{version}.json"
-    tmp = f"{mpath}.tmp.{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
-    # conditional commit: link() publishes the fully-written manifest
-    # iff v{N}.json does not exist yet, so two writers that both
-    # resolved prev=N-1 (e.g. a zombie driver racing its replacement)
-    # cannot last-write-win each other — the loser errors here, before
-    # the pointer moves, and its unreferenced data dir is inert garbage.
-    try:
-        os.link(tmp, mpath)
-    except FileExistsError:
-        raise RuntimeError(
-            f"snapshot version collision at {mpath}: another writer "
-            f"committed v{version} concurrently — this table requires a "
-            "single active writer per commit sequence"
-        ) from None
-    finally:
-        os.unlink(tmp)
-
-    ptmp = f"{_pointer(table_dir)}.tmp.{os.getpid()}"
-    with open(ptmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(ptmp, _pointer(table_dir))  # the commit point
+    # conditional commit: the publish succeeds iff v{N}.json does not
+    # exist yet, so two writers that both resolved prev=N-1 (e.g. a
+    # zombie driver racing its replacement) cannot last-write-win each
+    # other — the loser errors here, before the pointer moves, and its
+    # unreferenced data dir is inert garbage.
+    _publish_manifest(table_dir, version, manifest)
+    _write_pointer(table_dir, version)  # the visibility flip
     return version
 
 

@@ -140,7 +140,7 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_id, p.user_id,
            epoch_ms(p.ts) AS purchase_ts_ms,
-           c.value_band AS band_at_purchase
+           CASE WHEN c.ts <= p.ts THEN c.value_band END AS band_at_purchase
     FROM p LEFT JOIN chg c
       ON c.user_id = p.user_id
     QUALIFY row_number() OVER (
@@ -157,8 +157,11 @@ def point_in_time_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, ts) sort); the oracle ranks preceding changes per purchase.
 
     The oracle's QUALIFY orders matches-first so a purchase with NO
-    preceding change still emits one NULL-band row — identical to the
-    operator's left semantics."""
+    preceding change still emits one row, and the band projection is
+    guarded (CASE WHEN c.ts <= p.ts) so that row carries NULL rather
+    than a FUTURE change's band — identical to the operator's left
+    semantics (unreachable with current data, where every user's first
+    event is a change, but the gate shouldn't rely on that)."""
     from pyspark.sql.window import Window
 
     from ..operators.joins import asof_join

@@ -16,9 +16,12 @@ replays exactly the unconsumed versions (`readBetweenOffsets`).
 Append-only contract: an overwrite commit inside the unconsumed range
 raises instead of silently emitting wrong deltas (the same stance
 Delta's streaming source takes without ignoreChanges — a rewritten
-table needs a reprocessing decision, not a guess). Retention must
-exceed consumer downtime: versions expired before being consumed
-raise on the missing manifest rather than skipping data.
+table needs a reprocessing decision, not a guess). The supported
+restart path is the ``startingVersion`` option (Delta's spelling): a
+NEW stream beginning AT the overwrite emits it as the initial load, or
+beginning past it emits only later appends. Retention must exceed
+consumer downtime: versions expired before being consumed raise on
+the missing manifest rather than skipping data.
 
 Rows are read executor-side with pyarrow (the manifest names one new
 data dir per append — no Spark scan inside the reader), projected to
@@ -48,13 +51,18 @@ def _manifest(table_dir: str, version: int) -> dict:
     return S._read_manifest(table_dir, version)
 
 
-def _append_dir(table_dir: str, version: int) -> str:
+def _append_dir(table_dir: str, version: int, genesis: bool = False) -> str:
+    """The version's OWN data dir. ``genesis`` marks the stream's first
+    emitted version, where an overwrite commit is legal — it reads as
+    the initial load (its manifest lists exactly one dir), which is how
+    a stream starts over after a table rewrite (startingVersion)."""
     m = _manifest(table_dir, version)
-    if m["mode"] != "append" and version > 1:
+    if m["mode"] != "append" and version > 1 and not genesis:
         raise ValueError(
             f"snapshot_cdf is append-only: version {version} of {table_dir} "
             "is an overwrite commit — reprocess the table or start a new "
-            "stream past it"
+            f"stream with startingVersion={version} (initial load) or "
+            f"{version + 1} (changes after the rewrite)"
         )
     # an append manifest lists prior dirs + its OWN dir last
     return os.path.join(table_dir, m["dirs"][-1])
@@ -73,9 +81,28 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             raise ValueError("snapshot_cdf requires option 'path'")
         self.schema = schema
         self.fields = [f.name for f in schema.fields if f.name not in CHANGE_COLS]
+        # startingVersion = the first version the stream EMITS (the
+        # supported way to begin past an overwrite or an initial-load
+        # commit — without it the append-only guard would make such a
+        # table permanently unstreamable, ADVICE r5). Default 1 keeps
+        # the from-genesis behavior.
+        raw = options.get("startingversion", options.get("startingVersion", 1))
+        try:
+            self.starting_version = int(raw)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"snapshot_cdf option startingVersion must be an int, got {raw!r}"
+            ) from None
+        if self.starting_version < 1:
+            raise ValueError(
+                "snapshot_cdf option startingVersion must be >= 1, got "
+                f"{self.starting_version}"
+            )
 
     def initialOffset(self):
-        return {"version": 0}
+        # offset N = "versions <= N consumed": starting AT version V
+        # means versions < V are pre-consumed
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self):
         cur = S.current_version(self.table_dir)
@@ -83,7 +110,12 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         return [
-            _VersionPartition(v, _append_dir(self.table_dir, v))
+            _VersionPartition(
+                v,
+                _append_dir(
+                    self.table_dir, v, genesis=(v == self.starting_version)
+                ),
+            )
             for v in range(start["version"] + 1, end["version"] + 1)
         ]
 

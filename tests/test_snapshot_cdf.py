@@ -127,3 +127,70 @@ def test_table_to_table_replication_end_to_end(spark, tmp_path: Path):
         (r["k"], r["v"]) for r in snapshot_read(spark, down).collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]  # no duplicates
+
+
+def _run_once_from(spark, table_dir, ckpt, out_dir, starting_version):
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table_dir)
+        .option("startingVersion", str(starting_version))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_starting_version_begins_past_an_overwrite(spark, tmp_path: Path):
+    """ADVICE r5: after a table rewrite, a NEW stream must have a
+    supported way to start — startingVersion at the overwrite emits it
+    as the initial load; later appends follow normally."""
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)  # v1
+    snapshot_write(_df(spark, [(2, "b")]), t)  # v2 append
+    snapshot_write(_df(spark, [(9, "z")]), t, mode="overwrite")  # v3 rewrite
+    snapshot_write(_df(spark, [(10, "y")]), t)  # v4 append
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _run_once_from(spark, t, ckpt, out, starting_version=3)
+    got = {
+        (r["k"], r["_commit_version"]) for r in spark.read.parquet(out).collect()
+    }
+    # the overwrite itself arrives as the initial load; v1/v2 never do
+    assert got == {(9, 3), (10, 4)}
+
+
+def test_starting_version_after_the_overwrite_skips_it(spark, tmp_path: Path):
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)  # v1
+    snapshot_write(_df(spark, [(9, "z")]), t, mode="overwrite")  # v2
+    snapshot_write(_df(spark, [(10, "y")]), t)  # v3
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _run_once_from(spark, t, ckpt, out, starting_version=3)
+    got = {
+        (r["k"], r["_commit_version"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(10, 3)}
+
+
+def test_starting_version_rejects_garbage(spark, tmp_path: Path):
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    from bike_data_flow_spark.sources.snapshot_cdf import SnapshotCdfStreamReader
+    from pyspark.sql.types import IntegerType, StructType
+
+    schema = StructType().add("k", IntegerType())
+    with pytest.raises(ValueError, match="startingVersion"):
+        SnapshotCdfStreamReader(schema, {"path": t, "startingversion": "soon"})
+    with pytest.raises(ValueError, match="startingVersion"):
+        SnapshotCdfStreamReader(schema, {"path": t, "startingversion": "0"})

@@ -280,7 +280,11 @@ def test_snapshot_write_collision_via_stale_version_read(spark, tmp_path, monkey
     """A zombie writer that resolved prev BEFORE another writer's
     commit must ERROR inside snapshot_write itself (not just in a
     hand-rolled replay): patch current_version to return the stale
-    value and let the real code path hit the conditional publish."""
+    value — and disable the write-start self-heal, because a zombie
+    whose race window closes BEFORE its recovery scan simply heals;
+    the collision path exists for the one whose competitor publishes
+    AFTER the scan — then let the real code path hit the conditional
+    publish."""
     import pytest
 
     from bike_data_flow_spark.operators import snapshots as S
@@ -291,9 +295,90 @@ def test_snapshot_write_collision_via_stale_version_read(spark, tmp_path, monkey
 
     real = S.current_version
     monkeypatch.setattr(S, "current_version", lambda d: 1)  # stale view
+    monkeypatch.setattr(
+        S, "_recover_orphan_manifests", lambda d, prev: prev
+    )  # competitor publishes after the zombie's recovery scan
     with pytest.raises(RuntimeError, match="collision"):
         S.snapshot_write(_df(spark, [(9, "z")]), t)
     monkeypatch.setattr(S, "current_version", real)
     # the winner's commit is intact and the table still reads
     assert current_version(t) == 2
     assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
+
+
+def test_orphaned_manifest_self_heals_on_next_write(spark, tmp_path: Path):
+    """ADVICE r5: a writer crashing between the manifest publish and
+    the pointer move must NOT brick the table. Simulate the crash by
+    resetting _LATEST to the previous version after a real commit: the
+    next snapshot_write rolls the pointer forward over the durable
+    orphan and commits the NEXT version instead of colliding forever."""
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    snapshot_write(_df(spark, [(2, "b")]), t)  # v2 — then "crash":
+    (Path(t) / "_LATEST").write_text("1")  # pointer move never happened
+
+    v = snapshot_write(_df(spark, [(3, "c")]), t)  # must not raise
+    assert v == 3
+    assert current_version(t) == 3
+    # the orphaned commit's rows are part of the table (it was durable)
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2, 3}
+    # and time travel to the recovered version works
+    assert {r["k"] for r in snapshot_read(spark, t, version=2).collect()} == {1, 2}
+
+
+def test_first_commit_orphan_recovers_too(spark, tmp_path: Path):
+    """Crash between v1's publish and the FIRST pointer write leaves a
+    table with a manifest but no _LATEST at all — recovery must start
+    from zero, not only from an existing pointer."""
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    (Path(t) / "_LATEST").unlink()  # crash before the first flip
+
+    v = snapshot_write(_df(spark, [(2, "b")]), t)
+    assert v == 2
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
+
+
+def _race_publish(table_dir, marker, barrier, q):
+    from bike_data_flow_spark.operators.snapshots import _publish_manifest
+
+    barrier.wait()
+    try:
+        _publish_manifest(
+            table_dir, 2, {"version": 2, "mode": "append", "marker": marker}
+        )
+        q.put((marker, "ok"))
+    except RuntimeError:
+        q.put((marker, "collision"))
+
+
+def test_two_process_publish_race_has_exactly_one_winner(tmp_path: Path):
+    """VERDICT r5 #7: two CONCURRENT committers (real processes, not a
+    replayed publish) racing for the same version — exactly one wins,
+    the loser gets the collision error, and the surviving manifest is
+    the winner's bytes (not last-write-wins; the pre-r5 os.replace
+    spelling fails this: both report ok and the later write clobbers)."""
+    import json
+    import multiprocessing as mp
+
+    t = str(tmp_path / "tbl")
+    (Path(t) / "_snapshots").mkdir(parents=True)
+
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(2)
+    q = ctx.Queue()
+    ps = [
+        ctx.Process(target=_race_publish, args=(t, m, barrier, q))
+        for m in ("w1", "w2")
+    ]
+    for p in ps:
+        p.start()
+    results = dict(q.get(timeout=30) for _ in ps)
+    for p in ps:
+        p.join(timeout=30)
+    assert sorted(results.values()) == ["collision", "ok"]
+    winner = next(m for m, r in results.items() if r == "ok")
+    committed = json.loads((Path(t) / "_snapshots" / "v2.json").read_text())
+    assert committed["marker"] == winner
+    # no stray tmp files from either attempt
+    assert not list((Path(t) / "_snapshots").glob("*.tmp.*"))
