@@ -82,6 +82,70 @@ def _plausibility(s: str) -> int:
     return score
 
 
+_CURLY = str.maketrans(
+    {
+        "‘": "'",  # ‘ left single
+        "’": "'",  # ’ right single / apostrophe
+        "‚": "'",  # ‚ low single
+        "‛": "'",  # ‛ reversed single
+        "“": '"',  # “ left double
+        "”": '"',  # ” right double
+        "„": '"',  # „ low double (Polish opening quote)
+        "‟": '"',  # ‟ reversed double
+    }
+)
+
+
+def uncurl_quotes(s: str) -> str:
+    """ftfy's ``uncurl_quotes``: typographic single/double quotes →
+    ASCII ' and ". Dashes/ellipses are left alone (so is ftfy's
+    default — they carry meaning plain ASCII can't always restore)."""
+    return s.translate(_CURLY)
+
+
+def unescape_entities(s: str) -> str:
+    """ftfy's ``unescape_html='auto'``: undo HTML entity escaping
+    (&amp; &lt; &#39; &oacute; …), including the common double-escaped
+    layer (&amp;amp;) — but ONLY when the text does not look like
+    actual markup (a raw '<' means entities may be load-bearing;
+    unescaping real HTML would corrupt it, ftfy's documented reason
+    for 'auto'). Iterates at most _MAX_ROUNDS layers, like the
+    mojibake unwind."""
+    import html
+
+    if "<" in s:
+        return s
+    for _ in range(_MAX_ROUNDS):
+        if "&" not in s:
+            return s
+        unescaped = html.unescape(s)
+        if unescaped == s:
+            return s
+        s = unescaped
+    return s
+
+
+def fix_text(
+    s: str,
+    unescape_html: bool = True,
+    fix_encoding: bool = True,
+    uncurl: bool = True,
+) -> str:
+    """The ftfy.fix_text stand-in the ingest path uses (reference:
+    raw_all.py:80 pipes every snapshot through ftfy.fix_text): entity
+    unescape → mojibake repair → quote normalization, in ftfy's fixer
+    order (entities first, because escaped mojibake like &acirc;&#128;
+    &#153; only shows its UTF-8-through-cp1252 signature once
+    unescaped)."""
+    if unescape_html:
+        s = unescape_entities(s)
+    if fix_encoding:
+        s = fix_mojibake(s)
+    if uncurl:
+        s = uncurl_quotes(s)
+    return s
+
+
 def fix_mojibake(s: str) -> str:
     """Repair UTF-8 text mis-decoded through a single-byte codec;
     identity otherwise.

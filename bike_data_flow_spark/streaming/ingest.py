@@ -28,9 +28,10 @@ from pathlib import Path
 try:  # optional, mirrors raw_all.py:80; prefer the real library if present
     from ftfy import fix_text  # type: ignore
 except ImportError:  # pragma: no cover
-    # Public-knowledge fallback implementing ftfy's core repair (undo
-    # UTF-8-decoded-as-latin-1/cp1252) instead of passing mojibake through.
-    from ..encoding import fix_mojibake as fix_text
+    # Public-knowledge fallback implementing ftfy's documented fixers
+    # (HTML-entity unescape → undo UTF-8-decoded-as-latin-1/cp1252 →
+    # quote normalization) instead of passing mojibake through.
+    from ..encoding import fix_text
 
 FILENAME_FMT = "wrm_stations_{ts}.txt"
 TS_FMT = "%Y-%m-%d_%H-%M-%S"

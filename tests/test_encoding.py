@@ -149,3 +149,43 @@ def test_unwinds_alternating_lens_mojibake():
         for lens in lenses:
             s = s.encode("utf-8").decode(lens)
         assert fix_mojibake(s) == clean, (clean, lenses)
+
+
+# --- ftfy long tail: entity unescape + quote normalization (r6) -----------
+
+from bike_data_flow_spark.encoding import (  # noqa: E402
+    fix_text,
+    uncurl_quotes,
+    unescape_entities,
+)
+
+
+def test_entities_unescape_named_numeric_and_double_escaped():
+    assert unescape_entities("fish &amp; chips") == "fish & chips"
+    assert unescape_entities("it&#39;s &lt;fine&gt;") == "it's <fine>"
+    assert unescape_entities("Krak&oacute;w") == "Kraków"
+    # the classic double-escape layer
+    assert unescape_entities("fish &amp;amp; chips") == "fish & chips"
+
+
+def test_entities_left_alone_inside_real_markup():
+    s = "<a href='x?a=1&amp;b=2'>link</a>"
+    assert unescape_entities(s) == s
+    assert fix_text(s, fix_encoding=False, uncurl=False) == s
+
+
+def test_uncurl_quotes_all_eight_forms():
+    assert uncurl_quotes("‘a’ ‚b‛ “c” „d‟") == "'a' 'b' \"c\" \"d\""
+    assert uncurl_quotes("it’s") == "it's"
+    # dashes and ellipses stay (ftfy leaves them too)
+    assert uncurl_quotes("a – b — c …") == "a – b — c …"
+
+
+def test_fix_text_chains_entities_then_mojibake_then_quotes():
+    # escaped mojibake: the cp1252 lens only appears after unescaping
+    broken = "it&acirc;&#128;&#153;s fine"
+    assert fix_text(broken) == "it's fine"
+    # plain mojibake still repaired, then uncurled
+    assert fix_text("itâ€™s") == "it's"
+    # clean text round-trips
+    assert fix_text("zażółć gęślą jaźń") == "zażółć gęślą jaźń"
