@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None, bench: bool = False):
 _CHECK_FIRST = (
     # -- new in round 6 (never driver-checked) --
     "duplicate_spans",
+    "pii_redaction",
     # -- the only 6 registry entries with no green driver row in rounds
     # 1-4 (r4 checked positions 0-49; these sat at 50-56) --
     "wrm_latest_snapshot",
@@ -184,6 +185,7 @@ def load_all() -> dict[str, Query]:
         evalops,
         maintenance,
         mutations,
+        pii_q,
         relational,
         relational2,
         relational3,
