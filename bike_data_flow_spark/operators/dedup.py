@@ -733,6 +733,91 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Set-CONTAINMENT join: pairs where either doc's shingle set is
+    ≥ ``threshold`` contained in the other's (|A∩B|/|A| — Broder's
+    containment coefficient). The asymmetric complement to the Jaccard
+    joins: a short quote inside a long document scores near-1
+    containment but near-0 Jaccard (|B| dominates the union), so this
+    is the operator that catches quotes, excerpt reposts, and
+    boilerplate-wrapped copies.
+
+    Plan mirrors ngram_jaccard_pairs (shingle equi-join at df ≥ 2 →
+    per-pair intersection count → size join), with the measure swapped;
+    the df=1 prune and ``max_shingle_freq`` skew cap apply unchanged.
+    Emits both directions' coefficients once per unordered pair.
+    """
+    sh = doc_shingles(df, id_col, text_col, n, max_shingle_freq).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    gf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    joinable = sh.join(gf.filter(F.col("_df") >= 2).select("shingle"), "shingle")
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    cont_a = F.round(F.col("inter_size") / F.col("size_a"), 4)
+    cont_b = F.round(F.col("inter_size") / F.col("size_b"), 4)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cont_a.alias("containment_a_in_b"),
+            cont_b.alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= threshold
+        )
+    )
+
+
+def shingle_novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc NOVELTY: the fraction of its shingles whose FIRST
+    corpus occurrence (by ascending id — ids are the ingestion order)
+    is this doc. The incremental-dedup curation signal: a feed of
+    reposts scores near 0, genuinely new material near 1 — what a
+    streaming pipeline computes before paying for full pair joins.
+
+    Plan: ONE groupBy(shingle) yields each shingle's min id (uniform
+    md5-free keys, vocab-sized output), joined back to the doc-shingle
+    pairs for a per-doc mean — two bounded shuffles, no pair term.
+    """
+    sh = doc_shingles(df, id_col=id_col, text_col=text_col, n=n).cache()
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    novel = F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+    return (
+        sh.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     window: int = 10,

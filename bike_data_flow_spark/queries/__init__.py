@@ -56,6 +56,8 @@ _CHECK_FIRST = (
     # -- new in round 6 (never driver-checked) --
     "duplicate_spans",
     "pii_redaction",
+    "containment_pairs",
+    "shingle_novelty_scores",
     # -- the only 6 registry entries with no green driver row in rounds
     # 1-4 (r4 checked positions 0-49; these sat at 50-56) --
     "wrm_latest_snapshot",

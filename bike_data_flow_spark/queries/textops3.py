@@ -788,3 +788,57 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans(
         load(spark, sf_dir, "documents"), window=_SPAN_W
     )
+
+
+_CONT_T = 0.8
+
+
+@query(
+    "containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter_size / sa.set_size, 4) AS containment_a_in_b,
+           round(inter_size / sb.set_size, 4) AS containment_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(round(inter_size / sa.set_size, 4),
+                   round(inter_size / sb.set_size, 4)) >= {_CONT_T}
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join (Broder's coefficient, both directions):
+    the asymmetric complement to Jaccard that catches quotes and
+    excerpt reposts. See operators/dedup.containment_pairs."""
+    return D.containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=_CONT_T
+    )
+
+
+@query(
+    "shingle_novelty_scores",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    first AS (SELECT shingle, min(doc_id) AS f FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN first.f = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN first.f = sh.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS novelty
+    FROM sh JOIN first USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order novelty per doc (share of first-seen shingles) —
+    the streaming pre-dedup curation signal.
+    See operators/dedup.shingle_novelty_scores."""
+    return D.shingle_novelty_scores(load(spark, sf_dir, "documents"))
