@@ -214,9 +214,12 @@ def ngram_jaccard_pairs(
     # set sizes count EVERY shingle, but the pair join only needs the
     # co-occurring ones: a df=1 shingle (the long tail) meets nobody,
     # so dropping it shrinks the self-join input without touching the
-    # output
+    # output. Cached: BOTH self-join sides consume it, and the rename
+    # projections differ enough that Spark won't reuse the exchange.
     gf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    joinable = sh.join(gf.filter(F.col("_df") >= 2).select("shingle"), "shingle")
+    joinable = sh.join(
+        gf.filter(F.col("_df") >= 2).select("shingle"), "shingle"
+    ).cache()
     a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
     b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -757,7 +760,9 @@ def containment_pairs(
     sh = doc_shingles(df, id_col, text_col, n, max_shingle_freq).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     gf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    joinable = sh.join(gf.filter(F.col("_df") >= 2).select("shingle"), "shingle")
+    joinable = sh.join(
+        gf.filter(F.col("_df") >= 2).select("shingle"), "shingle"
+    ).cache()  # both self-join sides read it
     a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
     b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
