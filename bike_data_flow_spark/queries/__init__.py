@@ -58,6 +58,7 @@ _CHECK_FIRST = (
     "pii_redaction",
     "containment_pairs",
     "shingle_novelty_scores",
+    "quality_classifier_scores",
     # -- the only 6 registry entries with no green driver row in rounds
     # 1-4 (r4 checked positions 0-49; these sat at 50-56) --
     "wrm_latest_snapshot",
@@ -186,6 +187,7 @@ def load_all() -> dict[str, Query]:
         bike_pipeline,
         evalops,
         maintenance,
+        mlops,
         mutations,
         pii_q,
         relational,
