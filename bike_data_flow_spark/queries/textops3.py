@@ -842,3 +842,71 @@ def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming pre-dedup curation signal.
     See operators/dedup.shingle_novelty_scores."""
     return D.shingle_novelty_scores(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_rewritten_docs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i + {_SPAN_W - 1}], ' ')) AS fp
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_SPAN_W - 1})) AS i
+        FROM t
+      )
+    ),
+    dupw AS (
+      SELECT doc_id, pos FROM w
+      WHERE fp IN (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_W}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dupw
+      )
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_W - 1} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    pos AS (
+      SELECT doc_id, p, toks[p] AS tok
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS p
+        FROM t
+      )
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos LEFT JOIN spans
+        ON spans.doc_id = pos.doc_id AND pos.p BETWEEN spans.s AND spans.e
+      WHERE spans.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS nt
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           md5(CASE WHEN t.doc_id IN (SELECT doc_id FROM spans)
+                    THEN coalesce(r.nt, '')
+                    ELSE t.text END) AS rewritten_md5
+    FROM t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """,
+)
+def dedup_rewritten_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of substring dedup: every duplicated span cut
+    from each doc's token stream, clean docs passing through verbatim
+    (byte-exact — the md5 pins whitespace behavior too).
+    See operators/dedup.drop_duplicate_spans."""
+    out = D.drop_duplicate_spans(
+        load(spark, sf_dir, "documents"), window=_SPAN_W
+    )
+    return out.select("doc_id", F.md5(F.col("text")).alias("rewritten_md5"))
