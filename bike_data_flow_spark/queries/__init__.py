@@ -60,6 +60,7 @@ _CHECK_FIRST = (
     "shingle_novelty_scores",
     "quality_classifier_scores",
     "dedup_rewritten_docs",
+    "streamed_lsh_near_dup_buckets",
     # -- the only 6 registry entries with no green driver row in rounds
     # 1-4 (r4 checked positions 0-49; these sat at 50-56) --
     "wrm_latest_snapshot",
