@@ -158,3 +158,52 @@ def test_ivfpq_probed_scan_and_no_python(spark):
     plan = _plan(ivfpq_topk(spark, SF_DIR))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicate_spans_no_pair_join(spark):
+    """Substring dedup must stay pairwise-free: fingerprint agg +
+    semi-join + per-doc window — a refactor to a doc×doc join would
+    surface as a cross product or an extra non-semi join here."""
+    from bike_data_flow_spark.operators.dedup import duplicate_spans
+    from bike_data_flow_spark.tables import load
+
+    plan = _plan(duplicate_spans(load(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_pii_redaction_map_only(spark):
+    """The scrub is a pure map pass: zero exchanges, one scan."""
+    from bike_data_flow_spark.queries.pii_q import pii_redaction
+
+    plan = _plan(pii_redaction(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) Exchange") == 0, plan
+    assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
+
+
+def test_classifier_scoring_is_map_only_over_features(spark):
+    """Scoring with literal weights adds NO exchange beyond the feature
+    aggregation itself (one groupBy over the token explode)."""
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.operators import ml as M
+    from bike_data_flow_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    feats = M.hashed_token_features(
+        docs, label=(F.col("lang") == "en").cast("int")
+    )
+    out = M.logreg_score(feats, [0.1] * (M.LOGREG_BUCKETS + 1))
+    plan = _plan(out)
+    assert _count(plan, r"\(\d+\) Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_containment_join_is_keyed(spark):
+    from bike_data_flow_spark.operators.dedup import containment_pairs
+    from bike_data_flow_spark.tables import load
+
+    plan = _plan(containment_pairs(load(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
