@@ -202,6 +202,7 @@ def load_all() -> dict[str, Query]:
         relational8,
         relational9,
         relational10,
+        retrieval_q,
         sketches,
         streaming_q,
         textops,

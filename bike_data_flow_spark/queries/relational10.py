@@ -607,3 +607,61 @@ def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_growth"
         ),
     )
+
+
+_BFS_SRC = 0
+_BFS_MAX_HOPS = 3
+
+
+@query(
+    "copurchase_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM items a JOIN items b ON a.okey = b.okey
+      WHERE a.part <> b.part
+    ),
+    walk(node, hop) AS (
+      SELECT CAST({_BFS_SRC} AS BIGINT), 0
+      UNION
+      SELECT edges.dst, walk.hop + 1
+      FROM walk JOIN edges ON edges.src = walk.node
+      WHERE walk.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT node, min(hop) AS hops FROM walk GROUP BY node
+    """,
+)
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS over the co-purchase graph (parts sharing an order
+    are adjacent) from a seed part — "how far is everything from this
+    product", the reachability primitive behind recommendation-radius
+    and taint-propagation questions. The edge build is keyed on the
+    ORDER (Σ basket² work, the market-basket shape — never parts²);
+    each BFS round is one frontier⋈edges equi-join, frontier-bounded.
+    The oracle's recursive CTE uses UNION (dedup) so its row count
+    stays node-bounded; min(hop) collapses its multi-path visits to
+    the same min-hop semantics the engine's first-visit invariant
+    gives directly."""
+    from ..operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = items.select("okey", F.col("part").alias("src"))
+    b = items.select("okey", F.col("part").alias("dst"))
+    # cached: every BFS round probes this edge list
+    edges = (
+        a.join(b, "okey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .cache()
+    )
+    src = li.sparkSession.range(_BFS_SRC, _BFS_SRC + 1).select(
+        F.col("id").alias("node")
+    )
+    return bfs_hops(edges, src, _BFS_MAX_HOPS)
