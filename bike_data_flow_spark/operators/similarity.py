@@ -1100,3 +1100,43 @@ def ivfpq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def jl_sign(out_idx: int, dim_idx: int) -> float:
+    """Deterministic ±1 Rademacher entry of the JL projection matrix
+    (md5 parity, same oracle-regenerable precompute discipline as
+    hyperplane_component). Evaluated at plan-build time; embedded as
+    literals — zero per-row hashing."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl{out_idx}|{dim_idx}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: embeddings × a ±1
+    Rademacher matrix / √d' (Achlioptas 2001 — database-friendly JL),
+    the standard cheap dimensionality cut in front of ANN indexing and
+    clustering (pairwise distances preserved within 1±ε w.h.p.).
+
+    Map-only: the d×d' sign matrix rides the plan as literals (no
+    per-row hashing, no shuffle, no driver state); each output
+    component is the same left-fold dot the cosine operators use, so
+    the DuckDB oracle reproduces doubles bit-for-bit. Emits long form
+    (id, dim, val) — the unpivoted shape every consumer (stats, join
+    back to wide) takes without string-formatting float arrays.
+    """
+    scale = 1.0 / (out_dim**0.5)
+    comps = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(jl_sign(j, i)) for i in range(in_dim)])
+        comps.append(F.round(dot(F.col(vec_col), signs) * F.lit(scale), 6))
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("dim", "val")
+    )

@@ -251,3 +251,73 @@ def snapshot_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+
+def _profile_arm(c: str, numeric: bool) -> str:
+    mn = (
+        f"CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num, "
+        "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        if numeric
+        else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+        f"min({c}) AS min_str, max({c}) AS max_str"
+    )
+    return f"""
+    SELECT '{c}' AS col, count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct, {mn}
+    FROM orders"""
+
+
+@query(
+    "column_profile",
+    oracle=" UNION ALL ".join(
+        [_profile_arm(c, True) for c in _PROFILE_NUM]
+        + [_profile_arm(c, False) for c in _PROFILE_STR]
+    ),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics — the optimizer-stats collection
+    pass (per-column row/null/NDV counts + bounds) every
+    cost-based-planning and data-quality workflow starts from. ONE
+    aggregation job over one scan: Catalyst plans the multi-distinct
+    agg with an Expand (rows × |profiled columns|), all map-side
+    partial-aggregated — no per-column rescans, unlike the oracle's
+    UNION ALL of full scans. At 100 TB swap the exact NDV for
+    approx_count_distinct (HLL, already in sketches.py) — exact is
+    kept here so the oracle can verify values bit-for-bit."""
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in (*_PROFILE_NUM, *_PROFILE_STR):
+        aggs += [
+            F.count(c).alias(f"_c_{c}"),
+            F.countDistinct(c).alias(f"_d_{c}"),
+            F.min(c).alias(f"_mn_{c}"),
+            F.max(c).alias(f"_mx_{c}"),
+        ]
+    ag = orders.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in (*_PROFILE_NUM, *_PROFILE_STR):
+        numeric = c in _PROFILE_NUM
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_c_{c}")).alias("n_null"),
+                F.col(f"_d_{c}").alias("n_distinct"),
+                (F.col(f"_mn_{c}").cast("double") if numeric else null_d).alias(
+                    "min_num"
+                ),
+                (F.col(f"_mx_{c}").cast("double") if numeric else null_d).alias(
+                    "max_num"
+                ),
+                (null_s if numeric else F.col(f"_mn_{c}")).alias("min_str"),
+                (null_s if numeric else F.col(f"_mx_{c}")).alias("max_str"),
+            )
+        )
+    return ag.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

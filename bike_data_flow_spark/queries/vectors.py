@@ -1216,3 +1216,36 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("std"),
     )
+
+
+_JL_OUT = 16
+_JL_SCALE_R = repr(1.0 / (_JL_OUT**0.5))  # 0.25, exact
+
+
+def _jl_arm(j: int) -> str:
+    comps = ", ".join(
+        repr(S.jl_sign(j, i)) for i in range(_DIM)
+    )
+    dotj = (
+        f"list_sum([CAST(embedding[i] AS DOUBLE) * ([{comps}])[i] "
+        f"FOR i IN generate_series(1, {_DIM})])"
+    )
+    return (
+        f"SELECT vec_id, {j} AS dim, round({dotj} * {_JL_SCALE_R}, 6) AS val "
+        "FROM embeddings"
+    )
+
+
+@query(
+    "jl_projected_embeddings",
+    oracle=" UNION ALL ".join(_jl_arm(j) for j in range(_JL_OUT)),
+)
+def jl_projected_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→16-dim Johnson–Lindenstrauss projection of the embedding
+    table (operators/similarity.jl_project): map-only, matrix-as-
+    literals, long-form output. The oracle regenerates the identical
+    Rademacher matrix from the same md5 parity and folds in the same
+    order."""
+    return S.jl_project(
+        load(spark, sf_dir, "embeddings"), in_dim=_DIM, out_dim=_JL_OUT
+    )
