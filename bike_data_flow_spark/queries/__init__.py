@@ -54,6 +54,11 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
     # -- new in round 6 (never driver-checked) --
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "copurchase_bfs_hops",
+    "column_profile",
+    "jl_projected_embeddings",
     "duplicate_spans",
     "pii_redaction",
     "containment_pairs",
