@@ -207,3 +207,38 @@ def test_containment_join_is_keyed(spark):
     plan = _plan(containment_pairs(load(spark, SF_DIR, "documents")))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_topk_shape(spark):
+    """Top-k plans as TakeOrderedAndProject (no global sort); the
+    whole pipeline is equi-join/aggregate only — no cross product
+    beyond the 1-row broadcast stats join."""
+    from bike_data_flow_spark.operators.retrieval import bm25_topk
+    from bike_data_flow_spark.tables import load
+
+    plan = _plan(bm25_topk(load(spark, SF_DIR, "documents"), ("hash", "dup")))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _count(plan, r"\(\d+\) Sort\b") == 0, plan
+
+
+def test_jl_projection_map_only(spark):
+    """JL projection must be a pure map pass: one scan, zero
+    exchanges, zero joins — the matrix is plan literals."""
+    from bike_data_flow_spark.operators.similarity import jl_project
+    from bike_data_flow_spark.tables import load
+
+    plan = _plan(jl_project(load(spark, SF_DIR, "embeddings"), in_dim=64))
+    assert _count(plan, r"\(\d+\) Exchange") == 0, plan
+    assert "Join" not in plan, plan
+    assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
+
+
+def test_column_profile_single_scan_expand(spark):
+    """The multi-distinct profile is ONE scan through an Expand — not
+    per-column rescans like the oracle."""
+    from bike_data_flow_spark.queries.maintenance import column_profile
+
+    plan = _plan(column_profile(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
