@@ -54,3 +54,67 @@ def bfs_hops(
         visited = visited.union(nxt).cache()
         frontier = nxt.select(node_col)
     return visited
+
+
+PR_SCALE = 1_000_000_000_000  # integer-scaling for fold-order-free sums
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list (nodes = edge endpoints'
+    sources; supply a symmetrized list for undirected semantics, which
+    also guarantees no dangling mass — every node then has out-edges).
+
+    p_{t+1}(v) = (1−d)/N + d·Σ_{u→v} p_t(u)/outdeg(u), fixed ``iters``
+    rounds from the uniform start. Engine-parity: each contribution
+    p_u/outdeg_u is rounded and scaled to an INTEGER before the
+    per-node SUM (exact, fold-order-free — the zipf_fit pattern), and
+    each round's rank is re-rounded to 12 decimals, so an unrolled-CTE
+    oracle reproduces every round bit-for-bit.
+
+    Scale shape per round: ONE edges⋈ranks equi-join + ONE partial-agg
+    groupBy(dst) — node- and edge-bounded, the textbook Pregel
+    iteration; the scalar N and the degree table are the only other
+    state. For deep iteration counts checkpoint-truncate the lineage
+    as the other iterative operators do (fixed 3 rounds here).
+    """
+    deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select("node", "deg", (F.lit(1.0) / F.col("n")).alias("p"))
+        .cache()
+    )
+    for _ in range(iters):
+        contrib = edges.join(
+            ranks, edges[src_col] == ranks["node"]
+        ).select(
+            F.col(dst_col).alias("node"),
+            F.round(F.col("p") / F.col("deg") * F.lit(PR_SCALE))
+            .cast("long")
+            .alias("_c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            sums.join(deg, "node")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (F.col("_s").cast("double") / F.lit(PR_SCALE)),
+                    12,
+                ).alias("p"),
+            )
+            .cache()
+        )
+    return ranks.select("node", F.col("p").alias("pagerank"))

@@ -57,6 +57,7 @@ _CHECK_FIRST = (
     "bm25_topk",
     "hybrid_rrf_topk",
     "copurchase_bfs_hops",
+    "copurchase_pagerank",
     "column_profile",
     "jl_projected_embeddings",
     "duplicate_spans",

@@ -665,3 +665,78 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("node")
     )
     return bfs_hops(edges, src, _BFS_MAX_HOPS)
+
+
+_PR_D = 0.85
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000_000_000
+# exact repr of the Python double 1.0-0.85, so both engines parse the
+# SAME teleport constant (a "0.15" SQL literal is a DIFFERENT double)
+_PR_TELEPORT = repr(1.0 - _PR_D)
+
+
+def _pagerank_rounds() -> str:
+    parts = []
+    prev = "p0"
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(f"""
+    r{t} AS (
+      SELECT e.dst AS node,
+             sum(CAST(round(p.p / p.deg * {_PR_SCALE}) AS BIGINT)) AS s
+      FROM edges e JOIN {prev} p ON p.node = e.src
+      GROUP BY 1
+    ),
+    p{t} AS (
+      SELECT r{t}.node, deg.deg,
+             round({_PR_TELEPORT} / n.n
+                   + {_PR_D!r} * (CAST(r{t}.s AS DOUBLE) / {_PR_SCALE}),
+                   12) AS p
+      FROM r{t} JOIN deg ON deg.node = r{t}.node CROSS JOIN n
+    )""")
+        prev = f"p{t}"
+    return ",".join(parts)
+
+
+@query(
+    "copurchase_pagerank",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM items a JOIN items b ON a.okey = b.okey
+      WHERE a.part <> b.part
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM deg),
+    p0 AS (
+      SELECT node, deg, CAST(1.0 AS DOUBLE) / n.n AS p FROM deg CROSS JOIN n
+    ),{_pagerank_rounds()}
+    SELECT node, p AS pagerank FROM p{_PR_ITERS}
+    """,
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric co-purchase graph — which products
+    sit at the center of the purchasing network (the recommender-
+    centrality companion to lift and BFS radius). Fixed 3 power-
+    iteration rounds; the oracle unrolls them into CTE chains and the
+    integer-scaled contribution sums make every round exact and
+    fold-order-free on both engines. Each round is one edges⋈ranks
+    equi-join + one node-bounded partial agg (operators/graph.py)."""
+    from ..operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = items.select("okey", F.col("part").alias("src"))
+    b = items.select("okey", F.col("part").alias("dst"))
+    edges = (
+        a.join(b, "okey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .cache()
+    )
+    return pagerank(edges, damping=_PR_D, iters=_PR_ITERS)

@@ -103,3 +103,27 @@ def test_jl_projection_shape_and_linearity(spark):
     # signs are genuinely ±1 and deterministic
     assert {S.jl_sign(j, i) for j in range(4) for i in range(8)} == {1.0, -1.0}
     assert S.jl_sign(0, 0) == S.jl_sign(0, 0)
+
+
+def test_pagerank_star_center_wins_and_mass_conserved(spark):
+    # undirected star: 1 is hub, 2..5 leaves
+    und = [(1, j) for j in (2, 3, 4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {r["node"]: r["pagerank"] for r in G.pagerank(edges).collect()}
+    assert max(got, key=lambda n: got[n]) == 1        # hub dominates
+    leaves = {got[j] for j in (2, 3, 4, 5)}
+    assert len(leaves) == 1                           # symmetry
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)  # mass conserved
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # 3-cycle both directions: regular graph → uniform stationary dist
+    und = [(1, 2), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {r["node"]: r["pagerank"] for r in G.pagerank(edges).collect()}
+    for p in got.values():
+        assert p == pytest.approx(1 / 3, abs=1e-9)
