@@ -58,6 +58,7 @@ _CHECK_FIRST = (
     "hybrid_rrf_topk",
     "copurchase_bfs_hops",
     "copurchase_pagerank",
+    "key_skew_profile",
     "column_profile",
     "jl_projected_embeddings",
     "duplicate_spans",

@@ -321,3 +321,55 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ag.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+_SKEW_TOP = 5
+
+
+@query(
+    "key_skew_profile",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts),
+    ranked AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id ASC) AS rnk
+      FROM counts
+    )
+    SELECT r.rnk, r.user_id, r.n, t.n_keys,
+           round(CAST(r.n AS DOUBLE) / t.total, 6) AS share
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rnk <= {_SKEW_TOP}
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the heaviest keys of a prospective
+    join/groupBy key with their traffic share — the measurement that
+    decides whether a join needs salting (layout.salted_join) or AQE
+    skew handling suffices. One keys-sized aggregate; the top-k rank
+    filter plans as WindowGroupLimit over |keys| rows (never raw
+    data); the totals ride in as one broadcast scalar."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SKEW_TOP)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "user_id",
+            "n",
+            "n_keys",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )
