@@ -360,3 +360,45 @@ def snapshot_changes(
     inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)
+
+
+def snapshot_compact(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite the table's live row set into ``target_files``
+    files and commit it as a new overwrite snapshot whose manifest meta
+    carries ``{"compaction": True}`` — the small-file maintenance
+    action for append-heavy tables (every append adds a dir; thousands
+    of commits mean thousands of tiny files under one manifest).
+
+    Properties the marker buys:
+    - data-identical by construction (one read → coalesce → write;
+      nothing filters or transforms), so downstream CDF consumers have
+      no change events to see: the streaming source skips compaction
+      commits instead of raising its overwrite error, and appends
+      continue streaming across the rewrite.
+    - time travel to pre-compaction versions keeps working until
+      expire_snapshots drops them (at which point the pre-compaction
+      dirs become unreferenced and are reclaimed — run compact, then
+      expire, to actually free the small files).
+
+    Cost shape: one full read + write of the LIVE row set (like any
+    OPTIMIZE); partition-scoped compaction of dt= layouts is
+    operators/compact.py — this is the table-format-level counterpart.
+    """
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    df = snapshot_read(spark, table_dir, cur).coalesce(target_files)
+    return snapshot_write(
+        df,
+        table_dir,
+        mode="overwrite",
+        meta={"compaction": True, "compacted_from": cur},
+    )
+
+
+def is_compaction(table_dir: str, version: int) -> bool:
+    """True iff the version is a data-preserving compaction commit."""
+    m = _read_manifest(table_dir, version)
+    return bool(m.get("meta", {}).get("compaction"))

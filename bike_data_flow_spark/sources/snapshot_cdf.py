@@ -109,15 +109,22 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         return {"version": cur or 0}
 
     def partitions(self, start, end):
-        return [
-            _VersionPartition(
-                v,
-                _append_dir(
-                    self.table_dir, v, genesis=(v == self.starting_version)
-                ),
+        # compaction commits (snapshot_compact) are data-preserving
+        # rewrites: there are no change events to emit, so they are
+        # SKIPPED rather than tripping the overwrite guard — appends
+        # keep streaming across an OPTIMIZE. A compaction at the
+        # stream's genesis still emits (it IS the initial load there).
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            genesis = v == self.starting_version
+            if not genesis and S.is_compaction(self.table_dir, v):
+                continue
+            out.append(
+                _VersionPartition(
+                    v, _append_dir(self.table_dir, v, genesis=genesis)
+                )
             )
-            for v in range(start["version"] + 1, end["version"] + 1)
-        ]
+        return out
 
     def read(self, partition: _VersionPartition):
         table = pq.read_table(partition.data_dir)

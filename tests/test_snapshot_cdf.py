@@ -194,3 +194,26 @@ def test_starting_version_rejects_garbage(spark, tmp_path: Path):
         SnapshotCdfStreamReader(schema, {"path": t, "startingversion": "soon"})
     with pytest.raises(ValueError, match="startingVersion"):
         SnapshotCdfStreamReader(schema, {"path": t, "startingversion": "0"})
+
+
+def test_compaction_commit_streams_through_without_changes(spark, tmp_path: Path):
+    """An OPTIMIZE (snapshot_compact) in the unconsumed range emits
+    ZERO change rows and does NOT trip the overwrite guard; appends
+    before and after it stream normally through one checkpoint."""
+    from bike_data_flow_spark.operators.snapshots import snapshot_compact
+
+    register(spark)
+    t, ckpt, out = (
+        str(tmp_path / "t"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    _run_once(spark, t, ckpt, out)
+    snapshot_write(_df(spark, [(2, "b")]), t)          # v2 append
+    snapshot_compact(spark, t)                          # v3 compaction
+    snapshot_write(_df(spark, [(3, "c")]), t)          # v4 append
+    _run_once(spark, t, ckpt, out)
+    rows = spark.read.parquet(out).collect()
+    got = {(r["k"], r["_commit_version"]) for r in rows}
+    assert got == {(1, 1), (2, 2), (3, 4)}  # nothing from v3

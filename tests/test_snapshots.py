@@ -382,3 +382,39 @@ def test_two_process_publish_race_has_exactly_one_winner(tmp_path: Path):
     assert committed["marker"] == winner
     # no stray tmp files from either attempt
     assert not list((Path(t) / "_snapshots").glob("*.tmp.*"))
+
+
+def test_snapshot_compact_preserves_rows_and_history(spark, tmp_path: Path):
+    """OPTIMIZE: many small appends → one compaction commit with
+    identical data, fewer files; pre-compaction time travel intact
+    until expiry, after which the small files are reclaimed."""
+    import glob
+
+    from bike_data_flow_spark.operators.snapshots import (
+        expire_snapshots,
+        is_compaction,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        snapshot_write(
+            spark.createDataFrame([(i, f"r{i}")], "k int, v string"), t
+        )
+    before = sorted(
+        r["k"] for r in snapshot_read(spark, t).collect()
+    )
+    n_files_before = len(glob.glob(f"{t}/data/*/*.parquet"))
+    v = snapshot_compact(spark, t, target_files=1)
+    assert v == 5 and is_compaction(t, 5) and not is_compaction(t, 4)
+    after = sorted(r["k"] for r in snapshot_read(spark, t).collect())
+    assert after == before == [0, 1, 2, 3]
+    # time travel to the pre-compaction version still works
+    assert sorted(r["k"] for r in snapshot_read(spark, t, 4).collect()) == before
+    # expiry reclaims the small pre-compaction files
+    expire_snapshots(t, keep_last=1)
+    n_files_after = len(glob.glob(f"{t}/data/*/*.parquet"))
+    assert n_files_after == 1 < n_files_before
+    assert sorted(r["k"] for r in snapshot_read(spark, t).collect()) == before
