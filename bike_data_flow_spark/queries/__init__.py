@@ -59,6 +59,7 @@ _CHECK_FIRST = (
     "copurchase_bfs_hops",
     "copurchase_pagerank",
     "key_skew_profile",
+    "recursive_sql_bfs",
     "column_profile",
     "jl_projected_embeddings",
     "duplicate_spans",

@@ -740,3 +740,40 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     return pagerank(edges, damping=_PR_D, iters=_PR_ITERS)
+
+
+# ONE dialect-portable SQL text executed verbatim by BOTH engines —
+# Spark 4's recursive-CTE surface (SPARK-24497) against DuckDB's.
+_RCTE_SQL = f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM items a JOIN items b ON a.okey = b.okey
+      WHERE a.part <> b.part
+    ),
+    walk(node, hop) AS (
+      SELECT CAST({_BFS_SRC} AS BIGINT), 0
+      UNION ALL
+      SELECT edges.dst, walk.hop + 1
+      FROM walk JOIN edges ON edges.src = walk.node
+      WHERE walk.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT node, min(hop) AS hops FROM walk GROUP BY node
+"""
+
+
+@query("recursive_sql_bfs", oracle=_RCTE_SQL)
+def recursive_sql_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface twin of copurchase_bfs_hops: the IDENTICAL
+    recursive-CTE text (WITH RECURSIVE, Spark 4) runs verbatim on both
+    engines — pinning that the engine's recursive SQL dialect is
+    DuckDB-portable, and that the declarative spelling agrees with the
+    operator spelling (same result set as the frontier-expansion
+    bfs_hops). UNION ALL recursion is path-bounded by the hop < 3
+    guard; min(hop) collapses multi-path visits. For unbounded-depth
+    traversals prefer the operator (its visited-set anti-join prunes
+    paths; plain UNION ALL recursion cannot)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RCTE_SQL)
