@@ -60,6 +60,7 @@ _CHECK_FIRST = (
     "copurchase_pagerank",
     "key_skew_profile",
     "recursive_sql_bfs",
+    "winsorized_value_stats",
     "column_profile",
     "jl_projected_embeddings",
     "duplicate_spans",

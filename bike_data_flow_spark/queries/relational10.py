@@ -777,3 +777,58 @@ def recursive_sql_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths; plain UNION ALL recursion cannot)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_RCTE_SQL)
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 4) AS lo,
+             round(quantile_cont(value, 0.95), 4) AS hi
+      FROM events GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT e.event_type,
+             round(least(greatest(e.value, b.lo), b.hi), 4) AS w,
+             CAST(e.value < b.lo AS INT) AS is_lo,
+             CAST(e.value > b.hi AS INT) AS is_hi,
+             b.lo, b.hi
+      FROM events e JOIN bounds b USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(is_lo) AS BIGINT) AS n_clamped_low,
+           CAST(sum(is_hi) AS BIGINT) AS n_clamped_high,
+           min(lo) AS lo, min(hi) AS hi,
+           round(CAST(sum(CAST(w AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4)
+             AS winsor_mean
+    FROM clamped GROUP BY event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust scaling: clamp each event's value to its
+    type's [p05, p95] band and report the tail-trimmed mean — the
+    outlier-insensitive statistic feeding normalization and anomaly
+    baselines. The percentile boundaries come from ONE type-sized
+    aggregate broadcast back into a map-side clamp (no sort of the
+    fact table); bounds are pre-rounded so both engines clamp on the
+    identical double, and the winsorized sum rides DECIMAL for
+    fold-order-free parity."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    w = F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") < F.col("lo")).cast("int")).alias("n_clamped_low"),
+        F.sum((F.col("value") > F.col("hi")).cast("int")).alias("n_clamped_high"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.round(
+            F.sum(w.cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("winsor_mean"),
+    )
