@@ -61,6 +61,7 @@ _CHECK_FIRST = (
     "key_skew_profile",
     "recursive_sql_bfs",
     "winsorized_value_stats",
+    "approx_user_overlap",
     "column_profile",
     "jl_projected_embeddings",
     "duplicate_spans",

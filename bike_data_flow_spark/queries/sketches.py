@@ -204,3 +204,52 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.asc("tok"))
     )
+
+
+# Sketch-estimated SET INTERSECTION via inclusion–exclusion:
+# |A∩B| ≈ hll(A) + hll(B) − hll(A∪B). Exact intersection rides the
+# same gate row; the union-sketch subtraction compounds three ±rsd
+# errors, so the acceptance band is wider (±5·rsd·|A∪B|, the term the
+# error actually scales with). The audience-overlap / join-cardinality
+# estimator at sketch cost — three constant-size sketches, no join.
+@query(
+    "approx_user_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT count(*) FROM a) AS exact_a,
+           (SELECT count(*) FROM b) AS exact_b,
+           (SELECT count(*) FROM a JOIN b USING (user_id)) AS exact_overlap,
+           TRUE AS approx_ok
+    """,
+)
+def approx_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "purchase"
+    agg = ev.filter(is_a | is_b).agg(
+        F.count_distinct(F.when(is_a, F.col("user_id"))).alias("exact_a"),
+        F.count_distinct(F.when(is_b, F.col("user_id"))).alias("exact_b"),
+        (
+            F.count_distinct(F.when(is_a, F.col("user_id")))
+            + F.count_distinct(F.when(is_b, F.col("user_id")))
+            - F.count_distinct("user_id")
+        ).alias("exact_overlap"),
+        F.approx_count_distinct(F.when(is_a, F.col("user_id")), rsd=0.02).alias(
+            "_ha"
+        ),
+        F.approx_count_distinct(F.when(is_b, F.col("user_id")), rsd=0.02).alias(
+            "_hb"
+        ),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hu"),
+    )
+    est = F.col("_ha") + F.col("_hb") - F.col("_hu")
+    return agg.select(
+        "exact_a",
+        "exact_b",
+        "exact_overlap",
+        (
+            F.abs(est - F.col("exact_overlap"))
+            <= F.lit(5 * 0.02) * F.col("_hu")
+        ).alias("approx_ok"),
+    )
