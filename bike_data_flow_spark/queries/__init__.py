@@ -62,6 +62,7 @@ _CHECK_FIRST = (
     "recursive_sql_bfs",
     "winsorized_value_stats",
     "approx_user_overlap",
+    "embedding_quantile_normalized",
     "column_profile",
     "jl_projected_embeddings",
     "duplicate_spans",

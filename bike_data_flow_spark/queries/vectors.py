@@ -1249,3 +1249,36 @@ def jl_projected_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.jl_project(
         load(spark, sf_dir, "embeddings"), in_dim=_DIM, out_dim=_JL_OUT
     )
+
+
+@query(
+    "embedding_quantile_normalized",
+    oracle="""
+    SELECT vec_id, dim,
+           round(percent_rank() OVER (
+             PARTITION BY dim ORDER BY val, vec_id), 6) AS q
+    FROM (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, 64) AS t(i)
+    )
+    """,
+)
+def embedding_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile normalization (rank → uniform [0,1]):
+    the distribution-free calibration that makes embedding dimensions
+    comparable before whitening/indexing — heavy-tailed axes stop
+    dominating distance. One posexplode + ONE window partitioned by
+    DIMENSION (64 independent sorts of n rows each — parallelism =
+    dims, no global sort; at corpus scale swap exact percent_rank for
+    the broadcast-percentile binning of quantity_quartile_buckets).
+    vec_id tie-break pins rank determinism on equal values."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "_v")
+    ).select("vec_id", "dim", F.col("_v").cast("double").alias("val"))
+    w = Window.partitionBy("dim").orderBy(F.asc("val"), F.asc("vec_id"))
+    return long.select(
+        "vec_id", "dim", F.round(F.percent_rank().over(w), 6).alias("q")
+    )
