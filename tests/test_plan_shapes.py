@@ -234,11 +234,15 @@ def test_jl_projection_map_only(spark):
     assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
 
 
-def test_column_profile_single_scan_expand(spark):
-    """The multi-distinct profile is ONE scan through an Expand — not
-    per-column rescans like the oracle."""
+def test_column_profile_single_scan_no_multidistinct_expand(spark):
+    """The profile is ONE scan through a long-form explode + manual
+    two-stage distinct agg — no per-column rescans (the oracle's
+    shape) and no Catalyst multi-distinct Expand (the slow rewrite
+    the manual spelling replaces)."""
     from bike_data_flow_spark.queries.maintenance import column_profile
 
     plan = _plan(column_profile(spark, SF_DIR))
     assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
-    assert "Expand" in plan, plan
+    assert "Generate" in plan, plan          # the long-form explode
+    assert "Expand" not in plan, plan        # no multi-distinct rewrite
+    assert _count(plan, r"\(\d+\) Exchange") == 2, plan
