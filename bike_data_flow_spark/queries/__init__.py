@@ -54,6 +54,8 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
     # -- new in round 6 (never driver-checked) --
+    "user_activity_streaks",
+    "in_flight_lineitems_peak",
     "bm25_topk",
     "hybrid_rrf_topk",
     "copurchase_bfs_hops",
@@ -213,6 +215,7 @@ def load_all() -> dict[str, Query]:
         relational8,
         relational9,
         relational10,
+        relational11,
         retrieval_q,
         sketches,
         streaming_q,

@@ -1,0 +1,127 @@
+"""Eleventh wave: gaps-and-islands streaks and interval sweep-line
+concurrency — two classic warehouse shapes the registry still lacked.
+
+- user_activity_streaks: longest run of CONSECUTIVE active days per
+  user via the date-minus-row_number anchor trick (no self-join, no
+  recursion): two user-partitioned windows + one bounded aggregate.
+- in_flight_lineitems_peak: sweep-line peak concurrency over
+  [o_orderdate, l_shipdate) intervals — each interval becomes a +1/-1
+  boundary pair, a date-bounded aggregate nets the deltas, and one
+  running sum over |distinct dates| rows (calendar-bounded, NOT
+  corpus-bounded) yields the in-flight count; top-10 peak days out.
+
+Both are pure integer/date arithmetic — no float-fold concerns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from . import query
+
+
+# Gaps-and-islands without a join: for each user's ordered distinct
+# active days, day − row_number is CONSTANT within a consecutive run —
+# grouping by that anchor labels the islands. Shuffles: one distinct
+# (user, day) aggregate, one user-partitioned window, one
+# (user, anchor) count, one per-user max — all bounded by |user-days|.
+# The reference has no streak analytics; this is the standard
+# retention-adjacent shape its daily summaries feed into.
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    runs AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d ASC) AS INTEGER) AS anchor
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, anchor, count(*) AS streak
+      FROM runs GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(max(streak) AS BIGINT) AS longest_streak,
+           CAST(sum(streak) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks
+    FROM islands GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.asc("d"))
+    runs = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = runs.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak").alias("longest_streak"),
+        F.sum("streak").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+_PEAK_K = 10
+
+
+# Sweep-line concurrency: an order line is "in flight" on day d when
+# o_orderdate <= d < l_shipdate. Exploding each interval into a +1/-1
+# boundary pair and netting per day makes the running sum's input
+# |distinct dates| rows — calendar-bounded (~2.5k days for TPC-H
+# regardless of SF), so the single ordered cumulative window is NOT a
+# corpus-sized single-partition scan; the corpus-sized work is the
+# fact-fact orders⋈lineitem join (key-partitioned) and the per-day
+# delta aggregate, both shuffle-bounded and AQE-planned.
+@query(
+    "in_flight_lineitems_peak",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT o.o_orderdate AS d, 1 AS delta
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT l.l_shipdate AS d, -1 AS delta
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    daily AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM bounds GROUP BY d
+    ),
+    running AS (
+      SELECT d, sum(net) OVER (ORDER BY d ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS in_flight
+      FROM daily
+    )
+    SELECT d, CAST(in_flight AS BIGINT) AS in_flight FROM running
+    ORDER BY in_flight DESC, d ASC LIMIT {_PEAK_K}
+    """,
+)
+def in_flight_lineitems_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "inner"
+    ).select("o_orderdate", "l_shipdate")
+    bounds = joined.select(
+        F.col("o_orderdate").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        joined.select(F.col("l_shipdate").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = bounds.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.orderBy(F.asc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = daily.withColumn("in_flight", F.sum("net").over(w))
+    return (
+        running.select("d", "in_flight")
+        .orderBy(F.desc("in_flight"), F.asc("d"))
+        .limit(_PEAK_K)
+    )
