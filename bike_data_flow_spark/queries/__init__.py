@@ -56,6 +56,10 @@ _CHECK_FIRST = (
     # -- new in round 6 (never driver-checked) --
     "user_activity_streaks",
     "in_flight_lineitems_peak",
+    "retrieval_ndcg",
+    "score_calibration_bins",
+    "chi2_token_ranking",
+    "zone_map_pruning",
     "bm25_topk",
     "hybrid_rrf_topk",
     "copurchase_bfs_hops",

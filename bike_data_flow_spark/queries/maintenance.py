@@ -378,3 +378,98 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ZM_SHIFT = 8  # 18-bit Morton key -> up to 2^10 zone-map buckets
+_ZM_BX = (100, 200)  # value-bin box
+_ZM_BY = (0, 300)  # user-bin box
+
+
+def _zm_oracle() -> str:
+    interleave = " | ".join(
+        f"(((bx >> {b}) & 1) << {2 * b}) | (((by >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_Z_BITS)
+    )
+    return f"""
+    WITH binned AS (
+      SELECT least(CAST(floor(value) AS BIGINT), {(1 << _Z_BITS) - 1}) AS bx,
+             least(CAST(user_id AS BIGINT), {(1 << _Z_BITS) - 1}) AS by
+      FROM events
+    ),
+    zones AS (
+      SELECT ({interleave}) >> {_ZM_SHIFT} AS bucket,
+             min(bx) AS min_bx, max(bx) AS max_bx,
+             min(by) AS min_by, max(by) AS max_by,
+             count(*) AS n_rows
+      FROM binned GROUP BY bucket
+    )
+    SELECT CASE
+             WHEN max_bx < {_ZM_BX[0]} OR min_bx > {_ZM_BX[1]}
+               OR max_by < {_ZM_BY[0]} OR min_by > {_ZM_BY[1]} THEN 'pruned'
+             WHEN min_bx >= {_ZM_BX[0]} AND max_bx <= {_ZM_BX[1]}
+               AND min_by >= {_ZM_BY[0]} AND max_by <= {_ZM_BY[1]} THEN 'full'
+             ELSE 'partial'
+           END AS zone_class,
+           count(*) AS n_buckets,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows
+    FROM zones GROUP BY zone_class
+    """
+
+
+# Zone-map (min/max statistics) pruning audit over the Z-ordered
+# layout: group rows into Morton-prefix buckets (the "files" a
+# clustered write would produce), build each bucket's per-dimension
+# min/max zone map, and classify every bucket against a 2-D box
+# predicate as pruned / fully-matched / partially-scanned — the
+# data-skipping arithmetic Delta/Iceberg run from parquet footer stats
+# at plan time. The audit shows WHY the Z-order layout pays: most
+# buckets fall out of the scan entirely for predicates on EITHER
+# dimension. One corpus scan into ≤2^10 zone rows, then a 3-row
+# classification — integers end-to-end.
+@query("zone_map_pruning", oracle=_zm_oracle())
+def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(F.floor("value").cast("long"), F.lit((1 << _Z_BITS) - 1)).alias("bx"),
+        F.least(F.col("user_id").cast("long"), F.lit((1 << _Z_BITS) - 1)).alias("by"),
+    )
+    zones = (
+        binned.withColumn(
+            "bucket",
+            F.shiftright(zorder_key(["bx", "by"], bits=_Z_BITS), _ZM_SHIFT),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("bx").alias("min_bx"),
+            F.max("bx").alias("max_bx"),
+            F.min("by").alias("min_by"),
+            F.max("by").alias("max_by"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    pruned = (
+        (F.col("max_bx") < _ZM_BX[0])
+        | (F.col("min_bx") > _ZM_BX[1])
+        | (F.col("max_by") < _ZM_BY[0])
+        | (F.col("min_by") > _ZM_BY[1])
+    )
+    full = (
+        (F.col("min_bx") >= _ZM_BX[0])
+        & (F.col("max_bx") <= _ZM_BX[1])
+        & (F.col("min_by") >= _ZM_BY[0])
+        & (F.col("max_by") <= _ZM_BY[1])
+    )
+    return (
+        zones.select(
+            F.when(pruned, F.lit("pruned"))
+            .when(full, F.lit("full"))
+            .otherwise(F.lit("partial"))
+            .alias("zone_class"),
+            "n_rows",
+        )
+        .groupBy("zone_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )

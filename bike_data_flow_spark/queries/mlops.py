@@ -117,3 +117,139 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = M.logreg_train(feats)
     out = M.logreg_score(feats, weights)
     return out.select("doc_id", "y", "p", "predicted")
+
+
+# Reliability diagram for the trained classifier: decile-bin the
+# predicted probability and compare mean prediction against empirical
+# positive rate — the calibration audit every production filter needs
+# before its scores gate data. p is round(6) on both engines (hash-
+# identical); the bin means use DECIMAL partial sums so the per-bin
+# aggregation is exact and fold-order-free; rates divide integer
+# counts. One extra aggregate over the already-trained scores: the
+# corpus is scanned once into |bins| rows.
+@query(
+    "score_calibration_bins",
+    oracle="WITH "
+    + ",\n    ".join(_train_ctes())
+    + f""",
+    scored AS (
+      SELECT f.doc_id, f.y, {_p_sql(f"g{_ITERS}")} AS p
+      FROM f, g{_ITERS}
+    )
+    SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+           count(*) AS n,
+           round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS mean_p,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+    FROM scored GROUP BY bin
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = M.hashed_token_features(
+        docs, label=(F.col("lang") == "en").cast("int")
+    ).cache()
+    weights = M.logreg_train(feats)
+    scored = M.logreg_score(feats, weights)
+    return (
+        scored.select(
+            F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9)).alias("bin"),
+            "p",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_p"),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "pos_rate"
+            ),
+        )
+    )
+
+
+_CHI2_K = 20
+
+
+# Chi-square feature selection: rank tokens by association with the
+# label (lang = 'en') from the 2×2 presence contingency table — the
+# classic filter-method companion to the hashed-feature classifier
+# above. Integer contingency cells (a,b,c,d) come from ONE vocab-
+# bounded aggregate; N and P are one broadcast scalar row; the chi2
+# expression is written with identical association on both engines
+# (integer cross-product difference cast to DOUBLE once), so doubles
+# agree bit-for-bit before round(4).
+@query(
+    "chi2_token_ranking",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_distinct({_TOKS}) AS toks
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS p FROM staged
+    ),
+    tok AS (SELECT y, unnest(toks) AS token FROM staged),
+    per AS (
+      SELECT token, count(*) AS nt, CAST(sum(y) AS BIGINT) AS a
+      FROM tok GROUP BY token
+    )
+    SELECT token,
+           round(CASE WHEN nt = stats.n OR stats.p = 0 OR stats.p = stats.n
+                 THEN 0.0
+                 ELSE (CAST(stats.n AS DOUBLE)
+                       * (CAST(a * (stats.n - stats.p - nt + a)
+                               - (nt - a) * (stats.p - a) AS DOUBLE)
+                          * CAST(a * (stats.n - stats.p - nt + a)
+                                 - (nt - a) * (stats.p - a) AS DOUBLE)))
+                      / ((CAST(nt AS DOUBLE) * (stats.n - nt))
+                         * (CAST(stats.p AS DOUBLE) * (stats.n - stats.p)))
+                 END, 4) AS chi2
+    FROM per, stats
+    ORDER BY chi2 DESC, token ASC LIMIT {_CHI2_K}
+    """,
+)
+def chi2_token_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.array_distinct(T.tokens(F.col("text"))).alias("toks"),
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("p")
+    )
+    per = (
+        staged.select("y", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("nt"), F.sum("y").cast("long").alias("a"))
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    ad_bc = (
+        F.col("a") * (F.col("n") - F.col("p") - F.col("nt") + F.col("a"))
+        - (F.col("nt") - F.col("a")) * (F.col("p") - F.col("a"))
+    ).cast("double")
+    chi2 = F.when(
+        (F.col("nt") == F.col("n"))
+        | (F.col("p") == 0)
+        | (F.col("p") == F.col("n")),
+        F.lit(0.0),
+    ).otherwise(
+        (F.col("n").cast("double") * (ad_bc * ad_bc))
+        / (
+            (F.col("nt").cast("double") * (F.col("n") - F.col("nt")))
+            * (F.col("p").cast("double") * (F.col("n") - F.col("p")))
+        )
+    )
+    return (
+        j.select("token", F.round(chi2, 4).alias("chi2"))
+        .orderBy(F.desc("chi2"), F.asc("token"))
+        .limit(_CHI2_K)
+    )

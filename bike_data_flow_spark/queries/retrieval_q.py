@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import retrieval as R
 from ..operators import similarity as S
@@ -128,3 +129,120 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = R.rrf_fuse([arm0, arm1], id_col="doc_id")
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_TOPK)
+
+
+import math
+
+# NDCG@k: the discounts 1/log2(rank+1) are precomputed PYTHON literals
+# spliced into BOTH engines' expression trees (repr round-trip), so no
+# engine's log2 implementation is on the parity path; gains (2^rel − 1)
+# and the discounted contributions are integer-scaled before the SUM —
+# exact, fold-order-free (the BM25/zipf pattern).
+_NDCG_K = 10
+_DISC = {r: repr(1.0 / math.log2(r + 1)) for r in range(1, _NDCG_K + 1)}
+_NDCG_SCALE = 1_000_000_000
+
+
+def _disc_case_sql() -> str:
+    whens = " ".join(f"WHEN {r} THEN {d}" for r, d in _DISC.items())
+    return f"CASE rank {whens} END"
+
+
+def _rel_terms_sql() -> str:
+    return "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+
+
+@query(
+    "retrieval_ndcg",
+    oracle=f"""
+    WITH {_bm25_cte(_BM25_TERMS)},
+    rel AS (
+      SELECT doc_id,
+             len(list_intersect(list_distinct(toks), {_rel_terms_sql()}))
+               AS rel
+      FROM staged
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM bm25 QUALIFY rank <= {_NDCG_K}
+    ),
+    dcg AS (
+      SELECT sum(CAST(round(((1 << rel) - 1) * ({_disc_case_sql()})
+                            * {_NDCG_SCALE}) AS BIGINT)) AS s
+      FROM ranked JOIN rel USING (doc_id)
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+      FROM rel QUALIFY rank <= {_NDCG_K}
+    ),
+    idcg AS (
+      SELECT sum(CAST(round(((1 << rel) - 1) * ({_disc_case_sql()})
+                            * {_NDCG_SCALE}) AS BIGINT)) AS s
+      FROM ideal
+    )
+    SELECT CAST({_NDCG_K} AS BIGINT) AS k,
+           CAST(dcg.s AS BIGINT) AS dcg_scaled,
+           CAST(idcg.s AS BIGINT) AS idcg_scaled,
+           round(CAST(CAST(dcg.s AS BIGINT) AS DOUBLE)
+                 / CAST(idcg.s AS BIGINT), 6) AS ndcg
+    FROM dcg, idcg
+    """,
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval for the BM25 arm: NDCG@10 against graded
+    relevance = number of distinct query terms the document contains
+    (deterministic, engine-reproducible ground truth). The ranked list
+    and the ideal list are both ≤k rows by contract; the corpus-sized
+    work is one tokenized scan that feeds BOTH the BM25 scorer and the
+    relevance grades. Output is one audit row."""
+    from ..operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    rel = staged.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct("toks"),
+                F.array(*[F.lit(t) for t in _BM25_TERMS]),
+            )
+        ).alias("rel"),
+    ).cache()
+
+    expr = None
+    for r, d in _DISC.items():
+        cond = (F.col("rank") == r, F.lit(float(d)))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    disc = expr
+
+    def _scaled_sum(df: DataFrame):
+        gain = F.expr("shiftleft(1, rel) - 1")
+        term = F.round(gain * disc * F.lit(_NDCG_SCALE)).cast("long")
+        return df.agg(F.sum(term).alias("s"))
+
+    ranked_ = R.ranked(
+        R.bm25_topk(docs, _BM25_TERMS, k=_NDCG_K),
+        [F.desc("score"), F.asc("doc_id")],
+        "doc_id",
+    )
+    dcg = _scaled_sum(ranked_.join(rel, "doc_id"))
+    # ideal list: TakeOrderedAndProject prunes the corpus to k rows
+    # BEFORE any single-partition window touches it
+    ideal10 = rel.orderBy(F.desc("rel"), F.asc("doc_id")).limit(_NDCG_K)
+    wi = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = ideal10.withColumn("rank", F.row_number().over(wi))
+    idcg = _scaled_sum(ideal)
+    return (
+        dcg.withColumnRenamed("s", "dcg_scaled")
+        .crossJoin(idcg.withColumnRenamed("s", "idcg_scaled"))
+        .select(
+            F.lit(_NDCG_K).cast("long").alias("k"),
+            "dcg_scaled",
+            "idcg_scaled",
+            F.round(
+                F.col("dcg_scaled").cast("double") / F.col("idcg_scaled"), 6
+            ).alias("ndcg"),
+        )
+    )
