@@ -57,6 +57,8 @@ _CHECK_FIRST = (
     "user_activity_streaks",
     "in_flight_lineitems_peak",
     "retrieval_ndcg",
+    "mixture_epoch_plan",
+    "source_dedup_crosstab",
     "score_calibration_bins",
     "chi2_token_ranking",
     "zone_map_pruning",
@@ -226,6 +228,7 @@ def load_all() -> dict[str, Query]:
         textops,
         textops2,
         textops3,
+        textops4,
         vectors,
     )
 

@@ -1,0 +1,132 @@
+"""Fourth LLM-pipeline wave: materializing the mixture into an
+executable epoch plan, and provenance-aware dedup diagnostics.
+
+- mixture_epoch_plan: turns the temperature-scaled source weights +
+  a fixed token budget into the integer plan a data loader executes —
+  full epochs per source plus an oversample fraction for the
+  remainder (the DoReMi/LLaMA-style "how many times does each source
+  repeat" table). |sources|-row aggregate; map-only algebra on top.
+- source_dedup_crosstab: exact-duplicate pairs split within-source vs
+  cross-source per source — the provenance diagnostic that tells a
+  curation run WHERE its duplication lives (mirrors duplicated within
+  a crawl vs content replicated across crawls). Shuffles bounded by
+  |distinct contents|; pair counts are integer algebra on group
+  sizes, never materialized pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import normalized_text
+from ..operators import text as T
+from ..tables import load
+from . import query
+from .textops import _NORM
+from .textops2 import _MIX_TAU, _N_TOK
+
+_BUDGET_TOKENS = 1_000_000
+
+
+# Shares/probs reuse temperature_mixture's exact expression trees (pow
+# parity already gate-proven there); targets are round()ed to BIGINT
+# once, then everything downstream is integer division/modulo — exact.
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(sum({_N_TOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_tokens,
+             n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s) AS share
+      FROM s
+    ),
+    t AS (
+      SELECT source, n_tokens,
+             CAST(round(pow(share, {_MIX_TAU})
+                        / (SELECT sum(pow(share, {_MIX_TAU})) FROM p)
+                        * {_BUDGET_TOKENS}) AS BIGINT) AS target_tokens
+      FROM p
+    )
+    SELECT source, n_tokens, target_tokens,
+           target_tokens // n_tokens AS full_epochs,
+           target_tokens % n_tokens AS remainder_tokens,
+           round(CAST(target_tokens % n_tokens AS DOUBLE) / n_tokens, 6)
+             AS oversample_frac
+    FROM t
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    p = s.select("source", "n_tokens", share.alias("share"))
+    z = F.sum(F.pow(F.col("share"), _MIX_TAU)).over(w)
+    target = (
+        F.round(F.pow(F.col("share"), _MIX_TAU) / z * _BUDGET_TOKENS)
+        .cast("long")
+    )
+    t = p.select("source", "n_tokens", target.alias("target_tokens"))
+    rem = F.col("target_tokens") % F.col("n_tokens")
+    return t.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        (F.col("target_tokens") / F.col("n_tokens")).cast("long").alias(
+            "full_epochs"
+        ),
+        rem.alias("remainder_tokens"),
+        F.round(rem.cast("double") / F.col("n_tokens"), 6).alias(
+            "oversample_frac"
+        ),
+    )
+
+
+# Pair counts from group sizes: a content seen k times total, k_s of
+# them in source s, contributes C(k_s,2) within-source pairs and
+# k_s·(k−k_s) cross-source links to s — no pair is ever materialized,
+# so the cost is independent of how pathological the duplication is.
+@query(
+    "source_dedup_crosstab",
+    oracle=f"""
+    WITH per AS (
+      SELECT md5({_NORM}) AS h, source, count(*) AS ks
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT h, CAST(sum(ks) AS BIGINT) AS k FROM per GROUP BY h)
+    SELECT source,
+           CAST(sum(CASE WHEN k >= 2 THEN ks ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           CAST(sum(ks * (ks - 1) // 2) AS BIGINT) AS within_pairs,
+           CAST(sum(ks * (k - ks)) AS BIGINT) AS cross_links
+    FROM per JOIN tot USING (h)
+    GROUP BY source
+    """,
+)
+def source_dedup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            F.md5(normalized_text(F.col("text"))).alias("h"), "source"
+        )
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("ks"))
+    )
+    tot = per.groupBy("h").agg(F.sum("ks").alias("k"))
+    j = per.join(tot, "h")
+    return j.groupBy("source").agg(
+        F.sum(F.when(F.col("k") >= 2, F.col("ks")).otherwise(0)).alias(
+            "dup_docs"
+        ),
+        F.sum(
+            (F.col("ks") * (F.col("ks") - 1) / 2).cast("long")
+        ).alias("within_pairs"),
+        F.sum(F.col("ks") * (F.col("k") - F.col("ks"))).alias("cross_links"),
+    )
