@@ -112,12 +112,15 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_dedup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # two consumers (join probe + content totals): pinned so the
+    # corpus is hashed/aggregated once, not once per consumer
     per = (
         docs.select(
             F.md5(normalized_text(F.col("text"))).alias("h"), "source"
         )
         .groupBy("h", "source")
         .agg(F.count(F.lit(1)).alias("ks"))
+        .cache()
     )
     tot = per.groupBy("h").agg(F.sum("ks").alias("k"))
     j = per.join(tot, "h")

@@ -246,3 +246,68 @@ def test_column_profile_single_scan_no_multidistinct_expand(spark):
     assert "Generate" in plan, plan          # the long-form explode
     assert "Expand" not in plan, plan        # no multi-distinct rewrite
     assert _count(plan, r"\(\d+\) Exchange") == 2, plan
+
+
+def test_ndcg_take_ordered_ideal(spark):
+    """The ideal-list selection must plan as TakeOrderedAndProject —
+    no corpus-sized single-partition window feeds the IDCG arm."""
+    from bike_data_flow_spark.queries.retrieval_q import retrieval_ndcg
+
+    plan = _plan(retrieval_ndcg(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zone_map_single_scan(spark):
+    """Zone-map audit: one events scan pruned to (value, user_id),
+    aggregates only."""
+    from bike_data_flow_spark.queries.maintenance import zone_map_pruning
+
+    plan = _plan(zone_map_pruning(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m and "props" not in m.group(1), m and m.group(1)
+
+
+def test_chi2_broadcast_stats(spark):
+    """The N,P scalar row joins in as a broadcast; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from bike_data_flow_spark.queries.mlops import chi2_token_ranking
+
+    plan = _plan(chi2_token_ranking(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_streaks_no_join(spark):
+    """Gaps-and-islands is windows + aggregates only — the classic
+    self-join spelling must never creep back in."""
+    from bike_data_flow_spark.queries.relational11 import user_activity_streaks
+
+    plan = _plan(user_activity_streaks(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert _count(plan, r"\(\d+\) Scan parquet") == 1, plan
+
+
+def test_sweep_calendar_bounded_window(spark):
+    """The cumulative window consumes the per-day aggregate (calendar-
+    bounded), so exactly one window and it sits above the date agg."""
+    from bike_data_flow_spark.queries.relational11 import in_flight_lineitems_peak
+
+    plan = _plan(in_flight_lineitems_peak(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) Window") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_crosstab_no_pair_blowup(spark):
+    """Pair counts derive from group sizes: no self-join of the
+    per-(content, source) aggregate against itself beyond the single
+    content-total join."""
+    from bike_data_flow_spark.queries.textops4 import source_dedup_crosstab
+
+    plan = _plan(source_dedup_crosstab(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)") <= 1, plan
+    # the cached per-(content, source) aggregate feeds both sides: one scan
+    assert _count(plan, r"\(\d+\) Scan parquet") <= 1, plan
