@@ -118,3 +118,45 @@ def pagerank(
             .cache()
         )
     return ranks.select("node", F.col("p").alias("pagerank"))
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-depth single-source shortest paths (Bellman-Ford): after
+    ``rounds`` relaxations, (node, cost) holds the minimum path cost
+    over all paths of at most ``rounds`` edges from ``sources``
+    (cost 0). Weights must be non-negative integers/longs — the
+    min-plus semiring is then EXACT and fold-order-free (min is
+    commutative/associative; no float accumulation), so an unrolled
+    oracle reproduces it bit-for-bit.
+
+    Scale shape per round: one frontier⋈edges equi-join + one
+    (node) min-aggregate — node/edge-bounded, the Pregel SSSP
+    iteration. State is the (node, cost) table; caching each round
+    truncates the re-execution tree like the other iterative ops.
+    """
+    dist = sources.select(
+        F.col(node_col), F.lit(0).cast("long").alias("cost")
+    ).cache()
+    for _ in range(rounds):
+        relax = (
+            dist.join(edges, dist[node_col] == edges[src_col])
+            .select(
+                F.col(dst_col).alias(node_col),
+                (F.col("cost") + F.col(weight_col)).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy(node_col)
+            .agg(F.min("cost").alias("cost"))
+            .cache()
+        )
+    return dist

@@ -56,6 +56,7 @@ _CHECK_FIRST = (
     # -- new in round 6 (never driver-checked) --
     "user_activity_streaks",
     "in_flight_lineitems_peak",
+    "copurchase_cheapest_path",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

@@ -125,3 +125,63 @@ def in_flight_lineitems_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("in_flight"), F.asc("d"))
         .limit(_PEAK_K)
     )
+
+
+_SSSP_SRC = 0
+_SSSP_ROUNDS = 3
+
+
+# Weighted shortest path over the co-purchase graph: edge weight =
+# ceil(100 / support) — frequently co-bought parts are "close", rare
+# pairings are far — and Bellman-Ford min-plus relaxation finds the
+# cheapest ≤3-edge path from the seed part. Integer weights keep the
+# semiring exact on both engines; the oracle's recursive CTE
+# enumerates bounded paths and min-collapses them. The edge build is
+# keyed on the ORDER (Σ basket² work, never parts²).
+@query(
+    "copurchase_cheapest_path",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    support AS (
+      SELECT a.part AS src, b.part AS dst, count(*) AS s
+      FROM items a JOIN items b ON a.okey = b.okey
+      WHERE a.part <> b.part
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, CAST(ceil(100.0 / s) AS BIGINT) AS w FROM support
+    ),
+    walk(node, cost, hop) AS (
+      SELECT CAST({_SSSP_SRC} AS BIGINT), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT edges.dst, walk.cost + edges.w, walk.hop + 1
+      FROM walk JOIN edges ON edges.src = walk.node
+      WHERE walk.hop < {_SSSP_ROUNDS}
+    )
+    SELECT node, min(cost) AS cost FROM walk GROUP BY node
+    """,
+)
+def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bellman_ford
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = items.select(F.col("okey"), F.col("part").alias("src"))
+    b = items.select(F.col("okey"), F.col("part").alias("dst"))
+    support = (
+        a.join(b, "okey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    edges = support.select(
+        "src",
+        "dst",
+        F.ceil(F.lit(100.0) / F.col("s")).cast("long").alias("w"),
+    ).cache()
+    seed = spark.range(1).select(F.lit(_SSSP_SRC).cast("long").alias("node"))
+    return bellman_ford(edges, seed, rounds=_SSSP_ROUNDS)

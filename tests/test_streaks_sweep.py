@@ -89,3 +89,19 @@ def test_registry_rows(spark):
     streaks = queries.REGISTRY["user_activity_streaks"].fn(spark, sf)
     row = streaks.filter(F.col("longest_streak") > 0).limit(1).collect()
     assert row and row[0]["n_active_days"] >= row[0]["longest_streak"]
+
+
+def test_bellman_ford_known_graph(spark):
+    from bike_data_flow_spark.operators.graph import bellman_ford
+    from pyspark.sql import functions as F
+
+    # 0 -1-> 1 -1-> 2 ; 0 -5-> 2 : cheapest 0->2 is 2 via two hops
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 5)], "src long, dst long, w long"
+    )
+    seed = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    got = {r["node"]: r["cost"] for r in bellman_ford(edges, seed, rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    # one round only: the 2-hop path is not yet relaxed
+    got1 = {r["node"]: r["cost"] for r in bellman_ford(edges, seed, rounds=1).collect()}
+    assert got1[2] == 5
