@@ -57,6 +57,7 @@ _CHECK_FIRST = (
     "user_activity_streaks",
     "in_flight_lineitems_peak",
     "copurchase_cheapest_path",
+    "fuzzy_entity_clusters",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

@@ -185,3 +185,62 @@ def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     seed = spark.range(1).select(F.lit(_SSSP_SRC).cast("long").alias("node"))
     return bellman_ford(edges, seed, rounds=_SSSP_ROUNDS)
+
+
+_ER_MAX_DIST = 4
+
+
+# Entity resolution end-to-end: blocked Levenshtein candidate pairs
+# (the similar_part_names shape) collapsed into canonical entity
+# clusters by connected components — (a,b),(b,c) must land in ONE
+# entity even when a,c were never compared. Node ids are min-partkey
+# per name (integers, so the CC small-residue union-find fast path
+# applies); the oracle closes the same edge set with a recursive CTE.
+@query(
+    "fuzzy_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE n AS (
+      SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS nid
+      FROM part GROUP BY p_name
+    ),
+    b AS (SELECT p_name, nid, string_split(p_name, ' ')[-1] AS blk FROM n),
+    pairs AS MATERIALIZED (
+      SELECT a.nid AS id_a, c.nid AS id_b
+      FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+      WHERE levenshtein(a.p_name, c.p_name) <= {_ER_MAX_DIST}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT nid AS id, nid AS label FROM n
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT n.p_name AS name, CAST(min(w.label) AS BIGINT) AS cluster_id
+    FROM n JOIN walk w ON w.id = n.nid
+    GROUP BY n.p_name
+    """,
+)
+def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    part = load(spark, sf_dir, "part")
+    n = part.groupBy("p_name").agg(
+        F.min("p_partkey").cast("long").alias("nid")
+    ).cache()
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    a = n.select(F.col("p_name").alias("na"), F.col("nid").alias("id_a"), blk.alias("blk"))
+    c = n.select(F.col("p_name").alias("nb"), F.col("nid").alias("id_b"), blk.alias("blk"))
+    pairs = (
+        a.join(c, "blk")
+        .filter(F.col("na") < F.col("nb"))
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= _ER_MAX_DIST)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, n.select("nid"), id_col="nid")
+    return n.join(cc, "nid").select(
+        F.col("p_name").alias("name"), "cluster_id"
+    )

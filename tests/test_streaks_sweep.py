@@ -105,3 +105,30 @@ def test_bellman_ford_known_graph(spark):
     # one round only: the 2-hop path is not yet relaxed
     got1 = {r["node"]: r["cost"] for r in bellman_ford(edges, seed, rounds=1).collect()}
     assert got1[2] == 5
+
+
+def test_fuzzy_clusters_transitive(spark):
+    """(a,b) and (b,c) within distance but (a,c) beyond it must still
+    share one cluster."""
+    from pyspark.sql import functions as F
+    from bike_data_flow_spark.operators.dedup import connected_components
+
+    names = spark.createDataFrame(
+        [("aaaa x", 1), ("aaab x", 2), ("aabb x", 3), ("zzzz x", 9)],
+        "p_name string, nid long",
+    )
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    a = names.select(F.col("p_name").alias("na"), F.col("nid").alias("id_a"), blk.alias("blk"))
+    c = names.select(F.col("p_name").alias("nb"), F.col("nid").alias("id_b"), blk.alias("blk"))
+    pairs = (
+        a.join(c, "blk")
+        .filter(F.col("na") < F.col("nb"))
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 2)
+        .select("id_a", "id_b")
+    )
+    cc = {
+        r["nid"]: r["cluster_id"]
+        for r in connected_components(pairs, names.select("nid"), id_col="nid").collect()
+    }
+    assert cc[1] == cc[2] == cc[3] == 1  # chain collapses to min id
+    assert cc[9] == 9  # singleton stays its own entity
