@@ -58,6 +58,7 @@ _CHECK_FIRST = (
     "in_flight_lineitems_peak",
     "copurchase_cheapest_path",
     "fuzzy_entity_clusters",
+    "streamed_cusum_extremes",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

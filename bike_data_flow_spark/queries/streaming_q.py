@@ -698,3 +698,48 @@ def streamed_lsh_near_dup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = _run_to_memory(bucketed, "complete")
     return out.filter(F.col("n_docs") >= 2)
+
+
+_CUSUM_TARGET = 500.0
+
+
+# Streaming CUSUM drift monitor: the stateful changepoint shape next
+# to the CEP funnel — per-user running deviation-from-target extremes
+# computed BY the engine with arbitrary per-key state
+# (applyInPandasWithState), correct under any micro-batch split and
+# out-of-order arrival (the state log re-sorts before every fold).
+# The oracle is the batch window spelling with the same fixed
+# monitoring target; parity holds because both folds add the same
+# doubles in the same (ts, event_id) order.
+@query(
+    "streamed_cusum_extremes",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id,
+             sum(value - {_CUSUM_TARGET!r}) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cusum
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           round(max(cusum), 2) AS max_pos_drift,
+           round(min(cusum), 2) AS max_neg_drift
+    FROM c GROUP BY user_id
+    """,
+)
+def streamed_cusum_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import cusum_snapshots, final_snapshot_per_key
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "ts_ns", "event_id", "value"
+    )
+    out = _run_to_memory(cusum_snapshots(ev, _CUSUM_TARGET), "update")
+    last = final_snapshot_per_key(out, "user_id", "n_events")
+    return last.select(
+        "user_id",
+        "n_events",
+        F.round("max_pos_drift", 2).alias("max_pos_drift"),
+        F.round("max_neg_drift", 2).alias("max_neg_drift"),
+    )

@@ -27,6 +27,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -338,4 +339,79 @@ def final_snapshot_per_key(out: DataFrame, key: str, seq_col: str) -> DataFrame:
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_pos_drift", DoubleType()),
+        StructField("max_neg_drift", DoubleType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("ts", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def cusum_snapshots(events: DataFrame, target: float) -> DataFrame:
+    """Streaming CUSUM drift monitor with arbitrary per-key state: per
+    user, the running sum of (value − target) folded over the
+    chronologically-ordered event log, snapshotting the extremes.
+
+    Input columns: user_id, ts_ns, event_id, value. Out-of-order
+    arrival cannot corrupt the fold: the state log re-sorts by
+    (ts, id) at every emit, so the sequential IEEE addition happens in
+    exactly the oracle's window order — bit-identical doubles, no
+    fold-order drift (the gate-parity contract the batch CUSUM also
+    relies on). n_events is strictly monotone per key, so the final
+    answer for a bounded input is each key's max-n_events snapshot.
+
+    State is |events per key| — the exact-scan price; production
+    monitors age out history behind a watermark, or keep only the
+    (cusum, max, min) triple when ingestion is already time-ordered
+    per key (the one-pass spelling).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ts, ids, vals = state.get if state.exists else ([], [], [])
+        ts, ids, vals = list(ts), list(ids), list(vals)
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["ts_ns"])
+            ids.extend(int(i) for i in pdf["event_id"])
+            vals.extend(float(v) for v in pdf["value"])
+        state.update((ts, ids, vals))
+        order = sorted(range(len(ts)), key=lambda j: (ts[j], ids[j]))
+        s = 0.0
+        hi = lo = None
+        for j in order:
+            s += vals[j] - target
+            hi = s if hi is None or s > hi else hi
+            lo = s if lo is None or s < lo else lo
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": len(ts),
+                    "max_pos_drift": hi,
+                    "max_neg_drift": lo,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

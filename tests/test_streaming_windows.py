@@ -273,3 +273,49 @@ def test_funnel_snapshots_multibatch_out_of_order(spark, tmp_path):
         for r in final_snapshot_per_key(raw, "user_id", "n_events").collect()
     }
     assert got == {1: (3, True), 2: (2, False)}
+
+
+def test_cusum_snapshots_multibatch_out_of_order(spark, tmp_path):
+    """The streaming CUSUM must re-fold in (ts, id) order even when the
+    earliest event arrives last: user 1's +10 deviation lands in batch
+    3 with the earliest timestamp, changing the running extremes that
+    earlier snapshots computed without it."""
+    from bike_data_flow_spark.streaming.windows import (
+        cusum_snapshots,
+        final_snapshot_per_key,
+    )
+
+    schema = "user_id long, ts_ns long, event_id long, value double"
+    src = tmp_path / "cusum_src"
+    batches = [
+        [(1, 200, 11, 480.0), (2, 100, 20, 490.0)],
+        [(1, 300, 12, 530.0)],
+        [(1, 100, 10, 510.0)],  # earliest ts, last arrival
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = "cusum_mb"
+    q = (
+        cusum_snapshots(stream, target=500.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    raw = spark.table(name)
+    got = {
+        r["user_id"]: (r["n_events"], r["max_pos_drift"], r["max_neg_drift"])
+        for r in final_snapshot_per_key(raw, "user_id", "n_events").collect()
+    }
+    # user 1 in (ts,id) order: +10 -> -10 -> +20  => hi 20, lo -10
+    assert got[1] == (3, 20.0, -10.0)
+    assert got[2] == (1, -10.0, -10.0)
