@@ -59,6 +59,7 @@ _CHECK_FIRST = (
     "copurchase_cheapest_path",
     "fuzzy_entity_clusters",
     "streamed_cusum_extremes",
+    "incremental_join_refresh",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

@@ -473,3 +473,54 @@ def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").alias("n_rows"),
         )
     )
+
+
+_JOIN_CUTOFF_SQL = "DATE '1997-01-01'"
+
+_JOIN_MEASURES = {
+    "n_orders": ("count", "o_orderkey"),
+    "total_price": ("sum", "_price_dec"),
+}
+
+
+# Incremental JOIN-view maintenance (ΔFact ⋈ Dim): the stored
+# revenue-per-nation view absorbs a delta of new orders by joining
+# ONLY the delta against the dimension and merging partials — the
+# history fact partition is never rescanned and never re-joined. For
+# a foreign-key join the delta contribution is exactly
+# Δorders ⋈ customer (no history cross-terms exist), so view refresh
+# costs |delta| join work + a |nations|-row merge. The oracle
+# recomputes the whole join from scratch, proving the delta algebra.
+@query(
+    "incremental_join_refresh",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(o.o_orderkey) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "_price_dec", F.col("o_totalprice").cast("decimal(30,6)")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cutoff = F.to_date(F.lit("1997-01-01"))
+
+    def contrib(part):
+        return partial_aggregate(
+            part.join(F.broadcast(cust), part.o_custkey == cust.c_custkey),
+            ["c_nationkey"],
+            _JOIN_MEASURES,
+        )
+
+    stored = contrib(orders.filter(F.col("o_orderdate") < cutoff))
+    fresh = contrib(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = merge_partials(stored, fresh, ["c_nationkey"], _JOIN_MEASURES)
+    return merged.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n_orders",
+        F.round(F.col("total_price"), 2).cast("double").alias("total_price"),
+    )
