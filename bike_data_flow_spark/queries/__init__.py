@@ -60,6 +60,7 @@ _CHECK_FIRST = (
     "fuzzy_entity_clusters",
     "streamed_cusum_extremes",
     "incremental_join_refresh",
+    "expectation_suite_report",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

@@ -524,3 +524,112 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("total_price"), 2).cast("double").alias("total_price"),
     )
+
+
+# Deequ-style verification suite: SEVEN declared expectations over the
+# lineitem fact evaluated in ONE pass — a single conditional aggregate
+# computes every row-level violation count, one two-stage distinct agg
+# checks key uniqueness, and one anti-join counts referential orphans;
+# the per-check rows unpivot from those 1-row aggregates (never a scan
+# per check — the deequ/dbt-test batching insight). Integer counts
+# end-to-end.
+@query(
+    "expectation_suite_report",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(l_shipdate) AS shipdate_nulls,
+             sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS quantity_range,
+             sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END) AS discount_range,
+             sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS returnflag_enum
+      FROM lineitem
+    ),
+    pk AS (
+      SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT count(*) AS orphans FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'row_count_nonzero' AS check_name,
+           CAST(CASE WHEN n_rows = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_violations FROM base
+    UNION ALL SELECT 'pk_unique', CAST(dup_keys AS BIGINT) FROM pk
+    UNION ALL SELECT 'shipdate_not_null', CAST(shipdate_nulls AS BIGINT) FROM base
+    UNION ALL SELECT 'quantity_in_1_50', CAST(quantity_range AS BIGINT) FROM base
+    UNION ALL SELECT 'discount_in_0_01', CAST(discount_range AS BIGINT) FROM base
+    UNION ALL SELECT 'returnflag_enum', CAST(returnflag_enum AS BIGINT) FROM base
+    UNION ALL SELECT 'orderkey_fk', CAST(orphans AS BIGINT) FROM fk
+    """,
+)
+def expectation_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    base = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("shipdate_nulls"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("quantity_range"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).alias("discount_range"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("returnflag_enum"),
+    )
+    pk = li.agg(
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("dup_keys")
+    )
+    fk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    checks = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("row_count_nonzero").alias("check_name"),
+                    F.when(F.col("n_rows") == 0, F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("shipdate_not_null").alias("check_name"),
+                    F.col("shipdate_nulls").cast("long").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("quantity_in_1_50").alias("check_name"),
+                    F.col("quantity_range").cast("long").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("discount_in_0_01").alias("check_name"),
+                    F.col("discount_range").cast("long").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("returnflag_enum").alias("check_name"),
+                    F.col("returnflag_enum").cast("long").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_violations")
+    pk_row = pk.select(
+        F.lit("pk_unique").alias("check_name"),
+        F.col("dup_keys").cast("long").alias("n_violations"),
+    )
+    fk_row = fk.select(
+        F.lit("orderkey_fk").alias("check_name"),
+        F.col("orphans").cast("long").alias("n_violations"),
+    )
+    return checks.unionByName(pk_row).unionByName(fk_row)
