@@ -61,6 +61,7 @@ _CHECK_FIRST = (
     "streamed_cusum_extremes",
     "incremental_join_refresh",
     "expectation_suite_report",
+    "rolling_hll_users",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

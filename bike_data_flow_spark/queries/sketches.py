@@ -253,3 +253,63 @@ def approx_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(5 * 0.02) * F.col("_hu")
         ).alias("approx_ok"),
     )
+
+
+# Sliding-window distinct via MERGEABLE sketches: daily HLL sketches
+# union over a trailing 7-day RANGE frame — the raw events are scanned
+# ONCE into |days| sketch rows, and every window estimate costs a
+# sketch merge, not a re-scan (the reason mergeable sketches exist:
+# at 100 TB the exact interval-explode rewrite still shuffles
+# user-day-sized data, while this rolls up 1.5 KB sketches over a
+# calendar-bounded spine). The exact curve is hash-verified by the
+# oracle; approx_ok asserts every day's sketch estimate lands within
+# 5% of it.
+@query(
+    "rolling_hll_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    x AS (
+      SELECT DISTINCT user_id, day + i AS win_day
+      FROM ud CROSS JOIN generate_series(0, 6) AS s(i)
+    )
+    SELECT win_day AS day, count(*) AS active_users_7d, TRUE AS approx_ok
+    FROM x JOIN days ON win_day = days.day
+    GROUP BY 1
+    """,
+)
+def rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr("ts_ns div 86400000000000")
+    daily = ev.select(day.alias("day"), "user_id").groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    est = daily.select(
+        "day", F.hll_union_agg("sk").over(w).alias("_m")
+    ).select("day", F.hll_sketch_estimate("_m").alias("_approx"))
+    # exact arm (the rolling_active_users interval-explode spelling)
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    x = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_day"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    exact = (
+        x.join(F.broadcast(days), x["win_day"] == days["day"], "left_semi")
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "active_users_7d",
+        (
+            F.abs(F.col("_approx") - F.col("active_users_7d"))
+            <= F.lit(0.05) * F.col("active_users_7d")
+        ).alias("approx_ok"),
+    )
