@@ -109,11 +109,17 @@ def in_flight_lineitems_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey, "inner"
     ).select("o_orderdate", "l_shipdate")
+    # ONE join: each interval explodes map-side into its ±1 boundary
+    # pair (a union of two selects would duplicate the fact-fact join
+    # subtree — twice the shuffle at any scale)
     bounds = joined.select(
-        F.col("o_orderdate").alias("d"), F.lit(1).alias("delta")
-    ).unionAll(
-        joined.select(F.col("l_shipdate").alias("d"), F.lit(-1).alias("delta"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta")),
+                F.struct(F.col("l_shipdate").alias("d"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b")
+    ).select("b.d", "b.delta")
     daily = bounds.groupBy("d").agg(F.sum("delta").alias("net"))
     w = (
         Window.orderBy(F.asc("d"))

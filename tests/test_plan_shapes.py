@@ -311,3 +311,12 @@ def test_crosstab_no_pair_blowup(spark):
     assert _count(plan, r"\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)") <= 1, plan
     # the cached per-(content, source) aggregate feeds both sides: one scan
     assert _count(plan, r"\(\d+\) Scan parquet") <= 1, plan
+
+
+def test_sweep_single_join(spark):
+    """The ±1 boundary explode must reuse ONE fact-fact join — the
+    union-of-two-selects spelling would execute it twice."""
+    from bike_data_flow_spark.queries.relational11 import in_flight_lineitems_peak
+
+    plan = _plan(in_flight_lineitems_peak(spark, SF_DIR))
+    assert _count(plan, r"\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)") == 1, plan
