@@ -385,3 +385,90 @@ def test_bpe_matches_python_reference(spark, texts):
     ]
     assert got == want[: len(got)]
     assert len(got) == len(want)
+
+
+# --- round-6 operators: Bellman-Ford and gaps-and-islands ------------------
+
+
+@st.composite
+def small_weighted_graph(draw):
+    n = draw(st.integers(2, 7))
+    m = draw(st.integers(1, 14))
+    edges = [
+        (
+            draw(st.integers(0, n - 1)),
+            draw(st.integers(0, n - 1)),
+            draw(st.integers(1, 9)),
+        )
+        for _ in range(m)
+    ]
+    return n, [(s, d, w) for s, d, w in edges if s != d]
+
+
+def _py_bounded_sssp(edges, src, rounds):
+    """Reference model: min cost over paths of <= rounds edges."""
+    dist = {src: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+@given(small_weighted_graph(), st.integers(1, 3))
+@settings(**SETTINGS)
+def test_bellman_ford_matches_python_model(spark, g, rounds):
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.operators.graph import bellman_ford
+
+    n, edges = g
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seed = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    got = {
+        r["node"]: r["cost"] for r in bellman_ford(df, seed, rounds=rounds).collect()
+    }
+    assert got == _py_bounded_sssp(edges, 0, rounds)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 15)), min_size=1, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_streak_islands_match_python_model(spark, user_days):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = dt.date(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(days=d)) for u, d in user_days]
+    days = spark.createDataFrame(rows, "user_id long, d date").distinct()
+    w = Window.partitionBy("user_id").orderBy(F.asc("d"))
+    runs = days.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    got = {
+        r["user_id"]: r["longest"]
+        for r in runs.groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak"))
+        .groupBy("user_id")
+        .agg(F.max("streak").alias("longest"))
+        .collect()
+    }
+    # python model: longest consecutive run per user
+    expect = {}
+    from itertools import groupby
+
+    for u in {u for u, _ in user_days}:
+        ds = sorted({d for uu, d in user_days if uu == u})
+        best, run = 1, 1
+        for a, b in zip(ds, ds[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        expect[u] = best
+    assert got == expect
