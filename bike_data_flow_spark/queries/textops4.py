@@ -58,6 +58,7 @@ _BUDGET_TOKENS = 1_000_000
            round(CAST(target_tokens % n_tokens AS DOUBLE) / n_tokens, 6)
              AS oversample_frac
     FROM t
+    WHERE n_tokens > 0
     """,
 )
 def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +74,12 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.col("share"), _MIX_TAU) / z * _BUDGET_TOKENS)
         .cast("long")
     )
-    t = p.select("source", "n_tokens", target.alias("target_tokens"))
+    # an all-empty source would make the epoch division undefined —
+    # and DuckDB's integer // raises where Spark's double / yields
+    # null, so the guard keeps the engines aligned, not just safe
+    t = p.filter(F.col("n_tokens") > 0).select(
+        "source", "n_tokens", target.alias("target_tokens")
+    )
     rem = F.col("target_tokens") % F.col("n_tokens")
     return t.select(
         "source",
