@@ -71,11 +71,17 @@ def pagerank(
     also guarantees no dangling mass — every node then has out-edges).
 
     p_{t+1}(v) = (1−d)/N + d·Σ_{u→v} p_t(u)/outdeg(u), fixed ``iters``
-    rounds from the uniform start. Engine-parity: each contribution
-    p_u/outdeg_u is rounded and scaled to an INTEGER before the
-    per-node SUM (exact, fold-order-free — the zipf_fit pattern), and
-    each round's rank is re-rounded to 12 decimals, so an unrolled-CTE
-    oracle reproduces every round bit-for-bit.
+    rounds from the uniform start. Engine-parity: the rank STATE is a
+    scaled integer (rank × PR_SCALE) end-to-end — contributions are
+    single rounds of identical doubles (round-to-integer agrees across
+    engines when the input doubles are bit-identical), sums are exact
+    BIGINTs, and the only doubles ever compared are final long→double
+    divisions. The previous spelling re-rounded a double rank to 12
+    DECIMALS each round; multi-digit rounding is implemented
+    differently across engines (BigDecimal half-up vs scaled
+    nearest-int), so a rank landing on a 1e-12 boundary diverged —
+    caught by the sf0.01 replica after a testdata refresh, fixed by
+    never multi-digit-rounding state.
 
     Scale shape per round: ONE edges⋈ranks equi-join + ONE partial-agg
     groupBy(dst) — node- and edge-bounded, the textbook Pregel
@@ -89,15 +95,25 @@ def pagerank(
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = (
         deg.crossJoin(F.broadcast(n))
-        .select("node", "deg", (F.lit(1.0) / F.col("n")).alias("p"))
+        .select(
+            "node",
+            "deg",
+            F.round(F.lit(float(PR_SCALE)) / F.col("n"))
+            .cast("long")
+            .alias("ps"),
+        )
         .cache()
+    )
+    teleport = (
+        F.round(F.lit(1.0 - damping) * F.lit(float(PR_SCALE)) / F.col("n"))
+        .cast("long")
     )
     for _ in range(iters):
         contrib = edges.join(
             ranks, edges[src_col] == ranks["node"]
         ).select(
             F.col(dst_col).alias("node"),
-            F.round(F.col("p") / F.col("deg") * F.lit(PR_SCALE))
+            F.round(F.lit(damping) * F.col("ps") / F.col("deg"))
             .cast("long")
             .alias("_c"),
         )
@@ -105,19 +121,14 @@ def pagerank(
         ranks = (
             sums.join(deg, "node")
             .crossJoin(F.broadcast(n))
-            .select(
-                "node",
-                "deg",
-                F.round(
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping)
-                    * (F.col("_s").cast("double") / F.lit(PR_SCALE)),
-                    12,
-                ).alias("p"),
-            )
+            .select("node", "deg", (teleport + F.col("_s")).alias("ps"))
             .cache()
         )
-    return ranks.select("node", F.col("p").alias("pagerank"))
+    return ranks.select(
+        "node",
+        F.col("ps").alias("pr_scaled"),
+        (F.col("ps").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )
 
 
 def bellman_ford(

@@ -676,21 +676,25 @@ _PR_TELEPORT = repr(1.0 - _PR_D)
 
 
 def _pagerank_rounds() -> str:
+    """Integer-state rounds (mirrors operators/graph.pagerank): rank
+    state is rank×SCALE as BIGINT; no multi-digit double rounding ever
+    touches state (engines implement round(x, 12) differently — the
+    sf0.01 boundary divergence this replaced)."""
     parts = []
     prev = "p0"
     for t in range(1, _PR_ITERS + 1):
         parts.append(f"""
     r{t} AS (
       SELECT e.dst AS node,
-             sum(CAST(round(p.p / p.deg * {_PR_SCALE}) AS BIGINT)) AS s
+             CAST(sum(CAST(round({_PR_D!r} * p.ps / p.deg) AS BIGINT))
+                  AS BIGINT) AS s
       FROM edges e JOIN {prev} p ON p.node = e.src
       GROUP BY 1
     ),
     p{t} AS (
       SELECT r{t}.node, deg.deg,
-             round({_PR_TELEPORT} / n.n
-                   + {_PR_D!r} * (CAST(r{t}.s AS DOUBLE) / {_PR_SCALE}),
-                   12) AS p
+             CAST(round({_PR_TELEPORT} * CAST({_PR_SCALE} AS DOUBLE) / n.n)
+                  AS BIGINT) + r{t}.s AS ps
       FROM r{t} JOIN deg ON deg.node = r{t}.node CROSS JOIN n
     )""")
         prev = f"p{t}"
@@ -711,9 +715,13 @@ def _pagerank_rounds() -> str:
     deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
     n AS (SELECT count(*) AS n FROM deg),
     p0 AS (
-      SELECT node, deg, CAST(1.0 AS DOUBLE) / n.n AS p FROM deg CROSS JOIN n
+      SELECT node, deg,
+             CAST(round(CAST({_PR_SCALE} AS DOUBLE) / n.n) AS BIGINT) AS ps
+      FROM deg CROSS JOIN n
     ),{_pagerank_rounds()}
-    SELECT node, p AS pagerank FROM p{_PR_ITERS}
+    SELECT node, ps AS pr_scaled,
+           CAST(ps AS DOUBLE) / CAST({_PR_SCALE} AS DOUBLE) AS pagerank
+    FROM p{_PR_ITERS}
     """,
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,14 +752,24 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ONE dialect-portable SQL text executed verbatim by BOTH engines —
 # Spark 4's recursive-CTE surface (SPARK-24497) against DuckDB's.
+# The walked graph is the NATION-level trade network (who supplies
+# whom), so the node set is a fixed-size dimension: UNION ALL path
+# enumeration is ≤ |nations|^hops at ANY scale factor. (The original
+# spelling walked the part-level co-purchase graph; a testdata refresh
+# made its path count cross Spark's 1M recursion-row guard at sf0.01 —
+# UNION-dedup recursion, which bounds rows, is UNION_NOT_SUPPORTED_IN_
+# RECURSIVE_CTE in Spark 4.1, so boundedness must come from the graph.
+# Corpus-scale traversals stay with the operator spelling,
+# copurchase_bfs_hops, whose visited-set anti-join prunes paths.)
 _RCTE_SQL = f"""
-    WITH RECURSIVE items AS (
-      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
-    ),
-    edges AS (
-      SELECT DISTINCT a.part AS src, b.part AS dst
-      FROM items a JOIN items b ON a.okey = b.okey
-      WHERE a.part <> b.part
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                      CAST(s.s_nationkey AS BIGINT) AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
     ),
     walk(node, hop) AS (
       SELECT CAST({_BFS_SRC} AS BIGINT), 0
@@ -766,16 +784,16 @@ _RCTE_SQL = f"""
 
 @query("recursive_sql_bfs", oracle=_RCTE_SQL)
 def recursive_sql_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL-surface twin of copurchase_bfs_hops: the IDENTICAL
-    recursive-CTE text (WITH RECURSIVE, Spark 4) runs verbatim on both
-    engines — pinning that the engine's recursive SQL dialect is
-    DuckDB-portable, and that the declarative spelling agrees with the
-    operator spelling (same result set as the frontier-expansion
-    bfs_hops). UNION ALL recursion is path-bounded by the hop < 3
-    guard; min(hop) collapses multi-path visits. For unbounded-depth
-    traversals prefer the operator (its visited-set anti-join prunes
-    paths; plain UNION ALL recursion cannot)."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    """Recursive-CTE BFS over the nation trade graph: the IDENTICAL
+    SQL text (WITH RECURSIVE, Spark 4) runs verbatim on both engines —
+    pinning that the engine's recursive SQL dialect is DuckDB-portable.
+    UNION ALL recursion is bounded by the hop guard TIMES the
+    fixed-size node set (≤ 25^3 paths regardless of SF); min(hop)
+    collapses multi-path visits. For corpus-scale graphs prefer the
+    operator (bfs_hops: visited-set anti-join prunes paths — plain
+    UNION ALL recursion cannot)."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_RCTE_SQL)
 
 
