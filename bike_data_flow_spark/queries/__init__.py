@@ -62,6 +62,7 @@ _CHECK_FIRST = (
     "incremental_join_refresh",
     "expectation_suite_report",
     "rolling_hll_users",
+    "embedding_centroid_drift",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

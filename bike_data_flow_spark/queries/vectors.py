@@ -1282,3 +1282,84 @@ def embedding_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame
     return long.select(
         "vec_id", "dim", F.round(F.percent_rank().over(w), 6).alias("q")
     )
+
+
+# Embedding drift monitor: per-label centroid shift between two
+# deterministic halves of the corpus (vec_id parity stands in for the
+# before/after snapshots a production monitor compares). Per-(label,
+# dim, half) sums are integer-scaled and exact; the per-dim mean diff
+# is an identical double on both engines, and its square re-scales to
+# an integer before the per-label SUM — so the only cross-engine
+# doubles are single expressions, never folds. ssum is the exact
+# BIGINT anchor; shift is its presentation-rounded root. One
+# posexplode partial agg, |labels|×dims intermediate rows.
+_CD_SCALE = 1_000_000
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH pts AS (
+      SELECT label, vec_id % 2 AS half, idx,
+             CAST(round(CAST(val AS DOUBLE) * {_CD_SCALE}) AS BIGINT) AS xi
+      FROM (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS idx,
+               unnest(embedding) AS val
+        FROM embeddings
+      )
+    ),
+    cells AS (
+      SELECT label, idx,
+             CAST(sum(CASE WHEN half = 0 THEN xi ELSE 0 END) AS BIGINT) AS sx0,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN half = 1 THEN xi ELSE 0 END) AS BIGINT) AS sx1,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM pts GROUP BY label, idx
+    ),
+    terms AS (
+      SELECT label, n0, n1,
+             CAST(round((CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1)
+                        * (CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1))
+                  AS BIGINT) AS t
+      FROM cells
+    )
+    SELECT label, CAST(min(n0) AS BIGINT) AS n0, CAST(min(n1) AS BIGINT) AS n1,
+           CAST(sum(t) AS BIGINT) AS ssum,
+           round(sqrt(CAST(sum(t) AS DOUBLE)) / {_CD_SCALE}, 6) AS shift
+    FROM terms GROUP BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("_i0", "_v"),
+    ).select(
+        "label",
+        "half",
+        (F.col("_i0") + 1).alias("idx"),
+        F.round(F.col("_v").cast("double") * _CD_SCALE).cast("bigint").alias("xi"),
+    )
+    cells = pts.groupBy("label", "idx").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("xi")).otherwise(0)).alias("sx0"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("half") == 1, F.col("xi")).otherwise(0)).alias("sx1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+    )
+    md = (
+        F.col("sx0").cast("double") / F.col("n0")
+        - F.col("sx1").cast("double") / F.col("n1")
+    )
+    terms = cells.select(
+        "label", "n0", "n1", F.round(md * md).cast("bigint").alias("t")
+    )
+    return terms.groupBy("label").agg(
+        F.min("n0").alias("n0"),
+        F.min("n1").alias("n1"),
+        F.sum("t").alias("ssum"),
+        F.round(
+            F.sqrt(F.sum("t").cast("double")) / F.lit(_CD_SCALE), 6
+        ).alias("shift"),
+    )
