@@ -63,6 +63,7 @@ _CHECK_FIRST = (
     "expectation_suite_report",
     "rolling_hll_users",
     "embedding_centroid_drift",
+    "price_regression_ols",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

@@ -253,3 +253,120 @@ def chi2_token_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), F.asc("token"))
         .limit(_CHI2_K)
     )
+
+
+# --- distributed closed-form linear regression ------------------------------
+# Multi-feature OLS (y = b0 + b1·quantity + b2·discount over lineitem)
+# via the normal equations: ONE pass accumulates the 3×3 Gram matrix
+# and moment vector as EXACT DECIMAL sums (integer-scaled inputs:
+# cents / hundredths), the 3-unknown solve is Cramer's rule — a pure
+# scalar expression over the ten sums. The solve text is ONE shared
+# string evaluated by F.expr on Spark and spliced verbatim into the
+# oracle, so the double arithmetic trees are identical by
+# construction. Scale shape: map-side partial sums → 1 row; the
+# "model fit" costs exactly one corpus aggregate (the PCA/covariance
+# pattern, order-independent because every sum is exact).
+
+_REG_DET = (
+    "(n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd))"
+)
+_REG_DET0 = (
+    "(sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy))"
+)
+_REG_DET1 = (
+    "(n*(sqy*sdd - sqd*sdy) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd))"
+)
+_REG_DET2 = (
+    "(n*(sqq*sdy - sqy*sqd) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd))"
+)
+_REG_B0S = f"({_REG_DET0} / {_REG_DET})"
+_REG_B1S = f"({_REG_DET1} / {_REG_DET})"
+_REG_B2S = f"({_REG_DET2} / {_REG_DET})"
+_REG_OUT = {
+    "b0": f"round({_REG_B0S} / 100, 6)",
+    "b1": f"round({_REG_B1S} / 100, 6)",
+    "b2": f"round({_REG_B2S}, 6)",
+    "r2": (
+        f"round(1 - (syy - ({_REG_B0S}*sy + {_REG_B1S}*sqy + {_REG_B2S}*sdy))"
+        f" / (syy - sy*sy/n), 6)"
+    ),
+}
+
+
+@query(
+    "price_regression_ols",
+    oracle=f"""
+    WITH raw AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT count(*) AS cn,
+             sum(CAST(q AS DECIMAL(38,0))) AS csq,
+             sum(CAST(d AS DECIMAL(38,0))) AS csd,
+             sum(CAST(q*q AS DECIMAL(38,0))) AS csqq,
+             sum(CAST(q*d AS DECIMAL(38,0))) AS csqd,
+             sum(CAST(d*d AS DECIMAL(38,0))) AS csdd,
+             sum(CAST(y AS DECIMAL(38,0))) AS csy,
+             sum(CAST(q*y AS DECIMAL(38,0))) AS csqy,
+             sum(CAST(d*y AS DECIMAL(38,0))) AS csdy,
+             sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS csyy
+      FROM raw
+    ),
+    g AS (
+      SELECT CAST(cn AS DOUBLE) AS n, CAST(csq AS DOUBLE) AS sq,
+             CAST(csd AS DOUBLE) AS sd, CAST(csqq AS DOUBLE) AS sqq,
+             CAST(csqd AS DOUBLE) AS sqd, CAST(csdd AS DOUBLE) AS sdd,
+             CAST(csy AS DOUBLE) AS sy, CAST(csqy AS DOUBLE) AS sqy,
+             CAST(csdy AS DOUBLE) AS sdy, CAST(csyy AS DOUBLE) AS syy
+      FROM sums
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {_REG_OUT["b0"]} AS b0,
+           {_REG_OUT["b1"]} AS b1,
+           {_REG_OUT["b2"]} AS b2,
+           {_REG_OUT["r2"]} AS r2
+    FROM g
+    """,
+)
+def price_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = raw.agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(dec(F.col("q"))).alias("csq"),
+        F.sum(dec(F.col("d"))).alias("csd"),
+        F.sum(dec(F.col("q") * F.col("q"))).alias("csqq"),
+        F.sum(dec(F.col("q") * F.col("d"))).alias("csqd"),
+        F.sum(dec(F.col("d") * F.col("d"))).alias("csdd"),
+        F.sum(dec(F.col("y"))).alias("csy"),
+        F.sum(dec(F.col("q") * F.col("y"))).alias("csqy"),
+        F.sum(dec(F.col("d") * F.col("y"))).alias("csdy"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("csyy"),
+    )
+    g = sums.select(
+        F.col("cn").cast("double").alias("n"),
+        F.col("csq").cast("double").alias("sq"),
+        F.col("csd").cast("double").alias("sd"),
+        F.col("csqq").cast("double").alias("sqq"),
+        F.col("csqd").cast("double").alias("sqd"),
+        F.col("csdd").cast("double").alias("sdd"),
+        F.col("csy").cast("double").alias("sy"),
+        F.col("csqy").cast("double").alias("sqy"),
+        F.col("csdy").cast("double").alias("sdy"),
+        F.col("csyy").cast("double").alias("syy"),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_REG_OUT["b0"]).alias("b0"),
+        F.expr(_REG_OUT["b1"]).alias("b1"),
+        F.expr(_REG_OUT["b2"]).alias("b2"),
+        F.expr(_REG_OUT["r2"]).alias("r2"),
+    )

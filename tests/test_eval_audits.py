@@ -85,3 +85,53 @@ def test_zone_map_partitions_corpus(spark):
     assert sum(r["n_rows"] for r in rows.values()) == ev.count()
     # Z-order locality must let SOME buckets prune for a 100x300 box
     assert rows["pruned"]["n_buckets"] > 0
+
+
+def test_ols_recovers_known_coefficients(spark):
+    """y = 200 + 300·q + 5·d exactly (in dollars, q∈ints, d in
+    hundredths): the closed-form solve must recover the coefficients
+    and r2 == 1."""
+    import itertools
+
+    from bike_data_flow_spark.queries.mlops import (
+        _REG_OUT,
+    )
+
+    rows = []
+    for q, d100 in itertools.product(range(1, 8), range(0, 11, 2)):
+        d = d100 / 100.0
+        y = 200.0 + 300.0 * q + 5.0 * d
+        rows.append((float(q), d, y))
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    )
+    from pyspark.sql import functions as F
+
+    raw = df.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = raw.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("q"))).cast("double").alias("sq"),
+        F.sum(dec(F.col("d"))).cast("double").alias("sd"),
+        F.sum(dec(F.col("q") * F.col("q"))).cast("double").alias("sqq"),
+        F.sum(dec(F.col("q") * F.col("d"))).cast("double").alias("sqd"),
+        F.sum(dec(F.col("d") * F.col("d"))).cast("double").alias("sdd"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("q") * F.col("y"))).cast("double").alias("sqy"),
+        F.sum(dec(F.col("d") * F.col("y"))).cast("double").alias("sdy"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).cast("double").alias("syy"),
+    )
+    out = g.select(
+        F.expr(_REG_OUT["b0"]).alias("b0"),
+        F.expr(_REG_OUT["b1"]).alias("b1"),
+        F.expr(_REG_OUT["b2"]).alias("b2"),
+        F.expr(_REG_OUT["r2"]).alias("r2"),
+    ).collect()[0]
+    assert abs(out["b0"] - 200.0) < 1e-4
+    assert abs(out["b1"] - 300.0) < 1e-4
+    assert abs(out["b2"] - 5.0) < 1e-4
+    assert out["r2"] == 1.0
