@@ -64,6 +64,7 @@ _CHECK_FIRST = (
     "rolling_hll_users",
     "embedding_centroid_drift",
     "price_regression_ols",
+    "curation_funnel_counts",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

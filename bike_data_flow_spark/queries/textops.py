@@ -683,3 +683,75 @@ def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# Stage-count funnel of the flagship curation pipeline: how many
+# documents survive each gate (raw -> quality -> exact-dedup ->
+# near-dedup). The yield report every curation run ships with — it
+# tells the operator WHERE the corpus is being spent. Each stage is
+# the operator already verified by curated_documents; counts are one
+# extra 1-row aggregate per stage over the same cached projections
+# (the base parquet still scans once).
+@query(
+    "curation_funnel_counts",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+               round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                     / len(lower(text)), 4) AS alpha_ratio
+        FROM documents
+      ) WHERE n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+          AND alpha_ratio >= {_MIN_ALPHA}
+    ),
+    exact_kept AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5({_NORM})
+    ),
+    near_pairs AS ({{minhash_pairs}}),
+    dropped AS (
+      SELECT DISTINCT id_b AS doc_id FROM near_pairs
+      WHERE id_a IN (SELECT doc_id FROM exact_kept)
+        AND id_b IN (SELECT doc_id FROM exact_kept)
+    )
+    SELECT 'raw' AS stage, count(*) AS n_docs FROM documents
+    UNION ALL SELECT 'quality', count(*) FROM quality
+    UNION ALL SELECT 'exact_dedup', count(*) FROM exact_kept
+    UNION ALL
+    SELECT 'near_dedup', count(*) FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """.replace("{minhash_pairs}", _minhash_oracle().strip()),
+)
+def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    staged = docs.select("doc_id", c, T.tokens(c).alias("_toks"))
+    quality = (
+        staged.filter(
+            F.size("_toks").between(_MIN_TOKENS, _MAX_TOKENS)
+            & (T.alpha_ratio(c) >= _MIN_ALPHA)
+        )
+        .select("doc_id", "text")
+        .cache()
+    )
+    exact_kept = (
+        quality.groupBy(F.md5(T.normalized_text(F.col("text"))).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    ).cache()
+    kept_docs = quality.join(exact_kept, "doc_id", "left_semi")
+    pairs = D.minhash_lsh_candidates(kept_docs)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = exact_kept.join(dropped, "doc_id", "left_anti")
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("raw", docs)
+        .unionByName(stage("quality", quality))
+        .unionByName(stage("exact_dedup", exact_kept))
+        .unionByName(stage("near_dedup", final))
+    )
