@@ -65,6 +65,7 @@ _CHECK_FIRST = (
     "embedding_centroid_drift",
     "price_regression_ols",
     "curation_funnel_counts",
+    "value_welch_ttest",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

@@ -250,3 +250,100 @@ def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(cc, "nid").select(
         F.col("p_name").alias("name"), "cluster_id"
     )
+
+
+_TT_SPLIT = "TIMESTAMP '2024-01-16'"
+_TT_SCALE = 100  # values scaled to exact integer hundredths
+
+
+# Welch's two-sample t-test per event type between the first and
+# second half of the month — "did this sensor's distribution SHIFT,
+# and is the shift significant?" — the hypothesis-testing companion
+# to the PSI/CUSUM drift monitors. All moments come from ONE
+# conditional aggregate over integer-scaled values (exact, fold-free);
+# t and the Welch–Satterthwaite df are scalar expressions over those
+# exact sums, identical trees on both engines.
+@query(
+    "value_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN ts < {_TT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN ts < {_TT_SPLIT}
+                      THEN CAST(round(value * {_TT_SCALE}) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN ts < {_TT_SPLIT}
+                      THEN CAST(round(value * {_TT_SCALE}) AS BIGINT)
+                           * CAST(round(value * {_TT_SCALE}) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS ss1,
+             CAST(sum(CASE WHEN ts >= {_TT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN ts >= {_TT_SPLIT}
+                      THEN CAST(round(value * {_TT_SCALE}) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN ts >= {_TT_SPLIT}
+                      THEN CAST(round(value * {_TT_SCALE}) AS BIGINT)
+                           * CAST(round(value * {_TT_SCALE}) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS ss2
+      FROM events GROUP BY event_type
+    ),
+    g AS (
+      SELECT event_type, n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 AS se1,
+             (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2 AS se2
+      FROM m WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT event_type, n1, n2,
+           round((m1 - m2) / {_TT_SCALE}, 4) AS mean_shift,
+           round((m1 - m2) / sqrt(se1 + se2), 4) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) AS welch_df
+    FROM g
+    """,
+)
+def value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    xi = F.round(F.col("value") * _TT_SCALE).cast("bigint")
+    first = F.col("ts") < split
+    m = ev.groupBy("event_type").agg(
+        F.sum(F.when(first, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(first, xi).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(first, xi * xi).otherwise(0)).cast("bigint").alias("ss1"),
+        F.sum(F.when(~first, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(~first, xi).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(F.when(~first, xi * xi).otherwise(0)).cast("bigint").alias("ss2"),
+    )
+    g = m.filter((F.col("n1") >= 2) & (F.col("n2") >= 2)).select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("s1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n2")).alias("m2"),
+        (
+            (F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+            / F.col("n1")
+        ).alias("se1"),
+        (
+            (F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+            / (F.col("n2") - 1)
+            / F.col("n2")
+        ).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    return g.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round((F.col("m1") - F.col("m2")) / _TT_SCALE, 4).alias("mean_shift"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se), 4).alias("t_stat"),
+        F.round(
+            (se * se)
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
