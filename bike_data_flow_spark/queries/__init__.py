@@ -66,6 +66,8 @@ _CHECK_FIRST = (
     "price_regression_ols",
     "curation_funnel_counts",
     "value_welch_ttest",
+    "regression_conformal_q",
+    "did_value_estimate",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

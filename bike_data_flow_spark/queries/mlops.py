@@ -370,3 +370,85 @@ def price_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_REG_OUT["b2"]).alias("b2"),
         F.expr(_REG_OUT["r2"]).alias("r2"),
     )
+
+
+# Split-conformal calibration of the OLS model: the 90th-percentile
+# absolute residual is the (distribution-free) half-width of a 90%
+# prediction interval. Per-row predictions are scalar expressions of
+# the Gram-solve coefficients (identical doubles both engines, since
+# the q/d/y inputs are exact integers); the quantile runs over those
+# identical doubles with the engine pair already gate-proven on
+# quantile_cont↔percentile. One extra corpus pass over the same scan.
+@query(
+    "regression_conformal_q",
+    oracle=f"""
+    WITH raw AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT count(*) AS cn,
+             sum(CAST(q AS DECIMAL(38,0))) AS csq,
+             sum(CAST(d AS DECIMAL(38,0))) AS csd,
+             sum(CAST(q*q AS DECIMAL(38,0))) AS csqq,
+             sum(CAST(q*d AS DECIMAL(38,0))) AS csqd,
+             sum(CAST(d*d AS DECIMAL(38,0))) AS csdd,
+             sum(CAST(y AS DECIMAL(38,0))) AS csy,
+             sum(CAST(q*y AS DECIMAL(38,0))) AS csqy,
+             sum(CAST(d*y AS DECIMAL(38,0))) AS csdy
+      FROM raw
+    ),
+    g AS (
+      SELECT CAST(cn AS DOUBLE) AS n, CAST(csq AS DOUBLE) AS sq,
+             CAST(csd AS DOUBLE) AS sd, CAST(csqq AS DOUBLE) AS sqq,
+             CAST(csqd AS DOUBLE) AS sqd, CAST(csdd AS DOUBLE) AS sdd,
+             CAST(csy AS DOUBLE) AS sy, CAST(csqy AS DOUBLE) AS sqy,
+             CAST(csdy AS DOUBLE) AS sdy
+      FROM sums
+    ),
+    resid AS (
+      SELECT abs(y - ({_REG_B0S} + {_REG_B1S} * q + {_REG_B2S} * d)) AS r
+      FROM raw, g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(r, 0.9) / 100, 4) AS q90_abs_residual
+    FROM resid
+    """,
+)
+def regression_conformal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    ).cache()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = raw.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("q"))).cast("double").alias("sq"),
+        F.sum(dec(F.col("d"))).cast("double").alias("sd"),
+        F.sum(dec(F.col("q") * F.col("q"))).cast("double").alias("sqq"),
+        F.sum(dec(F.col("q") * F.col("d"))).cast("double").alias("sqd"),
+        F.sum(dec(F.col("d") * F.col("d"))).cast("double").alias("sdd"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("q") * F.col("y"))).cast("double").alias("sqy"),
+        F.sum(dec(F.col("d") * F.col("y"))).cast("double").alias("sdy"),
+    )
+    resid = raw.crossJoin(F.broadcast(g)).select(
+        F.abs(
+            F.col("y")
+            - (
+                F.expr(_REG_B0S)
+                + F.expr(_REG_B1S) * F.col("q")
+                + F.expr(_REG_B2S) * F.col("d")
+            )
+        ).alias("r")
+    )
+    return resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.percentile("r", F.lit(0.9)) / 100, 4).alias(
+            "q90_abs_residual"
+        ),
+    )

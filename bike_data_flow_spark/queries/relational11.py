@@ -347,3 +347,75 @@ def value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+# Difference-in-differences: the 2×2 (cohort × period) causal
+# estimator — treated cohort = odd user_ids, post period = second
+# half of the month; DiD = (treated post − treated pre) − (control
+# post − control pre). All four cell means come from ONE conditional
+# aggregate of integer-scaled exact sums; the estimate is a scalar
+# expression over them (identical trees both engines). 1 row out.
+@query(
+    "did_value_estimate",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CASE WHEN ts >= {_TT_SPLIT} THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * {_TT_SCALE}) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        sum(CASE WHEN treated = 1 AND post = 1
+                 THEN CAST(s AS DOUBLE) / n ELSE 0 END) AS t1,
+        sum(CASE WHEN treated = 1 AND post = 0
+                 THEN CAST(s AS DOUBLE) / n ELSE 0 END) AS t0,
+        sum(CASE WHEN treated = 0 AND post = 1
+                 THEN CAST(s AS DOUBLE) / n ELSE 0 END) AS c1,
+        sum(CASE WHEN treated = 0 AND post = 0
+                 THEN CAST(s AS DOUBLE) / n ELSE 0 END) AS c0,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           round((t1 - t0) / {_TT_SCALE}, 4) AS treated_delta,
+           round((c1 - c0) / {_TT_SCALE}, 4) AS control_delta,
+           round(((t1 - t0) - (c1 - c0)) / {_TT_SCALE}, 4) AS did
+    FROM m
+    """,
+)
+def did_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    xi = F.round(F.col("value") * _TT_SCALE).cast("bigint")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("treated"),
+        F.when(F.col("ts") >= split, 1).otherwise(0).alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xi).cast("bigint").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    cell = lambda t, p: F.sum(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), mean).otherwise(
+            0.0
+        )
+    )
+    m = cells.agg(
+        cell(1, 1).alias("t1"),
+        cell(1, 0).alias("t0"),
+        cell(0, 1).alias("c1"),
+        cell(0, 0).alias("c0"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        F.round((F.col("t1") - F.col("t0")) / _TT_SCALE, 4).alias("treated_delta"),
+        F.round((F.col("c1") - F.col("c0")) / _TT_SCALE, 4).alias("control_delta"),
+        F.round(
+            ((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")))
+            / _TT_SCALE,
+            4,
+        ).alias("did"),
+    )
