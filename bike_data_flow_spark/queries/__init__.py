@@ -68,6 +68,7 @@ _CHECK_FIRST = (
     "value_welch_ttest",
     "regression_conformal_q",
     "did_value_estimate",
+    "value_autocorr_lag1",
     "retrieval_ndcg",
     "mixture_epoch_plan",
     "source_dedup_crosstab",

@@ -419,3 +419,65 @@ def did_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did"),
     )
+
+
+# Lag-1 autocorrelation per event type (the ACF[1] of each sensor
+# family): Pearson correlation over consecutive-reading pairs within
+# each user's series, pooled per type. The lag pairs come from ONE
+# (user)-partitioned sort window (bounded partitions — never a
+# per-type global sort); every Pearson term is an exact integer-scaled
+# sum, so the coefficient is a scalar expression over exact BIGINTs.
+@query(
+    "value_autocorr_lag1",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST(round(value * {_TT_SCALE}) AS BIGINT) AS x,
+             lag(CAST(round(value * {_TT_SCALE}) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 4) AS acf1
+    FROM s WHERE n >= 2
+    """,
+)
+def value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    xi = F.round(F.col("value") * _TT_SCALE).cast("bigint")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts_ns"), F.asc("event_id")
+    )
+    p = ev.select(
+        "event_type", xi.alias("x"), F.lag(xi).over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return (
+        s.filter(F.col("n") >= 2)
+        .select("event_type", "n", F.round(num / F.sqrt(denx * deny), 4).alias("acf1"))
+    )
