@@ -33,21 +33,30 @@ def main() -> None:
     registry = load_all()
     bench_queries = [q for q in registry.values() if q.bench]
 
-    # Warm every query shape once (JVM JIT + codegen + file-index caches),
-    # then time steady-state execution — the regime a long-lived cluster
-    # actually runs in. Best-of-2 per query: single-shot timings on a
-    # busy host carry ±25% scheduler noise that swamps real deltas.
-    for q in bench_queries:
-        materialize(q.fn(spark, sf_dir))
-
+    # Per-query block: warm once (JVM JIT + codegen + file-index caches,
+    # and the query's own .cache()/.localCheckpoint() subtrees), time
+    # steady-state best-of-2, then clearCache + GC before the next query.
+    # Cache reuse is plan-matched, so the warm run's cached subtrees serve
+    # the timed runs of the SAME query; clearing between queries stops
+    # cache entries accumulating across the 30-query session — measured
+    # root cause of the r6 shared-16 +25% inflation (every cached subtree
+    # of the 14 heavy kNN/ANN queries stayed registered, inflating
+    # CacheManager plan-matching and BlockManager pressure for every
+    # later query: shared-16 10.9 s accumulated vs 5.9 s grouped on the
+    # same host/session — see BENCH_COMPARE.md "Bench hygiene").
+    # Best-of-2: single-shot timings on a busy host carry ±25% scheduler
+    # noise that swamps real deltas.
     timings: dict[str, float] = {}
     for q in bench_queries:
+        materialize(q.fn(spark, sf_dir))
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             materialize(q.fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[q.name] = round(best, 3)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
