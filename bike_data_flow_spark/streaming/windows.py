@@ -348,67 +348,113 @@ CUSUM_OUTPUT_SCHEMA = StructType(
         StructField("n_events", LongType()),
         StructField("max_pos_drift", DoubleType()),
         StructField("max_neg_drift", DoubleType()),
+        StructField("n_buffered", LongType()),
     ]
 )
 
 CUSUM_STATE_SCHEMA = StructType(
     [
-        StructField("ts", ArrayType(LongType())),
-        StructField("ids", ArrayType(LongType())),
-        StructField("vals", ArrayType(DoubleType())),
+        StructField("n_final", LongType()),
+        StructField("cusum", DoubleType()),
+        StructField("hi", DoubleType()),
+        StructField("lo", DoubleType()),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_ids", ArrayType(LongType())),
+        StructField("buf_vals", ArrayType(DoubleType())),
     ]
 )
 
 
-def cusum_snapshots(events: DataFrame, target: float) -> DataFrame:
-    """Streaming CUSUM drift monitor with arbitrary per-key state: per
+def cusum_snapshots(
+    events: DataFrame, target: float, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming CUSUM drift monitor with BOUNDED per-key state: per
     user, the running sum of (value − target) folded over the
     chronologically-ordered event log, snapshotting the extremes.
 
-    Input columns: user_id, ts_ns, event_id, value. Out-of-order
-    arrival cannot corrupt the fold: the state log re-sorts by
-    (ts, id) at every emit, so the sequential IEEE addition happens in
-    exactly the oracle's window order — bit-identical doubles, no
-    fold-order drift (the gate-parity contract the batch CUSUM also
-    relies on). n_events is strictly monotone per key, so the final
-    answer for a bounded input is each key's max-n_events snapshot.
+    Input columns: user_id, ts_ns, event_id, value. State per key is a
+    watermark-finalized prefix fold (n_final, cusum, hi, lo) plus an
+    out-of-order buffer holding only events at-or-newer-than the
+    event-time watermark. Each micro-batch appends to the buffer,
+    finalizes the buffer prefix strictly older than the watermark into
+    the fold (those positions are settled: the watermark guarantees no
+    later arrival can sort before them, and ties at the boundary stay
+    buffered so same-ts arrivals still interleave by event_id), then
+    emits the fold extended over the still-buffered suffix. State is
+    O(events inside the watermark horizon) per key — not O(all events)
+    — while the emitted snapshot is always the exact full-history fold.
 
-    State is |events per key| — the exact-scan price; production
-    monitors age out history behind a watermark, or keep only the
-    (cusum, max, min) triple when ingestion is already time-ordered
-    per key (the one-pass spelling).
+    Out-of-order arrival cannot corrupt the fold: the buffer re-sorts
+    by (ts, id) at every emit and the finalized prefix was folded in
+    that same order, so the sequential IEEE addition happens in exactly
+    the oracle's window order — bit-identical doubles, no fold-order
+    drift (the gate-parity contract the batch `user_cusum_extremes`
+    also relies on; this is that one-pass fold, split at the
+    watermark). n_events is strictly monotone per key, so the final
+    answer for a bounded input is each key's max-n_events snapshot.
+    n_buffered exposes the buffer size for monitoring (and the
+    state-bound test).
+
+    `watermark_delay` is the disorder bound: events arriving more than
+    this much event-time behind the stream maximum are dropped by the
+    engine (standard watermark semantics). Size it to the source's
+    real out-of-orderness.
     """
+
+    def fold(s, hi, lo, deltas):
+        for v in deltas:
+            s += v - target
+            hi = s if hi is None or s > hi else hi
+            lo = s if lo is None or s < lo else lo
+        return s, hi, lo
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        ts, ids, vals = state.get if state.exists else ([], [], [])
-        ts, ids, vals = list(ts), list(ids), list(vals)
+        if state.exists:
+            n_final, s_fin, hi_fin, lo_fin, bts, bids, bvals = state.get
+            bts, bids, bvals = list(bts), list(bids), list(bvals)
+            if n_final == 0:
+                hi_fin = lo_fin = None
+        else:
+            n_final, s_fin, hi_fin, lo_fin = 0, 0.0, None, None
+            bts, bids, bvals = [], [], []
         for pdf in pdfs:
-            ts.extend(int(t) for t in pdf["ts_ns"])
-            ids.extend(int(i) for i in pdf["event_id"])
-            vals.extend(float(v) for v in pdf["value"])
-        state.update((ts, ids, vals))
-        order = sorted(range(len(ts)), key=lambda j: (ts[j], ids[j]))
-        s = 0.0
-        hi = lo = None
-        for j in order:
-            s += vals[j] - target
-            hi = s if hi is None or s > hi else hi
-            lo = s if lo is None or s < lo else lo
+            bts.extend(int(t) for t in pdf["ts_ns"])
+            bids.extend(int(i) for i in pdf["event_id"])
+            bvals.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(bts)), key=lambda j: (bts[j], bids[j]))
+        frontier_ns = state.getCurrentWatermarkMs() * 1_000_000
+        k = 0
+        while k < len(order) and bts[order[k]] < frontier_ns:
+            k += 1
+        s_fin, hi_fin, lo_fin = fold(
+            s_fin, hi_fin, lo_fin, (bvals[j] for j in order[:k])
+        )
+        n_final += k
+        keep = order[k:]
+        bts = [bts[j] for j in keep]
+        bids = [bids[j] for j in keep]
+        bvals = [bvals[j] for j in keep]
+        state.update((n_final, s_fin, hi_fin or 0.0, lo_fin or 0.0, bts, bids, bvals))
+        s, hi, lo = fold(s_fin, hi_fin, lo_fin, bvals)
         yield pd.DataFrame(
             [
                 {
                     "user_id": user_id,
-                    "n_events": len(ts),
+                    "n_events": n_final + len(bts),
                     "max_pos_drift": hi,
                     "max_neg_drift": lo,
+                    "n_buffered": len(bts),
                 }
             ]
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    with_evt = events.withColumn(
+        "_evt", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    ).withWatermark("_evt", watermark_delay)
+    return with_evt.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=CUSUM_OUTPUT_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,

@@ -319,3 +319,75 @@ def test_cusum_snapshots_multibatch_out_of_order(spark, tmp_path):
     # user 1 in (ts,id) order: +10 -> -10 -> +20  => hi 20, lo -10
     assert got[1] == (3, 20.0, -10.0)
     assert got[2] == (1, -10.0, -10.0)
+
+
+def test_cusum_state_bounded_by_watermark(spark, tmp_path):
+    """State per key must be O(watermark buffer), not O(all events):
+    with in-order batches and a 1-second disorder bound, earlier
+    batches finalize into the prefix fold as the watermark advances,
+    so n_buffered stays at ~batch size while n_events keeps growing —
+    and the emitted extremes still equal the exact full-history fold."""
+    from bike_data_flow_spark.streaming.windows import (
+        cusum_snapshots,
+        final_snapshot_per_key,
+    )
+
+    schema = "user_id long, ts_ns long, event_id long, value double"
+    src = tmp_path / "cusum_bounded_src"
+    sec = 1_000_000_000
+    n_batches, batch_sz = 4, 50
+    rows = []
+    for b in range(n_batches):
+        batch = [
+            (
+                1,
+                (b * batch_sz + i) * 60 * sec,  # 1 event/min, in order
+                b * batch_sz + i,
+                500.0 + ((b * batch_sz + i) % 7) - 3,  # drifting values
+            )
+            for i in range(batch_sz)
+        ]
+        rows.append(batch)
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = "cusum_bounded"
+    q = (
+        cusum_snapshots(stream, target=500.0, watermark_delay="1 second")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    raw = spark.table(name).collect()
+    # Every snapshot after the first batch holds far fewer events in
+    # state than it has seen: the watermark finalized earlier batches.
+    snaps = sorted(
+        ((r["n_events"], r["n_buffered"]) for r in raw if r["user_id"] == 1)
+    )
+    assert snaps[-1][0] == n_batches * batch_sz
+    late = [buf for n, buf in snaps if n > 2 * batch_sz]
+    assert late, "watermark never advanced — test setup broken"
+    # buffer ≤ one batch + the boundary tie straggler, never the full log
+    assert all(buf <= batch_sz + 1 for buf in late)
+    # and the snapshot extremes are still the exact full-history fold
+    flat = sorted((r for b in rows for r in b), key=lambda r: (r[1], r[2]))
+    s, hi, lo = 0.0, None, None
+    for _, _, _, v in flat:
+        s += v - 500.0
+        hi = s if hi is None or s > hi else hi
+        lo = s if lo is None or s < lo else lo
+    last = {
+        r["user_id"]: (r["n_events"], r["max_pos_drift"], r["max_neg_drift"])
+        for r in final_snapshot_per_key(
+            spark.table(name), "user_id", "n_events"
+        ).collect()
+    }
+    assert last[1] == (n_batches * batch_sz, hi, lo)
