@@ -520,6 +520,111 @@ def connected_components(
     )
 
 
+def capped_block_join(
+    names: DataFrame,
+    cap: int = 2000,
+    max_len_diff: int = 4,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = 8,
+) -> DataFrame:
+    """Entity-resolution candidate pairs within blocking keys, with a
+    per-block size cap so candidate pairs never grow Θ(n²) when the
+    blocking key has bounded cardinality.
+
+    Input: (nid, name, blk). Output: (id_a, id_b, na, nb) with
+    na < nb, candidates for an edit-distance filter downstream.
+
+    Two routes, partitioned by PRIMARY block size (a pair lives inside
+    exactly one blk, so no cross-route pairs are lost):
+
+    - blocks ≤ cap — exact: within-block self-join, additionally
+      banded by name length (bucket width max_len_diff+1, one side
+      exploded to ±1 neighbors) — lossless for any downstream
+      Levenshtein radius ≤ max_len_diff, since edit distance bounds
+      the length difference; per-block pairs ≤ cap²/2 by construction
+      and the banding cuts the realistic constant.
+    - blocks > cap — MinHash-LSH fallback on character n-gram
+      shingles of the name (char granularity: a 1-edit change on a
+      short name flips ~n of its ~|name| char-grams, vs most of its
+      handful of word-grams), band-keyed WITHIN the block: candidate
+      pairs bounded by LSH bucket collisions instead of block size².
+      Approximate; with the default 8 bands × 2 rows, a pair at
+      char-Jaccard j surfaces with prob 1−(1−j²)⁸ — ≥ 0.97 for
+      j ≥ 0.6, the radius-≤-max_len_diff regime entity resolution
+      targets.
+
+    At gate scale every block is ≤ cap, so results are exactly the
+    uncapped blocked join; the fallback is the 100×-scale path,
+    exercised by tests/test_dedup.py with a forced tiny cap.
+    """
+    w = max_len_diff + 1
+    sized = names.join(
+        names.groupBy("blk").agg(F.count(F.lit(1)).alias("_bsz")), "blk"
+    )
+    small = sized.filter(F.col("_bsz") <= cap)
+    big = sized.filter(F.col("_bsz") > cap)
+
+    bkt = (F.length("name").cast("long") / w).cast("long")
+    a = small.select(
+        F.col("name").alias("na"),
+        F.col("nid").alias("id_a"),
+        "blk",
+        bkt.alias("bkt"),
+    )
+    c = small.select(
+        F.col("name").alias("nb"),
+        F.col("nid").alias("id_b"),
+        "blk",
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt"),
+    )
+    exact = (
+        a.join(c, ["blk", "bkt"])
+        .filter(F.col("na") < F.col("nb"))
+        .select("id_a", "id_b", "na", "nb")
+    )
+
+    grams = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length(name) - {n - 1}, 1)),"
+        f" i -> substring(name, i, {n})))"
+    )
+    staged = big.select(
+        "nid", F.explode(grams).alias("_g")
+    ).select(
+        "nid", (md5_hash64(F.col("_g")) % MINHASH_PRIME).alias("_hb")
+    )
+    aggs = []
+    for i in range(k):
+        ai, bi = minhash_coeff(i)
+        aggs.append(
+            F.min((F.lit(ai) * F.col("_hb") + F.lit(bi)) % MINHASH_PRIME).alias(
+                f"m{i}"
+            )
+        )
+    sigs = staged.groupBy("nid").agg(*aggs)
+    keys = (
+        minhash_band_keys(sigs, id_col="nid", k=k, bands=bands)
+        .join(big.select("nid", "name", "blk"), "nid")
+        .cache()
+    )
+    ka = keys.select(
+        F.col("nid").alias("id_a"), F.col("name").alias("na"),
+        "blk", "band", "band_key",
+    )
+    kb = keys.select(
+        F.col("nid").alias("id_b"), F.col("name").alias("nb"),
+        "blk", "band", "band_key",
+    )
+    approx = (
+        ka.join(kb, ["blk", "band", "band_key"])
+        .filter(F.col("na") < F.col("nb"))
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    return exact.unionByName(approx)
+
+
 def simhash_near_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:

