@@ -1,25 +1,57 @@
-"""Generic distributed graph traversal: bounded-depth BFS.
+"""Generic distributed graph traversal: bounded-depth BFS, PageRank,
+Bellman-Ford.
 
 Complements the specialized graph operators already in the engine
 (pointer-jumping connected components in dedup.py, degree-ordered
 triangle counting and label propagation over the k-NN graph in
-queries/vectors.py) with the classic frontier-expansion primitive —
-min-hop reachability from a seed set.
+queries/vectors.py) with the classic frontier-expansion primitives.
 
-Scale shape: each round is ONE equi-join (frontier ⋈ edges on the
-source endpoint) plus a distinct and an anti-join against the visited
-set — all keyed shuffles, no cross product. Work per round is bounded
-by the out-edges of the current frontier (the textbook Pregel
-superstep, expressed as DataFrame ops). Rounds are a fixed small
-``max_hops`` by contract; for deep traversals swap the per-round
-``cache()`` for ``localCheckpoint()`` to truncate lineage (the same
-discipline as the iterative operators in dedup.py / vectors.py).
+Iteration discipline (shared by all three loops): every round ends in
+``localCheckpoint(eager=True)`` — materializing the round AND
+truncating the logical plan, so plan size stays CONSTANT across rounds
+(a cache() alone leaves the logical tree growing; BFS/Bellman-Ford
+reference the previous round 2-3×, so an uncheckpointed plan doubles
+per round and analysis OOMs near depth 6). The superseded round's
+checkpoint blocks are then released deterministically through the
+persistent-RDD handle captured at checkpoint time — state on the
+cluster is always exactly ONE round deep, the bpe.py deferred-release
+discipline (never release before the new round materializes: local
+checkpoints cannot recompute).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _persistent_ids(sc) -> set[int]:
+    ids = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _checkpoint_round(df: DataFrame):
+    """localCheckpoint(eager) + the newly-persisted RDD handles, so the
+    round can be released deterministically once superseded (there is
+    no public unpersist for local checkpoints)."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint()  # eager by default
+    handles = []
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() not in before:
+            handles.append(kv._2())
+    return out, handles
+
+
+def _release(handles) -> None:
+    for h in handles:
+        h.unpersist(False)
 
 
 def bfs_hops(
@@ -35,24 +67,34 @@ def bfs_hops(
 
     ``edges``: (src, dst) directed — symmetrize first for undirected
     semantics. ``sources``: one ``node`` column; each seed is hop 0.
-    Returns (node, hops). First-visit order IS min-hop order (BFS
-    invariant), so the anti-join against the visited set both prevents
-    recounting and guarantees minimality — no per-node min-agg needed
-    at the end.
+    Returns (node, hops), materialized. First-visit order IS min-hop
+    order (BFS invariant), so the anti-join against the visited set
+    both prevents recounting and guarantees minimality — no per-node
+    min-agg needed at the end.
+
+    Scale shape per round: ONE equi-join (frontier ⋈ edges on the
+    source endpoint) + a distinct + an anti-join — all keyed shuffles,
+    no cross product; work is bounded by the frontier's out-edges (the
+    textbook Pregel superstep). The frontier is re-derived from the
+    checkpointed visited table (``hops == hop-1``) rather than held as
+    a separate cached round, so per-round cluster state is exactly the
+    visited table.
     """
-    frontier = sources.select(F.col(node_col)).distinct()
-    visited = frontier.withColumn("hops", F.lit(0)).cache()
+    visited, handles = _checkpoint_round(
+        sources.select(F.col(node_col)).distinct().withColumn("hops", F.lit(0))
+    )
     for hop in range(1, max_hops + 1):
+        frontier = visited.filter(F.col("hops") == hop - 1).select(node_col)
         nxt = (
             frontier.join(edges, frontier[node_col] == edges[src_col])
             .select(F.col(dst_col).alias(node_col))
             .distinct()
             .join(visited.select(node_col), node_col, "left_anti")
             .withColumn("hops", F.lit(hop))
-            .cache()
         )
-        visited = visited.union(nxt).cache()
-        frontier = nxt.select(node_col)
+        new_visited, new_handles = _checkpoint_round(visited.union(nxt))
+        _release(handles)
+        visited, handles = new_visited, new_handles
     return visited
 
 
@@ -85,24 +127,19 @@ def pagerank(
 
     Scale shape per round: ONE edges⋈ranks equi-join + ONE partial-agg
     groupBy(dst) — node- and edge-bounded, the textbook Pregel
-    iteration; the scalar N and the degree table are the only other
-    state. For deep iteration counts checkpoint-truncate the lineage
-    as the other iterative operators do (fixed 3 rounds here).
+    iteration; the degree table is cached once and released at the
+    end, rank state is one checkpointed round deep.
     """
     deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).cache()
     n = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = (
-        deg.crossJoin(F.broadcast(n))
-        .select(
+    ranks, handles = _checkpoint_round(
+        deg.crossJoin(F.broadcast(n)).select(
             "node",
             "deg",
-            F.round(F.lit(float(PR_SCALE)) / F.col("n"))
-            .cast("long")
-            .alias("ps"),
+            F.round(F.lit(float(PR_SCALE)) / F.col("n")).cast("long").alias("ps"),
         )
-        .cache()
     )
     teleport = (
         F.round(F.lit(1.0 - damping) * F.lit(float(PR_SCALE)) / F.col("n"))
@@ -118,12 +155,14 @@ def pagerank(
             .alias("_c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = (
+        new_ranks, new_handles = _checkpoint_round(
             sums.join(deg, "node")
             .crossJoin(F.broadcast(n))
             .select("node", "deg", (teleport + F.col("_s")).alias("ps"))
-            .cache()
         )
+        _release(handles)
+        ranks, handles = new_ranks, new_handles
+    deg.unpersist()
     return ranks.select(
         "node",
         F.col("ps").alias("pr_scaled"),
@@ -150,12 +189,13 @@ def bellman_ford(
 
     Scale shape per round: one frontier⋈edges equi-join + one
     (node) min-aggregate — node/edge-bounded, the Pregel SSSP
-    iteration. State is the (node, cost) table; caching each round
-    truncates the re-execution tree like the other iterative ops.
+    iteration. State is the (node, cost) table, one checkpointed
+    round deep (dist feeds each round twice — relax join + union — so
+    the checkpoint is what keeps the plan from doubling per round).
     """
-    dist = sources.select(
-        F.col(node_col), F.lit(0).cast("long").alias("cost")
-    ).cache()
+    dist, handles = _checkpoint_round(
+        sources.select(F.col(node_col), F.lit(0).cast("long").alias("cost"))
+    )
     for _ in range(rounds):
         relax = (
             dist.join(edges, dist[node_col] == edges[src_col])
@@ -164,10 +204,11 @@ def bellman_ford(
                 (F.col("cost") + F.col(weight_col)).alias("cost"),
             )
         )
-        dist = (
+        new_dist, new_handles = _checkpoint_round(
             dist.unionByName(relax)
             .groupBy(node_col)
             .agg(F.min("cost").alias("cost"))
-            .cache()
         )
+        _release(handles)
+        dist, handles = new_dist, new_handles
     return dist

@@ -127,3 +127,38 @@ def test_pagerank_uniform_on_regular_graph(spark):
     got = {r["node"]: r["pagerank"] for r in G.pagerank(edges).collect()}
     for p in got.values():
         assert p == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_graph_loops_release_superseded_round_caches(spark):
+    """Iterative graph ops must not leak one persisted round per
+    iteration: after a DEEP run (depth 10 — would also OOM on plan
+    analysis without per-round checkpoint truncation), the
+    persistent-RDD registry grows by at most the FINAL round's state,
+    never by O(rounds) — the bpe.py deferred-release discipline."""
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(i + 1, i) for i in range(30)],
+        "src long, dst long",
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+
+    def n_persistent():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    pr = G.pagerank(edges, iters=8)
+    pr.collect()
+    assert n_persistent() - base <= 1  # final ranks checkpoint only
+
+    base = n_persistent()
+    vis = G.bfs_hops(edges, src, max_hops=10)
+    assert vis.count() == 11  # path graph: 0..10 reachable in 10 hops
+    assert n_persistent() - base <= 1  # final visited checkpoint only
+
+    from bike_data_flow_spark.operators.graph import bellman_ford
+
+    base = n_persistent()
+    w = edges.withColumn("w", F.lit(1).cast("long"))
+    d = bellman_ford(w, src, rounds=10)
+    d.collect()
+    assert n_persistent() - base <= 1  # final dist checkpoint only
