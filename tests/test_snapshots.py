@@ -418,3 +418,92 @@ def test_snapshot_compact_preserves_rows_and_history(spark, tmp_path: Path):
     n_files_after = len(glob.glob(f"{t}/data/*/*.parquet"))
     assert n_files_after == 1 < n_files_before
     assert sorted(r["k"] for r in snapshot_read(spark, t).collect()) == before
+
+
+def _race_recover_commit(table_dir, marker, barrier, q):
+    """The snapshot_write control flow minus the Spark data write:
+    recover orphans -> resolve version -> stage data dir -> publish
+    manifest -> flip pointer. Real processes, real fs protocol."""
+    import json
+    import os
+
+    from bike_data_flow_spark.operators.snapshots import (
+        _publish_manifest,
+        _recover_orphan_manifests,
+        _write_pointer,
+        current_version,
+    )
+
+    barrier.wait()
+    prev = _recover_orphan_manifests(table_dir, current_version(table_dir))
+    version = prev + 1
+    rel = f"data/v{version}-{marker}"
+    os.makedirs(f"{table_dir}/{rel}", exist_ok=True)
+    with open(
+        f"{table_dir}/_snapshots/v{prev}.json", encoding="utf-8"
+    ) as fh:
+        dirs = json.load(fh)["dirs"] + [rel]
+    try:
+        _publish_manifest(
+            table_dir,
+            version,
+            {"version": version, "mode": "append", "dirs": dirs,
+             "marker": marker},
+        )
+        _write_pointer(table_dir, version)
+        q.put((marker, "ok", prev))
+    except RuntimeError:
+        q.put((marker, "collision", prev))
+
+
+def test_concurrent_orphan_recovery_single_winner(spark, tmp_path: Path):
+    """VERDICT r6 #6: a writer crashed between v2's publish and the
+    pointer flip; TWO replacement writers then start concurrently.
+    Both must recover the orphan (resolve prev=2), but exactly one may
+    advance-and-commit v3 — and no data dir may end up referenced by
+    two committed versions' tails."""
+    import json
+    import multiprocessing as mp
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    snapshot_write(_df(spark, [(2, "b")]), t)
+    (Path(t) / "_LATEST").write_text("1")  # crash: v2 published, unflipped
+
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(2)
+    q = ctx.Queue()
+    ps = [
+        ctx.Process(target=_race_recover_commit, args=(t, m, barrier, q))
+        for m in ("w1", "w2")
+    ]
+    for p in ps:
+        p.start()
+    results = {}
+    for _ in ps:
+        marker, status, prev = q.get(timeout=60)
+        results[marker] = status
+        assert prev == 2, "both writers must have recovered the orphan"
+    for p in ps:
+        p.join(timeout=60)
+    assert sorted(results.values()) == ["collision", "ok"]
+
+    # pointer landed on the winner's commit, never regressed
+    assert (Path(t) / "_LATEST").read_text().strip() == "3"
+    winner = next(m for m, r in results.items() if r == "ok")
+    loser = next(m for m, r in results.items() if r == "collision")
+    v3 = json.loads((Path(t) / "_snapshots" / "v3.json").read_text())
+    assert v3["marker"] == winner
+    # lineage: v3 = v2's dirs + exactly the winner's new dir; the
+    # loser's staged dir is referenced by NO manifest; nothing twice
+    v2 = json.loads((Path(t) / "_snapshots" / "v2.json").read_text())
+    assert v3["dirs"][: len(v2["dirs"])] == v2["dirs"]
+    new_dirs = v3["dirs"][len(v2["dirs"]):]
+    assert new_dirs == [f"data/v3-{winner}"]
+    all_refs = []
+    for mf in sorted((Path(t) / "_snapshots").glob("v*.json")):
+        all_refs.extend(json.loads(mf.read_text())["dirs"][-1:])
+    assert f"data/v3-{loser}" not in v3["dirs"]
+    assert len(set(all_refs)) == len(all_refs)
+    # the table is still readable and consistent at the winner's commit
+    assert {r["k"] for r in snapshot_read(spark, t, 2).collect()} == {1, 2}
