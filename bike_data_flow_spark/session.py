@@ -33,9 +33,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
 
+    # Local mode runs driver AND all executor threads in ONE JVM whose
+    # heap defaults to 1g — starving 32 threads of execution/storage
+    # memory (observed: cache evictions under the bench, broadcast
+    # build OOM at 10× data). Size it like the single node it is;
+    # spark.driver.memory only applies at JVM launch, so it must be set
+    # by the FIRST getOrCreate in the process. On a real cluster,
+    # spark-submit owns this and the env override keeps us out of the way.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # Oracle parity: DuckDB returns naive UTC timestamps.
         .config("spark.sql.session.timeZone", "UTC")
         # Scale: adaptive execution re-plans shuffles/joins/skew at runtime.
