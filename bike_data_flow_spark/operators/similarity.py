@@ -66,12 +66,21 @@ def hyperplane_component(plane: int, dim_idx: int) -> int:
 
 
 def hyperplane_bucket(
-    vec: Column, dim: int, n_planes: int = N_HYPERPLANES
+    vec: Column, dim: int, n_planes: int | None = None
 ) -> Column:
     """Sign-of-dot-product LSH bucket id (cosine-preserving): bit p =
     [v · h_p > 0]. Vectors in the same bucket are likely cosine-close;
     at scale, partition the corpus by bucket and probe the query's
-    bucket (plus Hamming-1 neighbors for recall)."""
+    bucket (plus Hamming-1 neighbors for recall).
+
+    ``n_planes`` defaults to the CURRENT module-level N_HYPERPLANES
+    (resolved at call time, so it is a real runtime dial): expected
+    pair work in a bucket join is |corpus|²/2^planes, so planes must
+    grow with log2(corpus) to keep bucket sizes — and per-bucket pair
+    cost — constant. tools/scale_smoke.py demonstrates the dial
+    empirically at 10× corpus."""
+    if n_planes is None:
+        n_planes = N_HYPERPLANES
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(

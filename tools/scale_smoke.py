@@ -1,0 +1,252 @@
+"""10× scale smoke: empirical evidence the heavy operators' O() claims
+hold beyond sf0.1.
+
+Deterministically synthesizes a ~10× copy of the sf0.1 fact tables
+(events, documents, embeddings, lineitem, orders ×10 via id-shifted,
+decorrelated copies; dimensions verbatim), runs the heavy-tier bench
+queries on base and 10× dirs, and writes SCALE_SMOKE.md with the
+timing ratios.
+
+Decorrelation choices (so the 10× workload scales the STRUCTURE
+linearly instead of manufacturing a 100× near-dup blowup):
+- documents: every word in copy k>0 gets a `·k{k}` suffix — shingle
+  overlap ACROSS copies is 0, so near-dup pair structure per copy is
+  preserved and totals scale ×10, which is what a 10× real corpus
+  does (exact-duplicating the corpus ×10 would be a different, trivially
+  quadratic workload).
+- embeddings: copy k's vectors are rolled by k positions — norm and
+  coordinate distribution preserved, cross-copy cosine decorrelated.
+- events/lineitem/orders: key offsets by k·(max_key+1) keep join
+  integrity and per-key workload; users/orders multiply ×10.
+
+The kNN family is LSH-bucketed with expected pair work
+|corpus|²/2^planes: at a FIXED plane count a 10× corpus means 100×
+pair work by design — the dial is planes ≈ log2(corpus). The smoke
+therefore runs the kNN queries at 10× with N_HYPERPLANES 4 → 8
+(16× more buckets), the setting a 10× deployment would use; pass
+--show-blowup to ALSO time one kNN query at the fixed base planes and
+see the quadratic cost the dial prevents.
+
+Usage: python tools/scale_smoke.py [--show-blowup] [--out SCALE_SMOKE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+TENX = "/tmp/scale_smoke_10x"
+COPIES = 10
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+FACTS = ["events", "documents", "embeddings", "lineitem", "orders"]
+
+# heavy tier: the BENCH_COMPARE top shapes the r6 verdict named —
+# kNN family, ppjoin, streaks, sweep-line — plus the dedup/LSH core
+QUERIES = [
+    "user_activity_streaks",
+    "in_flight_lineitems_peak",
+    "prefix_filter_jaccard_pairs",
+    "duplicate_spans",
+    "minhash_lsh_pairs",
+    "semdedup_survivors",
+    "ann_recall_at_k",
+    "hard_negative_mining",
+    "knn_graph_edges",
+    "knn_graph_triangles",
+    "knn_graph_refined",
+    "knn_label_spread",
+]
+KNN_DIAL = {
+    "ann_recall_at_k",
+    "hard_negative_mining",
+    "knn_graph_edges",
+    "knn_graph_triangles",
+    "knn_graph_refined",
+    "knn_label_spread",
+}
+
+
+def generate(spark) -> None:
+    if os.path.exists(f"{TENX}/_DONE"):
+        return
+    os.makedirs(TENX, exist_ok=True)
+    for name in DIMS:
+        spark.read.parquet(f"{BASE}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{TENX}/{name}.parquet")
+
+    def copies(df, build):
+        return [build(df, k) for k in range(COPIES)]
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    e_off, u_off = (
+        ev.agg(F.max("event_id") + 1, F.max("user_id") + 1).first()
+    )
+    out = None
+    for k in range(COPIES):
+        c = ev.select(
+            (F.col("event_id") + F.lit(k * e_off)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * u_off)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{TENX}/events.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    d_off = docs.agg(F.max("doc_id") + 1).first()[0]
+    out = None
+    for k in range(COPIES):
+        text = (
+            F.col("text")
+            if k == 0
+            else F.regexp_replace("text", r"(\S+)", rf"$1k{k}")
+        )
+        c = docs.select(
+            (F.col("doc_id") + F.lit(k * d_off)).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+        ).withColumn("n_chars", F.length("text").cast("long"))
+        out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{TENX}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    v_off = emb.agg(F.max("vec_id") + 1).first()[0]
+    dim = len(emb.select("embedding").first()[0])
+    out = None
+    for k in range(COPIES):
+        r = k % dim
+        vec = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice("embedding", r + 1, dim - r),
+                F.slice("embedding", 1, r),
+            )
+        )
+        c = emb.select(
+            (F.col("vec_id") + F.lit(k * v_off)).alias("vec_id"),
+            vec.alias("embedding"),
+            "label",
+        )
+        out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{TENX}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    o_off = o.agg(F.max("o_orderkey") + 1).first()[0]
+    out = None
+    for k in range(COPIES):
+        c = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * o_off)
+        )
+        out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{TENX}/lineitem.parquet")
+    out = None
+    for k in range(COPIES):
+        c = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * o_off))
+        out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{TENX}/orders.parquet")
+    open(f"{TENX}/_DONE", "w").close()
+
+
+def timed(spark, fn, sf_dir, reps=2) -> float:
+    def run():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    run()  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--show-blowup", action="store_true")
+    ap.add_argument("--out", default="SCALE_SMOKE.md")
+    args = ap.parse_args()
+
+    from bike_data_flow_spark.operators import similarity as S
+    from bike_data_flow_spark.queries import load_all
+    from bike_data_flow_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    generate(spark)
+    registry = load_all()
+
+    rows = []
+    for name in QUERIES:
+        q = registry[name]
+        t_base = timed(spark, q.fn, BASE)
+        if name in KNN_DIAL:
+            S.N_HYPERPLANES = 8  # the 10×-deployment dial setting
+        t_tenx = timed(spark, q.fn, TENX)
+        S.N_HYPERPLANES = 4
+        rows.append((name, t_base, t_tenx, round(t_tenx / t_base, 2)))
+        print(rows[-1], flush=True)
+
+    blowup = None
+    if args.show_blowup:
+        t0 = timed(spark, registry["knn_graph_edges"].fn, TENX)
+        blowup = t0
+        print(("knn_graph_edges@10x, FIXED planes=4", t0), flush=True)
+
+    lines = [
+        "# SCALE_SMOKE — 10× fact-table smoke (deterministic, seeded by construction)",
+        "",
+        f"Generator: `tools/scale_smoke.py` — facts ×{COPIES} "
+        "(id-shifted decorrelated copies: word-suffixed documents, "
+        "rolled embeddings, offset keys), dims verbatim; data under "
+        f"`{TENX}` (not committed). Timings: warm best-of-2, noop sink, "
+        "clearCache+GC between queries, local[32].",
+        "",
+        "kNN-family rows run the 10× leg at N_HYPERPLANES 8 (vs 4 at "
+        "base) — the log2-scaled LSH dial a 10× deployment uses; "
+        "expected bucket pair work |corpus|²/2^planes stays ~6× base "
+        "instead of the 100× a fixed plane count costs by design.",
+        "",
+        "| query | sf0.1 s | 10× s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, tb, tt, r in rows:
+        dial = " †" if name in KNN_DIAL else ""
+        lines.append(f"| {name}{dial} | {tb} | {tt} | {r}× |")
+    lines += [
+        "",
+        "† 10× leg at N_HYPERPLANES=8.",
+        "",
+        "Reading: a ratio ≤ ~10× on 32 fixed cores means the work grew "
+        "at most linearly with the data (sub-10× = the base time was "
+        "overhead-floored); super-linear ratios would flag a shape that "
+        "breaks at 100 TB.",
+    ]
+    if blowup is not None:
+        lines += [
+            "",
+            f"Fixed-dial control: knn_graph_edges at 10× with planes "
+            f"still 4 = {blowup} s — the quadratic cost the dial "
+            "prevents.",
+        ]
+    with open(args.out, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
