@@ -53,6 +53,14 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # regardless.  streamed_event_type_counts / streamed_distinct_users are
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
+    # -- new in round 7 (never driver-checked) --
+    "benford_first_digit",
+    "ship_latency_bands",
+    "user_type_entropy",
+    "permutation_duplicate_groups",
+    "chunk_stitch_pairs",
+    "mutual_knn_pairs",
+    "mmr_diversified_topk",
     # -- new in round 6 (never driver-checked) --
     "user_activity_streaks",
     "in_flight_lineitems_peak",
@@ -235,6 +243,7 @@ def load_all() -> dict[str, Query]:
         relational9,
         relational10,
         relational11,
+        relational12,
         retrieval_q,
         sketches,
         streaming_q,
