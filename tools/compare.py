@@ -89,6 +89,22 @@ def main() -> None:
     lines = [
         "# BENCH_COMPARE — Spark vs DuckDB on the oracle query set",
         "",
+        "## Bench hygiene (root cause of the r6 shared-16 driver anomaly)",
+        "",
+        "BENCH_r06's shared-16 subset read +25% vs BENCH_r05 while isolated",
+        "best-of-3 showed no regression. Root-caused (r7, reproduced on an",
+        "idle host): bench.py warmed all 30 queries before timing any, so",
+        "every query's `.cache()`/`.localCheckpoint()` subtrees stayed",
+        "registered for the whole session — in a 1 GiB local-mode heap",
+        "(since fixed to 16g in session.py) that meant CacheManager",
+        "plan-matching against an ever-growing registry, BlockManager",
+        "evictions, and +30% on the cheap queries (10.93 s vs 8.41 s",
+        "shared-16, same host back-to-back). Clearing after EVERY",
+        "materialization overshoots (destroys warm-run cache reuse:",
+        "14.85 s). The fix in bench.py: per-query block — warm, time",
+        "best-of-2, then clearCache + JVM GC (5.90 s). This harness times",
+        "one query per region and is unaffected.",
+        "",
         f"sf dir: `{sf_dir}` · warm = best of {repeat} after one warmup run · "
         f"cold = that first run (empty JIT/codegen/file-index caches) · Spark "
         f"local (noop sink) vs DuckDB {duckdb.__version__} (fetchall). DuckDB "
