@@ -259,21 +259,32 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join (entity resolution): candidate pairs meet
     only inside a blocking key (the name's last token), then exact
     Levenshtein filters — the classic blocking-then-verify shape that
-    replaces the O(N²) cross join. At corpus scale the blocking key
-    comes from phonetic/sorted-neighborhood keys; the plan is the
-    same equi-join + map-side distance."""
+    replaces the O(N²) cross join. Pairing goes through
+    capped_block_join (r7): lossless length banding inside the block
+    plus a per-block size cap with char-shingle LSH fallback, so
+    candidate pairs stay bounded when the blocking key's ~constant
+    cardinality meets a growing corpus (see SCALE.md 'blocked fuzzy
+    join'). At gate SFs every block ≤ 8 names — the exact route (and
+    the oracle's plain blocked join) is what runs."""
+    from ..operators.dedup import capped_block_join
+
     names = (
         load(spark, sf_dir, "part").select("p_name").distinct()
     )
     blk = F.element_at(F.split(F.col("p_name"), " "), -1)
-    a = names.select(F.col("p_name").alias("name_a"), blk.alias("blk"))
-    c = names.select(F.col("p_name").alias("name_b"), blk.alias("blk"))
+    keyed = names.select(
+        F.xxhash64("p_name").alias("nid"),
+        F.col("p_name").alias("name"),
+        blk.alias("blk"),
+    )
     return (
-        a.join(c, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        capped_block_join(keyed, max_len_diff=_FUZZY_MAX_DIST)
+        .select(
+            F.col("na").alias("name_a"),
+            F.col("nb").alias("name_b"),
+            F.levenshtein(F.col("na"), F.col("nb")).alias("dist"),
+        )
         .filter(F.col("dist") <= _FUZZY_MAX_DIST)
-        .drop("blk")
     )
 
 
