@@ -249,6 +249,62 @@ def cosine_pairs_blocked(
     )
 
 
+def bucketed_knn_candidates(
+    wb: DataFrame,
+    k: int,
+    margin: float = 2e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "_bucket",
+) -> DataFrame:
+    """(src_id, dst_id) candidate pairs GUARANTEED to contain every
+    vector's exact top-k cosine neighbors within its bucket — the GEMM
+    acceleration of the bucketed k-NN join, same candidates+exact-verify
+    contract as cosine_pairs_blocked.
+
+    One task per bucket stacks the bucket into a matrix and runs one
+    BLAS multiply (Mn @ Mnᵀ); per source row it emits every destination
+    scoring ≥ (k-th best − margin). BLAS-vs-left-fold summation differs
+    by ≲1e-12 and the consumer ranks ROUNDED-to-6dp cosines with id
+    tie-breaks, so margin 2e-6 (> round granularity 5e-7 + noise)
+    makes the candidate set a superset of the exact rounded top-k,
+    ties included; the caller re-scores candidates with the exact
+    sequential fold, so final values carry no BLAS noise. Candidates
+    per source ≈ k + boundary ties instead of the whole bucket —
+    ~bucket/k× less interpreted fold work.
+
+    Per-task memory is one bucket's matrix + its score square; for
+    buckets beyond the memory budget, subdivide with the
+    cosine_pairs_blocked block-pair machinery (same contract) — and
+    remember the planes dial (hyperplane_bucket) is what keeps bucket
+    sizes constant as the corpus grows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pd.DataFrame({"src_id": [], "dst_id": []}).astype("int64")
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        mn = m / nrm[:, None]
+        sc = mn @ mn.T
+        np.fill_diagonal(sc, -np.inf)
+        kth = np.partition(sc, -kk, axis=1)[:, -kk]
+        src_idx, dst_idx = np.nonzero(sc >= (kth[:, None] - margin))
+        return pd.DataFrame(
+            {"src_id": ids[src_idx], "dst_id": ids[dst_idx]}
+        )
+
+    return wb.select(id_col, vec_col, bucket_col).groupBy(
+        bucket_col
+    ).applyInPandas(gen, "src_id long, dst_id long")
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 5,

@@ -560,11 +560,16 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph over the whole corpus — the neighbor-list
     build stage of graph ANN indexes (HNSW/NN-descent seeds) and of
     graph-based dedup: every vector gets its k best cosine neighbors
-    among vectors sharing its hyperplane-LSH bucket. Candidates meet
-    only inside a bucket equi-join (expected |corpus|²/2^planes pair
-    work, the standard LSH recall/cost dial — never the full cross
-    product), and the per-source rank<=k filter rewrites to map-side
-    WindowGroupLimit before the one shuffle."""
+    among vectors sharing its hyperplane-LSH bucket. Candidates come
+    from ONE BLAS multiply per bucket (bucketed_knn_candidates:
+    guaranteed superset of the exact rounded top-k incl. ties, ~k
+    candidates per source instead of the whole bucket); the exact
+    sequential-fold cosine then re-scores candidates only, so emitted
+    values are bit-identical to the oracle's per-pair fold. Expected
+    work is still |corpus|²/2^planes GEMM flops — the standard LSH
+    recall/cost dial, never the full cross product — and the
+    per-source rank<=k filter rewrites to map-side WindowGroupLimit
+    before the one shuffle."""
     emb = load(spark, sf_dir, "embeddings")
     # norms once per VECTOR, not per pair: cosine(a,b) recomputes both
     # norms inside every candidate pair (~2/3 of the fold work for the
@@ -574,28 +579,23 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         S.hyperplane_bucket(F.col("embedding"), _DIM).alias("_bucket"),
         S.norm(F.col("embedding")).alias("_nrm"),
-    )
+    ).cache()
+    cand = S.bucketed_knn_candidates(wb, k=_KNN_K)
     a = wb.select(
         F.col("vec_id").alias("src_id"),
         F.col("embedding").alias("_va"),
-        "_bucket",
         F.col("_nrm").alias("_na"),
     )
     b = wb.select(
         F.col("vec_id").alias("dst_id"),
         F.col("embedding").alias("_vb"),
-        "_bucket",
         F.col("_nrm").alias("_nb"),
     )
     cos = S.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    scored = (
-        a.join(b, "_bucket")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .select(
-            "src_id",
-            "dst_id",
-            (F.round(cos, 6) + F.lit(0.0)).alias("cos_sim"),
-        )
+    scored = cand.join(a, "src_id").join(b, "dst_id").select(
+        "src_id",
+        "dst_id",
+        (F.round(cos, 6) + F.lit(0.0)).alias("cos_sim"),
     )
     from pyspark.sql.window import Window
 
