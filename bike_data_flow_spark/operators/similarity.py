@@ -256,11 +256,15 @@ def bucketed_knn_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "_bucket",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """(src_id, dst_id) candidate pairs GUARANTEED to contain every
     vector's exact top-k cosine neighbors within its bucket — the GEMM
     acceleration of the bucketed k-NN join, same candidates+exact-verify
-    contract as cosine_pairs_blocked.
+    contract as cosine_pairs_blocked. With ``exclude_label_col``,
+    same-label pairs are masked before the per-source k-th cut (the
+    hard-negative-mining shape: top-k among DIFFERENT-label
+    bucket-mates; self is same-label so the diagonal masks with it).
 
     One task per bucket stacks the bucket into a matrix and runs one
     BLAS multiply (Mn @ Mnᵀ); per source row it emits every destination
@@ -285,24 +289,37 @@ def bucketed_knn_candidates(
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         n = len(ids)
-        kk = min(k, n - 1)
-        if kk <= 0:
+        if n < 2:
             return pd.DataFrame({"src_id": [], "dst_id": []}).astype("int64")
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(m, axis=1)
         nrm[nrm == 0] = 1.0
         mn = m / nrm[:, None]
         sc = mn @ mn.T
-        np.fill_diagonal(sc, -np.inf)
+        if exclude_label_col is not None:
+            labels = pdf[exclude_label_col].to_numpy()
+            sc[labels[:, None] == labels[None, :]] = -np.inf
+        else:
+            np.fill_diagonal(sc, -np.inf)
+        kk = min(k, n - 1)
+        # k-th best per source; a source with fewer than k ELIGIBLE
+        # destinations gets cut = -inf, i.e. all its eligible pairs —
+        # extra candidates are harmless (exact re-score prunes them),
+        # masked (-inf) cells never pass the isfinite guard
         kth = np.partition(sc, -kk, axis=1)[:, -kk]
-        src_idx, dst_idx = np.nonzero(sc >= (kth[:, None] - margin))
+        kth = np.where(np.isfinite(kth), kth, -np.inf)
+        keep = np.isfinite(sc) & (sc >= (kth[:, None] - margin))
+        src_idx, dst_idx = np.nonzero(keep)
         return pd.DataFrame(
             {"src_id": ids[src_idx], "dst_id": ids[dst_idx]}
         )
 
-    return wb.select(id_col, vec_col, bucket_col).groupBy(
-        bucket_col
-    ).applyInPandas(gen, "src_id long, dst_id long")
+    cols = [id_col, vec_col, bucket_col] + (
+        [exclude_label_col] if exclude_label_col else []
+    )
+    return wb.select(*cols).groupBy(bucket_col).applyInPandas(
+        gen, "src_id long, dst_id long"
+    )
 
 
 def kmeans_lloyd(

@@ -1107,10 +1107,12 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive embedding training: each
     anchor's MOST similar different-label vector (the negatives that
-    actually teach the model, vs easy random ones). Same LSH-bucket
-    candidate shape as the k-NN graph — pairs meet only inside a
-    bucket equi-join with the label-inequality pushed into the join —
-    and the per-anchor top-1 rewrites to map-side WindowGroupLimit."""
+    actually teach the model, vs easy random ones). Candidates come
+    from the label-masked per-bucket GEMM (bucketed_knn_candidates
+    with exclude_label_col — guaranteed superset of each anchor's
+    exact rounded top-1 different-label neighbor incl. ties); the
+    exact fold re-scores candidates only, and the per-anchor top-1
+    rewrites to map-side WindowGroupLimit."""
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1120,32 +1122,32 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         S.hyperplane_bucket(F.col("embedding"), _DIM).alias("_bucket"),
         S.norm(F.col("embedding")).alias("_nrm"),
+    ).cache()
+    cand = S.bucketed_knn_candidates(
+        wb, k=1, exclude_label_col="label"
+    ).select(
+        F.col("src_id").alias("anchor_id"),
+        F.col("dst_id").alias("negative_id"),
     )
     a = wb.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("_va"),
-        "_bucket",
         F.col("_nrm").alias("_na"),
     )
     b = wb.select(
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("negative_label"),
         F.col("embedding").alias("_vb"),
-        "_bucket",
         F.col("_nrm").alias("_nb"),
     )
     cos = S.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    scored = (
-        a.join(b, "_bucket")
-        .filter(F.col("anchor_label") != F.col("negative_label"))
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "negative_id",
-            "negative_label",
-            (F.round(cos, 6) + F.lit(0.0)).alias("cos_sim"),
-        )
+    scored = cand.join(a, "anchor_id").join(b, "negative_id").select(
+        "anchor_id",
+        "anchor_label",
+        "negative_id",
+        "negative_label",
+        (F.round(cos, 6) + F.lit(0.0)).alias("cos_sim"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cos_sim"), F.asc("negative_id")
