@@ -828,17 +828,24 @@ def ann_recall_at_k(
     """
     from pyspark.sql.window import Window
 
+    # norms once per VECTOR and per QUERY, not per pair: cosine(a,b)
+    # would re-fold both norms inside every |corpus|×|Q| pair (~2/3 of
+    # the fold work for the same values); dot/(na*nq) is the identical
+    # arithmetic, so ranks and values are unchanged
     base = df.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        norm(F.col(vec_col)).alias("_nrm"),
     ).cache()
     q = base.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qv"),
         F.col("_bucket").alias("_qb"),
+        F.col("_nrm").alias("_qn"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc(id_col))
+    cos = dot(F.col(vec_col), F.col("_qv")) / (F.col("_nrm") * F.col("_qn"))
 
     def topk(scored: DataFrame) -> DataFrame:
         return (
@@ -850,12 +857,12 @@ def ann_recall_at_k(
     exact = topk(
         base.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("qid"))
-        .select("qid", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos"))
+        .select("qid", id_col, cos.alias("_cos"))
     )
     ann = topk(
         base.join(F.broadcast(q), base["_bucket"] == q["_qb"])
         .filter(F.col(id_col) != F.col("qid"))
-        .select("qid", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos"))
+        .select("qid", id_col, cos.alias("_cos"))
     )
     hits = exact.join(ann, ["qid", id_col]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_hits")
