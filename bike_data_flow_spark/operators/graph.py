@@ -6,23 +6,40 @@ Complements the specialized graph operators already in the engine
 triangle counting and label propagation over the k-NN graph in
 queries/vectors.py) with the classic frontier-expansion primitives.
 
-Iteration discipline (shared by all three loops): every round ends in
-``localCheckpoint(eager=True)`` — materializing the round AND
-truncating the logical plan, so plan size stays CONSTANT across rounds
-(a cache() alone leaves the logical tree growing; BFS/Bellman-Ford
-reference the previous round 2-3×, so an uncheckpointed plan doubles
-per round and analysis OOMs near depth 6). The superseded round's
-checkpoint blocks are then released deterministically through the
-persistent-RDD handle captured at checkpoint time — state on the
-cluster is always exactly ONE round deep, the bpe.py deferred-release
-discipline (never release before the new round materializes: local
-checkpoints cannot recompute).
+Iteration discipline — WINDOWED checkpointing (shared by all three
+loops): rounds cache lazily inside a window of ``_CKPT_EVERY`` rounds;
+at each window boundary the state table localCheckpoints (eager:
+materializes AND truncates the logical plan) and every cache/checkpoint
+the window superseded is released deterministically. Why a window
+rather than per-round eagerness or pure laziness:
+
+- pure lazy caching (the pre-r7 spelling) leaks one cached round per
+  iteration AND lets the logical plan double per round where the state
+  feeds the next round 2-3× (BFS, Bellman-Ford) — analysis OOMs near
+  depth 6;
+- per-round eager checkpointing bounds both, but costs one
+  materialization job per round and defeats CacheManager plan-matched
+  reuse across calls — measured 5-9× slower on the fixed-3-round
+  bench queries (copurchase_pagerank 0.37 s → 3.5 s);
+- the window keeps shallow loops (≤ window) on the single-job lazy
+  fast path, while deep loops stay O(window) in both cluster state
+  and plan size: ≤ 2^window plan leaves and ≤ window live rounds,
+  constants independent of depth.
+
+Superseded checkpoints release through the persistent-RDD handle
+captured at checkpoint time (local checkpoints have no public
+unpersist); superseded window caches unpersist right after the
+boundary checkpoint materializes — the bpe.py deferred-release rule
+(never release before the successor is durable: local checkpoints
+cannot recompute).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_CKPT_EVERY = 4  # window length: shallow (≤4-round) loops never checkpoint
 
 
 def _persistent_ids(sc) -> set[int]:
@@ -33,10 +50,9 @@ def _persistent_ids(sc) -> set[int]:
     return ids
 
 
-def _checkpoint_round(df: DataFrame):
+def _checkpoint(df: DataFrame):
     """localCheckpoint(eager) + the newly-persisted RDD handles, so the
-    round can be released deterministically once superseded (there is
-    no public unpersist for local checkpoints)."""
+    round can be released deterministically once superseded."""
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
     out = df.localCheckpoint()  # eager by default
@@ -49,9 +65,30 @@ def _checkpoint_round(df: DataFrame):
     return out, handles
 
 
-def _release(handles) -> None:
-    for h in handles:
-        h.unpersist(False)
+class _Window:
+    """Tracks one checkpoint window: the caches opened since the last
+    boundary and the previous boundary's checkpoint handles."""
+
+    def __init__(self) -> None:
+        self.caches: list[DataFrame] = []
+        self.handles: list = []
+
+    def cache(self, df: DataFrame) -> DataFrame:
+        df = df.cache()
+        self.caches.append(df)
+        return df
+
+    def roll(self, state: DataFrame) -> DataFrame:
+        """Checkpoint ``state`` (materializes the window), then release
+        everything the checkpoint supersedes."""
+        new_state, new_handles = _checkpoint(state)
+        for c in self.caches:
+            c.unpersist()
+        self.caches = []
+        for h in self.handles:
+            h.unpersist(False)
+        self.handles = new_handles
+        return new_state
 
 
 def bfs_hops(
@@ -67,34 +104,37 @@ def bfs_hops(
 
     ``edges``: (src, dst) directed — symmetrize first for undirected
     semantics. ``sources``: one ``node`` column; each seed is hop 0.
-    Returns (node, hops), materialized. First-visit order IS min-hop
-    order (BFS invariant), so the anti-join against the visited set
-    both prevents recounting and guarantees minimality — no per-node
-    min-agg needed at the end.
+    Returns (node, hops). First-visit order IS min-hop order (BFS
+    invariant), so the anti-join against the visited set both prevents
+    recounting and guarantees minimality — no per-node min-agg needed
+    at the end.
 
     Scale shape per round: ONE equi-join (frontier ⋈ edges on the
     source endpoint) + a distinct + an anti-join — all keyed shuffles,
     no cross product; work is bounded by the frontier's out-edges (the
-    textbook Pregel superstep). The frontier is re-derived from the
-    checkpointed visited table (``hops == hop-1``) rather than held as
-    a separate cached round, so per-round cluster state is exactly the
-    visited table.
+    textbook Pregel superstep). State follows the windowed-checkpoint
+    discipline in the module docstring.
     """
-    visited, handles = _checkpoint_round(
+    win = _Window()
+    visited = win.cache(
         sources.select(F.col(node_col)).distinct().withColumn("hops", F.lit(0))
     )
+    frontier = visited.select(node_col)
     for hop in range(1, max_hops + 1):
-        frontier = visited.filter(F.col("hops") == hop - 1).select(node_col)
-        nxt = (
+        nxt = win.cache(
             frontier.join(edges, frontier[node_col] == edges[src_col])
             .select(F.col(dst_col).alias(node_col))
             .distinct()
             .join(visited.select(node_col), node_col, "left_anti")
             .withColumn("hops", F.lit(hop))
         )
-        new_visited, new_handles = _checkpoint_round(visited.union(nxt))
-        _release(handles)
-        visited, handles = new_visited, new_handles
+        visited = win.cache(visited.union(nxt))
+        frontier = nxt.select(node_col)
+        if hop % _CKPT_EVERY == 0 and hop < max_hops:
+            visited = win.roll(visited)
+            # nxt was released with the window; re-derive the frontier
+            # from the checkpointed table (hops == hop, one filter)
+            frontier = visited.filter(F.col("hops") == hop).select(node_col)
     return visited
 
 
@@ -127,14 +167,17 @@ def pagerank(
 
     Scale shape per round: ONE edges⋈ranks equi-join + ONE partial-agg
     groupBy(dst) — node- and edge-bounded, the textbook Pregel
-    iteration; the degree table is cached once and released at the
-    end, rank state is one checkpointed round deep.
+    iteration. State follows the windowed-checkpoint discipline in the
+    module docstring.
     """
-    deg = edges.groupBy(F.col(src_col).alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).cache()
+    win = _Window()
+    deg = win.cache(
+        edges.groupBy(F.col(src_col).alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    )
     n = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks, handles = _checkpoint_round(
+    ranks = win.cache(
         deg.crossJoin(F.broadcast(n)).select(
             "node",
             "deg",
@@ -145,7 +188,7 @@ def pagerank(
         F.round(F.lit(1.0 - damping) * F.lit(float(PR_SCALE)) / F.col("n"))
         .cast("long")
     )
-    for _ in range(iters):
+    for i in range(1, iters + 1):
         contrib = edges.join(
             ranks, edges[src_col] == ranks["node"]
         ).select(
@@ -155,14 +198,16 @@ def pagerank(
             .alias("_c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        new_ranks, new_handles = _checkpoint_round(
+        ranks = win.cache(
             sums.join(deg, "node")
             .crossJoin(F.broadcast(n))
             .select("node", "deg", (teleport + F.col("_s")).alias("ps"))
         )
-        _release(handles)
-        ranks, handles = new_ranks, new_handles
-    deg.unpersist()
+        if i % _CKPT_EVERY == 0 and i < iters:
+            ranks = win.roll(ranks)
+            # deg was released with the window; the checkpointed ranks
+            # carries its own deg column, so re-derive the join side
+            deg = win.cache(ranks.select("node", "deg"))
     return ranks.select(
         "node",
         F.col("ps").alias("pr_scaled"),
@@ -189,14 +234,15 @@ def bellman_ford(
 
     Scale shape per round: one frontier⋈edges equi-join + one
     (node) min-aggregate — node/edge-bounded, the Pregel SSSP
-    iteration. State is the (node, cost) table, one checkpointed
-    round deep (dist feeds each round twice — relax join + union — so
-    the checkpoint is what keeps the plan from doubling per round).
+    iteration. State (which feeds each round TWICE: relax join +
+    union) follows the windowed-checkpoint discipline in the module
+    docstring.
     """
-    dist, handles = _checkpoint_round(
+    win = _Window()
+    dist = win.cache(
         sources.select(F.col(node_col), F.lit(0).cast("long").alias("cost"))
     )
-    for _ in range(rounds):
+    for i in range(1, rounds + 1):
         relax = (
             dist.join(edges, dist[node_col] == edges[src_col])
             .select(
@@ -204,11 +250,11 @@ def bellman_ford(
                 (F.col("cost") + F.col(weight_col)).alias("cost"),
             )
         )
-        new_dist, new_handles = _checkpoint_round(
+        dist = win.cache(
             dist.unionByName(relax)
             .groupBy(node_col)
             .agg(F.min("cost").alias("cost"))
         )
-        _release(handles)
-        dist, handles = new_dist, new_handles
+        if i % _CKPT_EVERY == 0 and i < rounds:
+            dist = win.roll(dist)
     return dist

@@ -131,34 +131,43 @@ def test_pagerank_uniform_on_regular_graph(spark):
 
 def test_graph_loops_release_superseded_round_caches(spark):
     """Iterative graph ops must not leak one persisted round per
-    iteration: after a DEEP run (depth 10 — would also OOM on plan
-    analysis without per-round checkpoint truncation), the
-    persistent-RDD registry grows by at most the FINAL round's state,
-    never by O(rounds) — the bpe.py deferred-release discipline."""
+    iteration: after a DEEP run (depth 16 — would also OOM on plan
+    analysis without windowed checkpoint truncation), the
+    persistent-RDD registry grows by at most one checkpoint WINDOW of
+    state (a constant), never by O(rounds)."""
     sc = spark.sparkContext
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(30)] + [(i + 1, i) for i in range(30)],
         "src long, dst long",
     )
     src = spark.createDataFrame([(0,)], "node long")
+    # tail window caches (≤2 per round for BFS) + boundary checkpoint
+    limit = 2 * G._CKPT_EVERY + 2
 
     def n_persistent():
         return sc._jsc.sc().getPersistentRDDs().size()
 
-    base = n_persistent()
-    pr = G.pagerank(edges, iters=8)
-    pr.collect()
-    assert n_persistent() - base <= 1  # final ranks checkpoint only
+    grow = {}
+    for depth in (8, 16):  # same bound at both depths ⇒ not O(rounds)
+        base = n_persistent()
+        G.pagerank(edges, iters=depth).collect()
+        grow[("pr", depth)] = n_persistent() - base
+        spark.catalog.clearCache()
 
-    base = n_persistent()
-    vis = G.bfs_hops(edges, src, max_hops=10)
-    assert vis.count() == 11  # path graph: 0..10 reachable in 10 hops
-    assert n_persistent() - base <= 1  # final visited checkpoint only
+        base = n_persistent()
+        vis = G.bfs_hops(edges, src, max_hops=depth)
+        assert vis.count() == depth + 1  # path graph: 0..depth reachable
+        grow[("bfs", depth)] = n_persistent() - base
+        spark.catalog.clearCache()
 
-    from bike_data_flow_spark.operators.graph import bellman_ford
+        from bike_data_flow_spark.operators.graph import bellman_ford
 
-    base = n_persistent()
-    w = edges.withColumn("w", F.lit(1).cast("long"))
-    d = bellman_ford(w, src, rounds=10)
-    d.collect()
-    assert n_persistent() - base <= 1  # final dist checkpoint only
+        base = n_persistent()
+        w = edges.withColumn("w", F.lit(1).cast("long"))
+        bellman_ford(w, src, rounds=depth).collect()
+        grow[("bf", depth)] = n_persistent() - base
+        spark.catalog.clearCache()
+    assert all(g <= limit for g in grow.values()), grow
+    # doubling the depth must not grow resident state
+    for op in ("pr", "bfs", "bf"):
+        assert grow[(op, 16)] <= grow[(op, 8)] + 1, grow
