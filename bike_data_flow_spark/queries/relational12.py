@@ -291,6 +291,7 @@ _MUTUAL_K = 3  # must match vectors._KNN_K so the edge sets agree
 # |edges| ≤ k·n rows, so the join is linear in the corpus.
 @query(
     "mutual_knn_pairs",
+    bench=True,
     oracle=f"""
     WITH bucketed AS (
       SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
@@ -348,6 +349,7 @@ _MMR_QUERY_ID = 0
 # compare identical doubles. The oracle unrolls the same three rounds.
 @query(
     "mmr_diversified_topk",
+    bench=True,
     oracle=f"""
     WITH q AS (
       SELECT embedding AS qe FROM embeddings WHERE vec_id = {_MMR_QUERY_ID}
