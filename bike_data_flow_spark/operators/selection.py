@@ -77,3 +77,104 @@ def select_within_token_budget(
         .drop("_remaining", "_cum")
     )
     return kept_full.unionByName(kept_partial).drop("_bin")
+
+
+def exact_quantile_cont(
+    values: DataFrame,
+    p: float,
+    value_col: str = "r",
+    bins: int = 1000,
+) -> DataFrame:
+    """One row (n BIGINT, q DOUBLE): the exact linearly-interpolated
+    p-quantile of ``value_col`` — SQL ``quantile_cont`` / Spark
+    ``percentile`` semantics (0-based position (n−1)·p, value =
+    lo + (hi−lo)·frac over the two adjacent order statistics) —
+    WITHOUT funnelling the column through one task.
+
+    Spark's exact ``percentile`` aggregate merges every distinct value
+    into a single final buffer: at fact scale that is a one-task sort
+    in disguise (the same class as an un-partitioned window). This is
+    the histogram-selection spelling instead, the
+    select_within_token_budget discipline applied to rank selection:
+
+    1. one tiny agg → (n, min, max); ranks k=floor((n−1)p), k+1.
+    2. value-range histogram (``bins`` buckets, map-side partial agg);
+       a running count over ≤ bins rows locates the ≤ 2 buckets
+       holding ranks k and k+1.
+    3. ONLY those buckets' rows (≈ n/bins, dialed by ``bins``) sort
+       bucket-locally; bucket-prefix offsets turn local row_numbers
+       into global ranks, exactly like the budget-crossing bin fill.
+
+    The selected order statistics are the identical doubles any other
+    engine selects, and the interpolation arithmetic matches both
+    DuckDB's quantile_cont and Spark's percentile, so results are
+    hash-stable cross-engine. Degenerate range (min == max) returns
+    that value directly.
+    """
+    v = F.col(value_col)
+    stats = values.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.min(v).alias("_lo"),
+        F.max(v).alias("_hi"),
+    )
+    pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+    k = F.floor(pos).cast("bigint")
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
+    ranks = stats.select(
+        "_n", "_lo", "_hi",
+        k.alias("_k"),
+        (pos - k.cast("double")).alias("_frac"),
+        width.alias("_w"),
+    )
+    # cached: two consumers (bucket counts, rank-holding-bucket pick)
+    # of the binned projection — `values` is typically an expensive
+    # residual/score pipeline the caller derived, same rationale as
+    # select_within_token_budget's binned cache
+    binned = values.select(v.alias("_v")).crossJoin(F.broadcast(ranks)).select(
+        "_v", "_n", "_k", "_frac",
+        F.when(F.col("_w") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")),
+                F.lit(bins - 1),
+            )
+        )
+        .cast("bigint")
+        .alias("_b"),
+    ).cache()
+    counts = binned.groupBy("_b", "_n", "_k", "_frac").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    marked = counts.withColumn(
+        "_before", F.coalesce(F.sum("_c").over(wcum), F.lit(0))
+    )
+    k1 = F.least(F.col("_k") + 1, F.col("_n") - 1)
+    hit = marked.filter(
+        (
+            (F.col("_before") <= F.col("_k"))
+            & (F.col("_before") + F.col("_c") > F.col("_k"))
+        )
+        | ((F.col("_before") <= k1) & (F.col("_before") + F.col("_c") > k1))
+    ).select("_b", "_before")
+    wbin = Window.partitionBy("_b").orderBy("_v")
+    picked = (
+        binned.join(F.broadcast(hit), "_b")
+        .withColumn(
+            "_rank", F.col("_before") + F.row_number().over(wbin) - 1
+        )
+        .filter(
+            (F.col("_rank") == F.col("_k"))
+            | (F.col("_rank") == F.least(F.col("_k") + 1, F.col("_n") - 1))
+        )
+    )
+    return picked.groupBy("_n", "_frac").agg(
+        F.min(F.struct("_rank", "_v"))["_v"].alias("_vlo"),
+        F.max(F.struct("_rank", "_v"))["_v"].alias("_vhi"),
+    ).select(
+        F.col("_n").alias("n"),
+        (
+            F.col("_vlo")
+            + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac")
+        ).alias("q"),
+    )

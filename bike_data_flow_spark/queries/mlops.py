@@ -446,9 +446,13 @@ def regression_conformal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     )
-    return resid.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.percentile("r", F.lit(0.9)) / 100, 4).alias(
-            "q90_abs_residual"
-        ),
+    # exact interpolated quantile WITHOUT the single-task exact
+    # percentile buffer merge (operators/selection.exact_quantile_cont:
+    # histogram rank selection, only the ≈n/bins rank-holding buckets
+    # ever sort) — the scale shape; values are the identical order
+    # statistics + interpolation both engines compute
+    from ..operators.selection import exact_quantile_cont
+
+    return exact_quantile_cont(resid, 0.9, value_col="r").select(
+        "n", F.round(F.col("q") / 100, 4).alias("q90_abs_residual")
     )

@@ -80,6 +80,12 @@ def main() -> None:
             f"{q.name}: spark {min(spark_times):.3f}s "
             f"(cold {cold:.3f}s) duck {min(duck_times):.3f}s"
         )
+        # per-query cache lifetime, same hygiene as bench.py: without
+        # this, every query's cached/localCheckpointed subtrees stay
+        # registered for the whole ~220-query session and inflate later
+        # queries (the r6 shared-16 anomaly — see "Bench hygiene")
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     pinned = [r for r in rows if _pinned(r[0])]
     rows = [r for r in rows if not _pinned(r[0])]
