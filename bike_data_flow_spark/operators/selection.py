@@ -168,13 +168,19 @@ def exact_quantile_cont(
             | (F.col("_rank") == F.least(F.col("_k") + 1, F.col("_n") - 1))
         )
     )
+    # two-weight interpolation, NOT lo + (hi-lo)*frac: both DuckDB's
+    # quantile_cont and Spark's percentile compute
+    # (1-frac)*lo + frac*hi, and the two forms differ in the last ulp
+    # (verified empirically) — the value-hash gate sees that ulp
     return picked.groupBy("_n", "_frac").agg(
         F.min(F.struct("_rank", "_v"))["_v"].alias("_vlo"),
         F.max(F.struct("_rank", "_v"))["_v"].alias("_vhi"),
     ).select(
         F.col("_n").alias("n"),
-        (
-            F.col("_vlo")
-            + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac")
-        ).alias("q"),
+        F.when(F.col("_frac") == 0, F.col("_vlo"))
+        .otherwise(
+            (F.lit(1.0) - F.col("_frac")) * F.col("_vlo")
+            + F.col("_frac") * F.col("_vhi")
+        )
+        .alias("q"),
     )

@@ -232,3 +232,31 @@ def test_ivfpq_adc_matches_manual_reconstruction(spark):
             code = int(np.argmin(((xj - books[j]) ** 2).sum(axis=1)))
             adc += float(((qj - books[j][code]) ** 2).sum())
         assert abs(r["adc_dist"] - adc) < 1e-4, (r, adc)
+
+
+def test_exact_quantile_cont_matches_percentile(spark):
+    """The histogram-selection quantile must reproduce Spark's exact
+    percentile (and SQL quantile_cont) on high-NDV, constant, and
+    tiny inputs — including integer positions (frac = 0) and the
+    bucket-boundary interpolation case."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.operators.selection import exact_quantile_cont
+
+    rnd = random.Random(7)
+    cases = [
+        [rnd.uniform(-50, 900) for _ in range(1000)],  # high NDV
+        [5.0] * 40,                                    # degenerate range
+        [1.0, 2.0],                                    # tiny n
+        [3.25],                                        # n = 1
+        list(range(11)),                               # frac = 0 at p=0.9
+    ]
+    for p in (0.5, 0.9, 0.99):
+        for vals in cases:
+            df = spark.createDataFrame([(float(v),) for v in vals], "r double")
+            got = exact_quantile_cont(df, p, value_col="r").first()
+            want = df.agg(F.percentile("r", F.lit(p)).alias("q")).first()["q"]
+            assert got["n"] == len(vals)
+            assert got["q"] == want, (p, len(vals), got["q"], want)
