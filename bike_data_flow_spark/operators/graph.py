@@ -42,26 +42,24 @@ from pyspark.sql import functions as F
 _CKPT_EVERY = 4  # window length: shallow (≤4-round) loops never checkpoint
 
 
-def _persistent_ids(sc) -> set[int]:
-    ids = set()
-    it = sc._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        ids.add(it.next()._1())
-    return ids
-
-
 def _checkpoint(df: DataFrame):
-    """localCheckpoint(eager) + the newly-persisted RDD handles, so the
-    round can be released deterministically once superseded."""
-    sc = df.sparkSession.sparkContext
-    before = _persistent_ids(sc)
+    """localCheckpoint(eager) + THE checkpointed RDD handle, so the
+    round can be released deterministically once superseded.
+
+    The handle is captured DIRECTLY from the returned DataFrame's plan
+    — a local checkpoint's analyzed plan is a LogicalRDD wrapping the
+    persisted RDD — never by diffing the global persistent-RDD
+    registry: a registry diff would sweep up any cache some concurrent
+    job happened to materialize during the checkpoint and force-
+    unpersist it at the next window roll."""
     out = df.localCheckpoint()  # eager by default
-    handles = []
-    it = sc._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        kv = it.next()
-        if kv._1() not in before:
-            handles.append(kv._2())
+    try:
+        handles = [out._jdf.queryExecution().analyzed().rdd()]
+    except Exception:
+        # plan-shape drift across Spark versions: fall back to keeping
+        # the checkpoint pinned (leak one round) rather than guessing
+        # from the global registry and risking an unrelated unpersist
+        handles = []
     return out, handles
 
 

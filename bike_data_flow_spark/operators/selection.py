@@ -109,7 +109,12 @@ def exact_quantile_cont(
     engine selects, and the interpolation arithmetic matches both
     DuckDB's quantile_cont and Spark's percentile, so results are
     hash-stable cross-engine. Degenerate range (min == max) returns
-    that value directly.
+    that value directly. TOTAL: empty input yields the one row
+    (n=0, q=NULL) — the same shape SQL quantile_cont / Spark
+    percentile return — not zero rows. The operator is EAGER (the
+    result is ≤1 row by contract): it materializes via localCheckpoint
+    so the internal ``binned`` cache can be released before returning,
+    instead of leaking one cache entry per call.
     """
     v = F.col(value_col)
     stats = values.agg(
@@ -120,12 +125,14 @@ def exact_quantile_cont(
     pos = (F.col("_n") - 1).cast("double") * F.lit(p)
     k = F.floor(pos).cast("bigint")
     width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
+    # eager 1-row pin: the stats scan of `values` runs ONCE and feeds
+    # the binned projection, the bucket pick, and the n==0 totality row
     ranks = stats.select(
         "_n", "_lo", "_hi",
         k.alias("_k"),
         (pos - k.cast("double")).alias("_frac"),
         width.alias("_w"),
-    )
+    ).localCheckpoint()
     # cached: two consumers (bucket counts, rank-holding-bucket pick)
     # of the binned projection — `values` is typically an expensive
     # residual/score pipeline the caller derived, same rationale as
@@ -172,7 +179,7 @@ def exact_quantile_cont(
     # quantile_cont and Spark's percentile compute
     # (1-frac)*lo + frac*hi, and the two forms differ in the last ulp
     # (verified empirically) — the value-hash gate sees that ulp
-    return picked.groupBy("_n", "_frac").agg(
+    interpolated = picked.groupBy("_n", "_frac").agg(
         F.min(F.struct("_rank", "_v"))["_v"].alias("_vlo"),
         F.max(F.struct("_rank", "_v"))["_v"].alias("_vhi"),
     ).select(
@@ -184,3 +191,14 @@ def exact_quantile_cont(
         )
         .alias("q"),
     )
+    # totality: on empty input `picked` has no rows, so the interpolated
+    # frame is empty — union the (n=0, q=NULL) row the stats frame
+    # carries, exactly the one-row shape the percentile aggregate (and
+    # the DuckDB oracle) would return. When n>0 this arm is empty, so
+    # row count is exactly 1 either way.
+    empty_row = ranks.filter(F.col("_n") == 0).select(
+        F.col("_n").alias("n"), F.lit(None).cast("double").alias("q")
+    )
+    out = interpolated.unionByName(empty_row).localCheckpoint()
+    binned.unpersist()
+    return out

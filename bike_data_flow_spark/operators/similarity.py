@@ -99,10 +99,12 @@ def lsh_bucket_counts(
     df: DataFrame,
     dim: int,
     vec_col: str = "embedding",
-    n_planes: int = N_HYPERPLANES,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Corpus histogram over hyperplane buckets (the partition layout a
-    bucket-partitioned ANN table would have)."""
+    bucket-partitioned ANN table would have). ``n_planes=None`` resolves
+    to the CURRENT module-level N_HYPERPLANES inside hyperplane_bucket
+    (call time, not def time), so the planes dial is honored."""
     return (
         df.select(hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
         .groupBy("bucket")
@@ -115,12 +117,14 @@ def lsh_topk(
     vec_id: int,
     dim: int,
     k: int = 10,
-    n_planes: int = N_HYPERPLANES,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN search: exact cosine only within the query's LSH bucket.
-    Scans |corpus| / 2^planes of the data in expectation."""
+    Scans |corpus| / 2^planes of the data in expectation.
+    ``n_planes=None`` resolves to the current N_HYPERPLANES at call
+    time (hyperplane_bucket), so the runtime dial is honored."""
     with_bucket = df.withColumn(
         "_bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes)
     )
@@ -808,7 +812,7 @@ def ann_recall_at_k(
     n_queries: int = 20,
     k: int = 10,
     dim: int = 64,
-    n_planes: int = N_HYPERPLANES,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -260,3 +260,34 @@ def test_exact_quantile_cont_matches_percentile(spark):
             want = df.agg(F.percentile("r", F.lit(p)).alias("q")).first()["q"]
             assert got["n"] == len(vals)
             assert got["q"] == want, (p, len(vals), got["q"], want)
+
+
+def test_exact_quantile_cont_total_on_empty(spark):
+    """Empty input must yield the ONE row (n=0, q=NULL) the percentile
+    aggregate returns — not zero rows — and the operator must not leak
+    its internal histogram cache (it materializes eagerly and releases
+    the cache before returning)."""
+    from bike_data_flow_spark.operators.selection import exact_quantile_cont
+
+    sc = spark.sparkContext
+    def cached_ids():
+        ids = set()
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            kv = it.next()
+            # localCheckpoint pins show as Disk+Memory; the leak the
+            # advisor flagged was the MEMORY-cached binned projection
+            if "Disk" not in kv._2().getStorageLevel().description():
+                ids.add(kv._1())
+        return ids
+
+    before = cached_ids()
+    empty = spark.createDataFrame([], "r double")
+    rows = exact_quantile_cont(empty, 0.9, value_col="r").collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 0 and rows[0]["q"] is None
+    # nonempty path still exactly one row, and no new MEMORY_ONLY pins
+    one = spark.createDataFrame([(1.0,), (2.0,)], "r double")
+    rows = exact_quantile_cont(one, 0.5, value_col="r").collect()
+    assert len(rows) == 1 and rows[0]["q"] == 1.5
+    assert cached_ids() <= before
