@@ -556,7 +556,8 @@ def capped_block_join(
 
     At gate scale every block is ≤ cap, so results are exactly the
     uncapped blocked join; the fallback is the 100×-scale path,
-    exercised by tests/test_dedup.py with a forced tiny cap.
+    exercised by tests/test_llm_ops.py (capped_block_join cases) with a
+    forced tiny cap.
     """
     w = max_len_diff + 1
     sized = names.join(

@@ -253,6 +253,20 @@ def cosine_pairs_blocked(
     )
 
 
+# Per-task row cap for the one-task-per-bucket GEMM: the task holds the
+# bucket matrix (cap·dim·8 B), its score square (cap²·8 B) and the keep
+# mask (cap² B) — 9·cap² + 8·dim·cap ≤ 512 MB solves to cap ≈ 7500 at
+# dim 64; 4096 (≈150 MB square) leaves headroom for Arrow buffers and
+# pandas copies. Module-level like N_HYPERPLANES: resolved at CALL time
+# so deployments (and tools/scale_smoke.py) can dial it at runtime.
+KNN_BUCKET_CAP = 4096
+
+# Above this many OVERSIZED buckets the literal isin/map routing plan
+# would bloat; bucketed_knn_candidates falls back to a broadcast size
+# join instead (see its routing probe).
+_MAX_LITERAL_ROUTE_BUCKETS = 1024
+
+
 def bucketed_knn_candidates(
     wb: DataFrame,
     k: int,
@@ -261,6 +275,7 @@ def bucketed_knn_candidates(
     vec_col: str = "embedding",
     bucket_col: str = "_bucket",
     exclude_label_col: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(src_id, dst_id) candidate pairs GUARANTEED to contain every
     vector's exact top-k cosine neighbors within its bucket — the GEMM
@@ -281,14 +296,38 @@ def bucketed_knn_candidates(
     per source ≈ k + boundary ties instead of the whole bucket —
     ~bucket/k× less interpreted fold work.
 
-    Per-task memory is one bucket's matrix + its score square; for
-    buckets beyond the memory budget, subdivide with the
-    cosine_pairs_blocked block-pair machinery (same contract) — and
-    remember the planes dial (hyperplane_bucket) is what keeps bucket
-    sizes constant as the corpus grows.
+    The per-task memory bound is ENFORCED, not assumed (two routes,
+    split by bucket size like dedup.capped_block_join; a pair lives in
+    exactly one bucket, so no cross-route pairs are lost):
+
+    - buckets ≤ ``bucket_cap`` (None → the CURRENT module-level
+      KNN_BUCKET_CAP, resolved at call time): one task per bucket, one
+      BLAS multiply — the hot path.
+    - buckets > cap: the bucket sub-blocks by id hash into
+      nb = ⌈size/cap⌉ groups and every (source sub-block, dest
+      sub-block) TILE is its own task (the cosine_pairs_blocked
+      side-A/side-B machinery, with the per-source k-th cut instead of
+      a τ threshold). Per-tile cut correctness: the k-th best within a
+      subset of destinations is ≤ the k-th best over the whole bucket,
+      so each tile's ``≥ local-kth − margin`` emission is a SUPERSET of
+      the bucket-global candidates falling in that tile, and every
+      (src, dst) lives in exactly one tile (dst's sub-block) — the
+      union is a superset of the exact rounded top-k, ties included.
+      Candidates inflate to ≈ nb·k per source; the caller's exact
+      re-score + rank≤k window prunes them, values unchanged.
+
+    The planes dial (hyperplane_bucket) is still what keeps EXPECTED
+    bucket sizes constant as the corpus grows; the cap is the hard
+    backstop that turns a mis-dialed or skew-bucketed corpus into more
+    tiles instead of an OOM-ing task. Hash sub-blocks are balanced in
+    expectation (size ≈ cap), not worst-case bounded — good enough for
+    a memory budget with 2× headroom.
     """
     import numpy as np
     import pandas as pd
+
+    if bucket_cap is None:
+        bucket_cap = KNN_BUCKET_CAP
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -318,12 +357,121 @@ def bucketed_knn_candidates(
             {"src_id": ids[src_idx], "dst_id": ids[dst_idx]}
         )
 
+    def gen_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        srcs = pdf[pdf["_side"] == 0]
+        dsts = pdf[pdf["_side"] == 1]
+        if srcs.empty or dsts.empty:
+            return pd.DataFrame({"src_id": [], "dst_id": []}).astype("int64")
+        s_ids = srcs[id_col].to_numpy()
+        d_ids = dsts[id_col].to_numpy()
+
+        def unit(rows: pd.Series) -> "np.ndarray":
+            m = np.stack(rows.to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return m / nrm[:, None]
+
+        sc = unit(srcs[vec_col]) @ unit(dsts[vec_col]).T
+        if exclude_label_col is not None:
+            s_lab = srcs[exclude_label_col].to_numpy()
+            d_lab = dsts[exclude_label_col].to_numpy()
+            sc[s_lab[:, None] == d_lab[None, :]] = -np.inf
+        else:
+            # ids overlap only in diagonal tiles; masking by id equality
+            # is the self-pair mask there and a no-op elsewhere
+            sc[s_ids[:, None] == d_ids[None, :]] = -np.inf
+        kk = min(k, sc.shape[1])
+        kth = np.partition(sc, -kk, axis=1)[:, -kk]
+        kth = np.where(np.isfinite(kth), kth, -np.inf)
+        keep = np.isfinite(sc) & (sc >= (kth[:, None] - margin))
+        src_idx, dst_idx = np.nonzero(keep)
+        return pd.DataFrame(
+            {"src_id": s_ids[src_idx], "dst_id": d_ids[dst_idx]}
+        )
+
     cols = [id_col, vec_col, bucket_col] + (
         [exclude_label_col] if exclude_label_col else []
     )
-    return wb.select(*cols).groupBy(bucket_col).applyInPandas(
+    base = wb.select(*cols)
+
+    # Routing probe: ONE tiny job (map-side partial agg, ≤ 2^planes
+    # output rows) listing the buckets that exceed the cap. The collect
+    # is explicitly bounded by the LIMIT; an oversized bucket holds
+    # > cap rows, so there are ≤ n/cap of them by construction.
+    over_rows = (
+        wb.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > bucket_cap)
+        .limit(_MAX_LITERAL_ROUTE_BUCKETS + 1)
+        .collect()
+    )
+    if not over_rows:
+        # well-dialed common case: EXACTLY the pre-cap single-route
+        # plan — the enforcement adds no join, no extra corpus scan
+        return base.groupBy(bucket_col).applyInPandas(
+            gen, "src_id long, dst_id long"
+        )
+
+    if len(over_rows) <= _MAX_LITERAL_ROUTE_BUCKETS:
+        # few oversized buckets (skew outliers): route by PLAN-TIME
+        # literals — an isin filter plus a bucket→sub-block-count map,
+        # no size join on either branch
+        over_ids = [r[0] for r in over_rows]
+        nb_map = F.create_map(
+            *[
+                F.lit(x)
+                for r in over_rows
+                for x in (r[0], -(-r[1] // bucket_cap))
+            ]
+        )
+        small_side = base.filter(~F.col(bucket_col).isin(over_ids))
+        big = base.filter(F.col(bucket_col).isin(over_ids)).withColumn(
+            "_nb", nb_map[F.col(bucket_col)].cast("int")
+        )
+    else:
+        # pathological: more oversized buckets than the literal route
+        # carries (the LIMIT hit) — fall back to the broadcast size
+        # join. The broadcast side is oversized buckets only (≤ n/cap
+        # rows); if THAT outgrows a broadcast, the planes dial is the
+        # fix, not a bigger cap.
+        sizes = (
+            wb.groupBy(bucket_col)
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > bucket_cap)
+        )
+        sized = base.join(F.broadcast(sizes), bucket_col, "left")
+        small_side = sized.filter(F.col("_bsz").isNull()).drop("_bsz")
+        big = sized.filter(F.col("_bsz").isNotNull()).withColumn(
+            "_nb", F.ceil(F.col("_bsz") / F.lit(bucket_cap)).cast("int")
+        ).drop("_bsz")
+
+    small = small_side.groupBy(bucket_col).applyInPandas(
         gen, "src_id long, dst_id long"
     )
+    big = big.withColumn(
+        "_sb", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
+    )
+    # each row is the SOURCE side of tiles (own _sb, every dj) and the
+    # DEST side of tiles (every si, own _sb) — (nb+1)× replication of
+    # the oversized buckets only, exactly cosine_pairs_blocked's shape
+    as_src = big.withColumn(
+        "_dj", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+    ).select(
+        bucket_col, F.col("_sb").alias("_si"), "_dj",
+        F.lit(0).alias("_side"), *[F.col(c) for c in cols if c != bucket_col],
+    )
+    as_dst = big.withColumn(
+        "_si", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+    ).select(
+        bucket_col, "_si", F.col("_sb").alias("_dj"),
+        F.lit(1).alias("_side"), *[F.col(c) for c in cols if c != bucket_col],
+    )
+    tiled = (
+        as_src.unionByName(as_dst)
+        .groupBy(bucket_col, "_si", "_dj")
+        .applyInPandas(gen_tile, "src_id long, dst_id long")
+    )
+    return small.unionByName(tiled)
 
 
 def kmeans_lloyd(

@@ -545,3 +545,109 @@ def test_capped_block_join_lsh_fallback_bounds_pairs(spark):
     assert true_pairs <= got
     # bound: nowhere near the 40*39/2 = 780 cross-product pairs
     assert len(got) < 400
+
+
+def _knn_exact(spark, wb, cand, k):
+    """Exact re-score + per-source rank<=k — the consumer every kNN
+    query applies on top of bucketed_knn_candidates."""
+    from pyspark.sql.window import Window
+
+    a = wb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("_va"),
+    )
+    b = wb.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("_vb"),
+    )
+    scored = cand.join(a, "src_id").join(b, "dst_id").select(
+        "src_id",
+        "dst_id",
+        F.round(S.cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_emb(spark):
+    from bike_data_flow_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        S.hyperplane_bucket(F.col("embedding"), 64).alias("_bucket"),
+    ).cache()
+
+
+def test_bucketed_knn_tiny_cap_route_equivalence(spark, bucketed_emb):
+    """A forced tiny bucket_cap must push every bucket through the tiled
+    route and still yield the IDENTICAL final kNN edges after the exact
+    re-score + rank<=k — the enforced memory bound changes the physical
+    tiling, never the result. (sf0.001: 500 vectors, 16 buckets, so
+    cap=8 tiles every bucket into >=4 sub-blocks per side.)"""
+    k = 3
+    base = _knn_exact(
+        spark, bucketed_emb, S.bucketed_knn_candidates(bucketed_emb, k=k), k
+    )
+    tiled = _knn_exact(
+        spark,
+        bucketed_emb,
+        S.bucketed_knn_candidates(bucketed_emb, k=k, bucket_cap=8),
+        k,
+    )
+    assert sorted(map(tuple, tiled), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, base), key=lambda t: (t[0], t[3])
+    )
+    assert len(base) > 0
+
+
+def test_bucketed_knn_tiny_cap_label_masked_equivalence(spark, bucketed_emb):
+    """Same route-equivalence under exclude_label_col (the
+    hard-negative-mining shape): the label mask must apply tile-locally
+    and still reproduce the one-task result exactly."""
+    k = 1
+    base = _knn_exact(
+        spark,
+        bucketed_emb,
+        S.bucketed_knn_candidates(
+            bucketed_emb, k=k, exclude_label_col="label"
+        ),
+        k,
+    )
+    tiled = _knn_exact(
+        spark,
+        bucketed_emb,
+        S.bucketed_knn_candidates(
+            bucketed_emb, k=k, exclude_label_col="label", bucket_cap=8
+        ),
+        k,
+    )
+    assert sorted(map(tuple, tiled)) == sorted(map(tuple, base))
+    assert len(base) > 0
+
+
+def test_bucketed_knn_join_route_equivalence(spark, bucketed_emb, monkeypatch):
+    """Forcing _MAX_LITERAL_ROUTE_BUCKETS to 0 exercises the deep
+    fallback (broadcast size-join routing) — it must also reproduce the
+    one-task result exactly."""
+    monkeypatch.setattr(S, "_MAX_LITERAL_ROUTE_BUCKETS", 0)
+    k = 3
+    tiled = _knn_exact(
+        spark,
+        bucketed_emb,
+        S.bucketed_knn_candidates(bucketed_emb, k=k, bucket_cap=8),
+        k,
+    )
+    monkeypatch.undo()
+    base = _knn_exact(
+        spark, bucketed_emb, S.bucketed_knn_candidates(bucketed_emb, k=k), k
+    )
+    assert sorted(map(tuple, tiled)) == sorted(map(tuple, base))
+    assert len(base) > 0
