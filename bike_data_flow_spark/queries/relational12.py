@@ -184,6 +184,62 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DISTINCT token list (set semantics: repetition is the template's
 # noise, the vocabulary is its identity); groups are a plain hash
 # groupBy, so the shape scales like exact dedup.
+def _permutation_keyed(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.sort_array(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("perm_key"),
+    )
+
+
+def permutation_clusters(docs: DataFrame) -> DataFrame:
+    """EXPLODED membership rows (doc_id, cluster_id, n_docs) for every
+    permutation-duplicate group — the scalable emission (the
+    dedup_exact_groups shape: per-group state is two scalars, never an
+    unbounded collected array; a viral template with millions of
+    members is millions of ROWS, not one giant row on one task).
+    Two keyed shuffles: group agg + membership join back."""
+    keyed = _permutation_keyed(docs)
+    groups = (
+        keyed.groupBy("perm_key")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return keyed.join(groups, "perm_key").select(
+        "doc_id", "cluster_id", "n_docs"
+    )
+
+
+@query(
+    "permutation_duplicate_membership",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS perm_key
+      FROM documents
+    ),
+    g AS (
+      SELECT perm_key, min(doc_id) AS cluster_id, count(*) AS n_docs
+      FROM keyed GROUP BY perm_key HAVING count(*) > 1
+    )
+    SELECT k.doc_id, g.cluster_id, g.n_docs
+    FROM keyed k JOIN g USING (perm_key)
+    """,
+)
+def permutation_duplicate_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return permutation_clusters(load(spark, sf_dir, "documents"))
+
+
 @query(
     "permutation_duplicate_groups",
     oracle="""
@@ -201,40 +257,104 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def permutation_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                " ", F.sort_array(F.array_distinct(F.split("text", " ")))
-            )
-        ).alias(
-            "perm_key"
-        ),
-    )
+    # gate-scale PRESENTATION of the scalable membership rows: the CSV
+    # roll-up (a per-group collected array) lives ONLY here, in the
+    # oracle-gate query; the operator path (permutation_clusters) emits
+    # exploded rows and never holds an unbounded per-group payload
+    members = permutation_clusters(load(spark, sf_dir, "documents"))
     return (
-        keyed.groupBy("perm_key")
+        members.groupBy("cluster_id", "n_docs")
         .agg(
-            F.min("doc_id").alias("cluster_id"),
-            F.count(F.lit(1)).alias("n_docs"),
             F.array_join(
                 F.sort_array(F.collect_list(F.col("doc_id").cast("string"))),
                 ",",
-            ).alias("doc_ids_csv"),
+            ).alias("doc_ids_csv")
         )
-        .filter(F.col("n_docs") > 1)
-        .drop("perm_key")
+        .select("cluster_id", "n_docs", "doc_ids_csv")
     )
 
 
 _STITCH_K = 3  # token overlap length for boundary stitching
+
+# Support cap on the boundary key: real crawl text has TEMPLATED
+# boundaries (". The", list separators, boilerplate) whose key groups
+# degenerate the equi-join toward n² — the same skew class
+# doc_shingles guards with max_shingle_freq. Keys whose suffix- or
+# prefix-side support exceeds the cap are dropped (a boundary shared
+# by >cap documents is boilerplate, not a split point). Far above the
+# gate data's max support (4 at sf0.1), so gate results are exactly
+# the uncapped join.
+_STITCH_MAX_KEY_FREQ = 1000
+
+
+def stitch_pairs(
+    docs: DataFrame,
+    k: int = _STITCH_K,
+    max_key_freq: int | None = _STITCH_MAX_KEY_FREQ,
+    log_drops: bool = False,
+) -> DataFrame:
+    """(a_id, b_id, stitch_key) where a's LAST k tokens equal b's FIRST
+    k tokens. Pair work is Σ (suffix support × prefix support) per key,
+    bounded by ``max_key_freq``² per key once hot keys are dropped.
+    ``log_drops=True`` pays one tiny agg job to WARN how many hot keys
+    were suppressed (scale forensics; default off keeps the plan lazy).
+    """
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    keys = t.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("toks"), -k, k)).alias("suffix_key"),
+        F.concat_ws(" ", F.slice(F.col("toks"), 1, k)).alias("prefix_key"),
+    )
+    a = keys.select(
+        F.col("doc_id").alias("a_id"), F.col("suffix_key").alias("stitch_key")
+    )
+    b = keys.select(
+        F.col("doc_id").alias("b_id"), F.col("prefix_key").alias("stitch_key")
+    )
+    if max_key_freq is not None:
+        # hot = keys over-supported on EITHER side; ≤ n/cap rows by
+        # construction, so the anti-join's build side stays small (AQE
+        # picks broadcast at runtime)
+        hot = (
+            a.groupBy("stitch_key").agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_key_freq)
+            .select("stitch_key")
+            .union(
+                b.groupBy("stitch_key")
+                .agg(F.count(F.lit(1)).alias("_f"))
+                .filter(F.col("_f") > max_key_freq)
+                .select("stitch_key")
+            )
+            .distinct()
+        )
+        if log_drops:
+            import logging
+
+            n_hot = hot.count()
+            if n_hot:
+                logging.getLogger(__name__).warning(
+                    "stitch_pairs: dropped %d boundary keys with support > %d",
+                    n_hot,
+                    max_key_freq,
+                )
+        a = a.join(hot, "stitch_key", "left_anti")
+        b = b.join(hot, "stitch_key", "left_anti")
+    return (
+        a.join(b, "stitch_key")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "stitch_key")
+    )
 
 
 # Chunk-boundary stitching: pairs (a, b) where a's LAST k tokens equal
 # b's FIRST k tokens — the split-document reconstruction join every
 # crawl/chunking pipeline needs before training (a document cut across
 # records re-assembles via its boundary fingerprint). Equi-join on the
-# boundary key, so pair work is Σ key-group², never corpus².
+# boundary key, so pair work is Σ key-group² — and the hot-key cap
+# (stitch_pairs) keeps templated boundaries from degenerating that
+# toward n² on crawl-scale input.
 @query(
     "chunk_stitch_pairs",
     oracle=f"""
@@ -255,30 +375,7 @@ _STITCH_K = 3  # token overlap length for boundary stitching
     """,
 )
 def chunk_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= _STITCH_K
-    )
-    keys = t.select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.slice(F.col("toks"), -_STITCH_K, _STITCH_K)
-        ).alias("suffix_key"),
-        F.concat_ws(" ", F.slice(F.col("toks"), 1, _STITCH_K)).alias(
-            "prefix_key"
-        ),
-    )
-    a = keys.select(
-        F.col("doc_id").alias("a_id"), F.col("suffix_key").alias("stitch_key")
-    )
-    b = keys.select(
-        F.col("doc_id").alias("b_id"), F.col("prefix_key").alias("stitch_key")
-    )
-    return (
-        a.join(b, "stitch_key")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", "stitch_key")
-    )
+    return stitch_pairs(load(spark, sf_dir, "documents"))
 
 
 _MUTUAL_K = 3  # must match vectors._KNN_K so the edge sets agree

@@ -651,3 +651,24 @@ def test_bucketed_knn_join_route_equivalence(spark, bucketed_emb, monkeypatch):
     )
     assert sorted(map(tuple, tiled)) == sorted(map(tuple, base))
     assert len(base) > 0
+
+
+def test_stitch_pairs_hot_boundary_cap(spark):
+    """A templated (hot) boundary key must be dropped by the support
+    cap while genuine one-off split points still stitch — and the
+    uncapped spelling (max_key_freq=None) must keep every pair."""
+    from bike_data_flow_spark.queries.relational12 import stitch_pairs
+
+    rows = [(1, "alpha beta gamma uniq one two"),
+            (2, "uniq one two delta epsilon zeta")]  # genuine split
+    # 12 docs ENDING with the boilerplate boundary, 12 STARTING with it
+    rows += [(100 + i, f"filler{i} words here click read more") for i in range(12)]
+    rows += [(200 + i, f"click read more other{i} text tail") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = stitch_pairs(docs, max_key_freq=10).collect()
+    assert {(r.a_id, r.b_id) for r in capped} == {(1, 2)}
+
+    uncapped = stitch_pairs(docs, max_key_freq=None).collect()
+    got = {(r.a_id, r.b_id) for r in uncapped}
+    assert (1, 2) in got and len(got) == 1 + 12 * 12
