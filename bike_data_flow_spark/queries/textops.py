@@ -186,7 +186,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(delta_pred: str | None = None) -> str:
+    """``delta_pred`` (a SQL predicate over a doc_id column name)
+    restricts the pair set to pairs TOUCHING the Δ partition — the
+    incremental-dedup contract (see operators/sigstore.py)."""
     # Mirror of dedup.minhash_signatures/minhash_band_keys: one md5 base
     # hash mod p, k affine mins, base-31 Horner band keys.
     k, bands, p = D.MINHASH_K, D.MINHASH_BANDS, D.MINHASH_PRIME
@@ -221,6 +224,8 @@ def _minhash_oracle() -> str:
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                 AND a.doc_id < b.doc_id
+    {"WHERE (" + delta_pred.format(id="a.doc_id") + ") OR ("
+     + delta_pred.format(id="b.doc_id") + ")" if delta_pred else ""}
     """
 
 
@@ -254,6 +259,40 @@ def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("minhash_lsh_pairs", oracle=_minhash_oracle(), bench=True)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+
+
+# Incremental dedup against a persisted signature store: the corpus
+# part (doc_id % 4 != 0) bootstraps the store as a snapshot table; the
+# Δ part (doc_id % 4 = 0) probes it through the bloom-prefiltered band
+# join WITHOUT rescanning the corpus. Contract (proved by the oracle):
+# probe(Δ, store) ≡ full-corpus LSH pairs restricted to pairs touching
+# Δ. operators/sigstore.py; maintenance across appends is pinned by
+# tests/test_sigstore.py.
+@query(
+    "incremental_dedup_pairs",
+    oracle=_minhash_oracle(delta_pred="{id} % 4 = 0"),
+)
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sigstore import incremental_lsh_pairs, signature_store_init
+
+    docs = load(spark, sf_dir, "documents")
+    # pid-scoped path: a concurrent gate replica must not rmtree a
+    # store this process's lazily-materializing probe still references
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "doc_signatures",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    delta_flag = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    signature_store_init(docs.filter(~delta_flag), table)
+    return incremental_lsh_pairs(
+        spark, docs.filter(delta_flag), table, commit=True
+    )
 
 
 @query(
