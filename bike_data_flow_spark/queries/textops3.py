@@ -411,7 +411,19 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PF_T = 0.6
+_PF_T = 0.6  # gate threshold — baked into the oracle SQL below
+
+# Runtime ppjoin dial (None → _PF_T), resolved at CALL time like
+# similarity.N_HYPERPLANES: the Jaccard threshold IS the prefix-length
+# dial — prefix length is n − ⌈τ·n⌉ + 1, so raising τ shrinks every
+# prefix and with it the candidate-pair workload (ppjoin's cost is
+# prefix-pair compute, linear in candidates). Unlike the planes dial it
+# is NOT output-preserving: a higher τ reports only closer duplicates —
+# the trade a growing corpus-curation deployment actually makes when
+# exact all-pairs verification is the budget ceiling. The oracle gate
+# always runs at _PF_T; the dial exists for deployments and for
+# tools/scale_smoke.py's 10× leg.
+PPJOIN_THRESHOLD: float | None = None
 
 
 @query(
@@ -455,9 +467,12 @@ _PF_T = 0.6
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity join via AllPairs prefix filtering — the
     deterministic complement to minhash_lsh_pairs (same problem, no
-    recall loss): see operators/dedup.prefix_filter_jaccard_pairs."""
+    recall loss): see operators/dedup.prefix_filter_jaccard_pairs.
+    Threshold resolves from the PPJOIN_THRESHOLD runtime dial (None →
+    the gate's _PF_T) at call time."""
+    t = PPJOIN_THRESHOLD if PPJOIN_THRESHOLD is not None else _PF_T
     return D.prefix_filter_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=_PF_T
+        load(spark, sf_dir, "documents"), threshold=t
     )
 
 
