@@ -26,6 +26,68 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _gc_totals(spark) -> tuple[int, int]:
+    """(total GC ms, total collections) across the local JVM's
+    collectors — deltas around a query attribute driver-host variance
+    (a 1 GiB-heap GC storm looks exactly like a slow plan otherwise)."""
+    mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    ms = n = 0
+    it = mf.getGarbageCollectorMXBeans().iterator()
+    while it.hasNext():
+        b = it.next()
+        ms += max(0, b.getCollectionTime())
+        n += max(0, b.getCollectionCount())
+    return ms, n
+
+
+def _heap_pools(spark):
+    mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    pools = []
+    it = mf.getMemoryPoolMXBeans().iterator()
+    while it.hasNext():
+        b = it.next()
+        if str(b.getType()) == "Heap memory" or "HEAP" in str(b.getType()):
+            pools.append(b)
+    return pools
+
+
+def _reset_heap_peaks(spark) -> None:
+    for b in _heap_pools(spark):
+        b.resetPeakUsage()
+
+
+def _peak_heap_mb(spark) -> float:
+    """Sum of per-pool peak-used since the last reset (pool peaks are
+    not simultaneous, so this slightly over-states the true instant
+    peak — fine for attribution)."""
+    return round(
+        sum(b.getPeakUsage().getUsed() for b in _heap_pools(spark)) / 2**20, 1
+    )
+
+
+def _spill_mb(spark) -> float:
+    """Total memory+disk bytes spilled across all stages so far, from
+    the AppStatusStore (present even with the UI disabled); deltas per
+    query. Returns -1.0 if the internal API moved."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        # stageList is Scala-default-heavy: pass the empty status filter
+        # (= all stages) and the compiler-generated defaults explicitly
+        empty = sc._jvm.java.util.ArrayList()
+        args = [
+            getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+        it = store.stageList(empty, *args).iterator()
+        total = 0
+        while it.hasNext():
+            st = it.next()
+            total += st.memoryBytesSpilled() + st.diskBytesSpilled()
+        return round(total / 2**20, 1)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -46,15 +108,33 @@ def main() -> None:
     # same host/session — see BENCH_COMPARE.md "Bench hygiene").
     # Best-of-2: single-shot timings on a busy host carry ±25% scheduler
     # noise that swamps real deltas.
+    # Per-query JVM counters (GC time/count deltas, post-reset peak
+    # heap, spill deltas) ride along in the JSON so a driver-host
+    # timing anomaly is attributable from the artifact alone — an
+    # elevated gc_ms/peak_heap_mb marks memory pressure, a spill delta
+    # marks an under-sized shuffle, and a query with flat counters but
+    # inflated wall time marks external host noise.
     timings: dict[str, float] = {}
+    counters: dict[str, dict] = {}
     for q in bench_queries:
         materialize(q.fn(spark, sf_dir))
+        _reset_heap_peaks(spark)
+        gc0_ms, gc0_n = _gc_totals(spark)
+        sp0 = _spill_mb(spark)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             materialize(q.fn(spark, sf_dir))
             best = min(best, time.time() - t0)
+        gc1_ms, gc1_n = _gc_totals(spark)
+        sp1 = _spill_mb(spark)
         timings[q.name] = round(best, 3)
+        counters[q.name] = {
+            "gc_ms": gc1_ms - gc0_ms,
+            "gc_n": gc1_n - gc0_n,
+            "peak_heap_mb": _peak_heap_mb(spark),
+            "spill_mb": round(sp1 - sp0, 1) if sp0 >= 0 and sp1 >= 0 else -1.0,
+        }
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
@@ -66,6 +146,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "jvm_counters": counters,
                 "sf": float(sf),
             }
         )
