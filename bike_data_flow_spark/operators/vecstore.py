@@ -1,0 +1,182 @@
+"""Incremental embedding near-dup against a PERSISTED vector index.
+
+The embedding twin of operators/sigstore.py, for the other half of a
+daily curation pipeline: semantic (embedding-cosine) near-dup of each
+new batch against a corpus whose index was built once. The corpus's
+hyperplane-LSH bucket rows — (vec_id, bucket, embedding), i.e. a
+bucket-keyed vector index table with the payload riding along — are
+committed as a snapshot table (operators/snapshots.py); each new batch
+(Δ) buckets ITS OWN vectors only and probes the store with the bucket
+equi-join + exact-cosine verify, so per-day work is
+O(|Δ| + bucket collisions) instead of a full-corpus O(N²) rerun.
+
+Contract (pinned by tests/test_vecstore.py and the
+``incremental_embedding_dedup`` oracle):
+
+    probe(Δ, store)  ≡  full-corpus bucketed near-dup pairs
+                        (same bucket ∧ round(cos,6) ≥ τ)
+                        restricted to pairs touching Δ
+
+Scale notes:
+- Unlike MinHash banding, a vector has exactly ONE bucket, so every
+  colliding pair is produced once by the equi-join — no distinct.
+- The store is the BIG side. A bloom over Δ's occupied buckets
+  broadcasts to the store scan and drops non-colliding store rows
+  MAP-SIDE before the shuffle (Δ occupies few of the 2^planes buckets
+  when planes are dialed to log2(corpus); at 100 TB the store is
+  additionally laid out bucket-partitioned so the same predicate
+  prunes whole files). False positives just reach the exact equi-join;
+  false negatives cannot occur.
+- Exact verify runs at CANDIDATE cardinality with the same left-fold
+  cosine the batch operators use (similarity.cosine) — the bucket join
+  only selects which pairs get scored, it never approximates a value.
+- The planes dial (similarity.N_HYPERPLANES, resolved at call time)
+  governs expected per-bucket collision work exactly as in the batch
+  kNN family; the store records the plane count it was built with and
+  ``incremental_cosine_pairs`` refuses a probe under a different dial
+  (a bucket id is only meaningful under the planes that produced it).
+- Contract: Δ's ids are disjoint from the store's (the ingest layer's
+  duplicate-payload gate guarantees exactly-once admission upstream).
+
+Reference parity: the reference has no vector stack at all — this is a
+north-star extension; semantics anchor to the batch pair
+(`embedding_near_dup_pairs` exact join, `hyperplane_bucket` LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bloom import bloom_build, with_bloom_flag
+from .similarity import cosine, hyperplane_bucket
+from .snapshots import latest_meta, snapshot_read, snapshot_write
+
+
+def bucket_rows_for(
+    vecs: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+) -> DataFrame:
+    """(id, bucket, embedding) — the store's row format. ``n_planes``
+    resolves to the CURRENT similarity.N_HYPERPLANES at call time
+    inside hyperplane_bucket, honoring the runtime dial."""
+    return vecs.select(
+        F.col(id_col),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.col(vec_col),
+    )
+
+
+def _planes() -> int:
+    from . import similarity as S
+
+    return S.N_HYPERPLANES
+
+
+def vector_store_init(
+    vecs: DataFrame,
+    table_dir: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+) -> int:
+    """Bootstrap (or reset) the index from a corpus; returns version.
+    The manifest records dim + planes so later probes can verify they
+    run under the same bucketing."""
+    planes = n_planes if n_planes is not None else _planes()
+    return snapshot_write(
+        bucket_rows_for(vecs, dim, id_col, vec_col, planes),
+        table_dir,
+        mode="overwrite",
+        meta={"format": "hyperplane_buckets", "dim": dim, "planes": planes},
+    )
+
+
+def incremental_cosine_pairs(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    table_dir: str,
+    dim: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    commit: bool = True,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """(id_a < id_b, cos_sim) near-dup pairs that TOUCH the new batch:
+    Δ×store bucket collisions plus Δ×Δ collisions, exact-verified at
+    round(cos,6) ≥ tau — without rescanning the stored corpus.
+
+    ``commit=True`` appends Δ's bucket rows to the store in the same
+    call (the daily-ingest shape: probe, then admit). Δ's rows are
+    pinned with an eager localCheckpoint first, so the probe, the
+    self-join, and the commit all read one materialization.
+    """
+    meta = latest_meta(table_dir)
+    planes = _planes()
+    if meta and meta.get("planes") != planes:
+        raise ValueError(
+            f"store {table_dir} was bucketed at planes={meta.get('planes')}, "
+            f"current dial is {planes}: rebuild the store or match the dial "
+            "(bucket ids are only comparable under the planes that made them)"
+        )
+    delta = bucket_rows_for(
+        new_vecs, dim, id_col, vec_col, planes
+    ).localCheckpoint()
+    store = snapshot_read(spark, table_dir)
+
+    if use_bloom:
+        # Δ is the SMALL side here (the reverse of sigstore's direction):
+        # bloom its occupied buckets and drop non-colliding STORE rows
+        # map-side, before the store's vectors ever enter the shuffle.
+        bl = bloom_build(delta.select("bucket"), F.col("bucket"))
+        store = (
+            with_bloom_flag(store, bl, F.col("bucket"), flag="_hit")
+            .filter(F.col("_hit"))
+            .drop("_hit")
+        )
+
+    cross = (
+        delta.select(
+            F.col(id_col).alias("_did"), "bucket", F.col(vec_col).alias("_dv")
+        )
+        .join(
+            store.select(
+                F.col(id_col).alias("_sid"),
+                "bucket",
+                F.col(vec_col).alias("_sv"),
+            ),
+            "bucket",
+        )
+        .select(
+            F.least("_did", "_sid").alias("id_a"),
+            F.greatest("_did", "_sid").alias("id_b"),
+            F.round(cosine(F.col("_dv"), F.col("_sv")), 6).alias("cos_sim"),
+        )
+    )
+    a = delta.select(
+        F.col(id_col).alias("id_a"), "bucket", F.col(vec_col).alias("_ea")
+    )
+    b = delta.select(
+        F.col(id_col).alias("id_b"), "bucket", F.col(vec_col).alias("_eb")
+    )
+    within = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"),
+        )
+    )
+    # cos is a SYMMETRIC fold (zip_with pairs elementwise, the sum folds
+    # left-to-right over positions), so least/greatest id ordering above
+    # cannot change the value; Δ∩store = ∅ keeps the two arms disjoint.
+    pairs = cross.unionByName(within).filter(F.col("cos_sim") >= tau)
+    if commit:
+        snapshot_write(delta, table_dir, mode="append")
+    return pairs

@@ -53,7 +53,12 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # regardless.  streamed_event_type_counts / streamed_distinct_users are
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
-    # -- new in round 7 (never driver-checked) --
+    # -- new in round 8 (never driver-checked) --
+    "incremental_embedding_dedup",
+    "streamed_incremental_dedup",
+    "incremental_dedup_pairs",
+    "permutation_duplicate_membership",
+    # -- new in round 7 (driver-checked green in r7) --
     "benford_first_digit",
     "ship_latency_bands",
     "user_type_entropy",

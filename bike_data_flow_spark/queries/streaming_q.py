@@ -700,6 +700,77 @@ def streamed_lsh_near_dup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(F.col("n_docs") >= 2)
 
 
+# Streamed probe of the PERSISTED dedup signature store — the live half
+# of operators/sigstore.py's daily loop: new documents flow through the
+# real streaming engine, compute their band keys statelessly per row,
+# and probe the store as a stream-static join (the static side
+# re-resolves per micro-batch, so a store appended to by the batch
+# admission job is picked up without restarting the stream). Output =
+# Δ×store candidate pairs only; Δ×Δ pairs belong to the admission loop
+# (each committed batch becomes store for the next), which
+# tests/test_sigstore.py pins batch-side. State is one row per distinct
+# colliding pair — bounded by matches, never corpus-sized.
+def _streamed_probe_oracle() -> str:
+    from .textops import _minhash_oracle
+
+    return _minhash_oracle(delta_pred="{id} % 4 = 0", cross_only=True)
+
+
+@query("streamed_incremental_dedup", oracle=_streamed_probe_oracle())
+def streamed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sigstore import signature_store_init
+    from ..operators.snapshots import snapshot_read
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    # pid-scoped path: a concurrent gate replica must not rmtree a
+    # store this process's running stream still references
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "doc_signatures_stream",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    delta_flag = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    signature_store_init(docs.filter(~delta_flag), table)
+    store = snapshot_read(spark, table).select(
+        F.col("doc_id").alias("_sid"), "band", "band_key"
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(delta_flag)
+    )
+    probes = (
+        stream.select(
+            F.col("doc_id").alias("_did"),
+            F.explode(_minhash_band_arr()).alias("bk"),
+        )
+        .select(
+            "_did",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        .filter(F.col("band_key").isNotNull())
+        .join(store, ["band", "band_key"])
+        .groupBy(
+            F.least("_did", "_sid").alias("id_a"),
+            F.greatest("_did", "_sid").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n_band_hits"))
+    )
+    out = _run_to_memory(probes, "complete")
+    return out.select("id_a", "id_b")
+
+
 _CUSUM_TARGET = 500.0
 
 

@@ -186,10 +186,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(delta_pred: str | None = None) -> str:
+def _minhash_oracle(
+    delta_pred: str | None = None, cross_only: bool = False
+) -> str:
     """``delta_pred`` (a SQL predicate over a doc_id column name)
     restricts the pair set to pairs TOUCHING the Δ partition — the
-    incremental-dedup contract (see operators/sigstore.py)."""
+    incremental-dedup contract (see operators/sigstore.py).
+    ``cross_only=True`` tightens it to pairs with EXACTLY one side in
+    Δ (Δ×store only, no Δ×Δ) — the streamed-probe contract, where
+    within-batch pairs belong to the admission loop, not the probe."""
     # Mirror of dedup.minhash_signatures/minhash_band_keys: one md5 base
     # hash mod p, k affine mins, base-31 Horner band keys.
     k, bands, p = D.MINHASH_K, D.MINHASH_BANDS, D.MINHASH_PRIME
@@ -224,8 +229,10 @@ def _minhash_oracle(delta_pred: str | None = None) -> str:
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                 AND a.doc_id < b.doc_id
-    {"WHERE (" + delta_pred.format(id="a.doc_id") + ") OR ("
-     + delta_pred.format(id="b.doc_id") + ")" if delta_pred else ""}
+    {("WHERE (" + delta_pred.format(id="a.doc_id") + ") <> ("
+      + delta_pred.format(id="b.doc_id") + ")") if delta_pred and cross_only
+     else ("WHERE (" + delta_pred.format(id="a.doc_id") + ") OR ("
+      + delta_pred.format(id="b.doc_id") + ")") if delta_pred else ""}
     """
 
 

@@ -137,6 +137,51 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental embedding near-dup against a persisted vector index: the
+# corpus part (vec_id % 4 != 0) bootstraps the bucket-keyed index as a
+# snapshot table; the Δ part (vec_id % 4 = 0) probes it through the
+# Δ-bucket-bloom-pruned bucket join + exact cosine verify WITHOUT
+# rescanning the corpus. Contract (proved by the oracle): probe(Δ,
+# store) ≡ full-corpus bucketed near-dup pairs restricted to pairs
+# touching Δ. operators/vecstore.py; maintenance across appends is
+# pinned by tests/test_vecstore.py.
+@query(
+    "incremental_embedding_dedup",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cos("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)
+      AND round({_sql_cos("a.embedding", "b.embedding")}, 6) >= {_NEAR_DUP_TAU}
+    """,
+)
+def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.vecstore import incremental_cosine_pairs, vector_store_init
+
+    emb = load(spark, sf_dir, "embeddings")
+    # pid-scoped path: a concurrent gate replica must not rmtree a
+    # store this process's lazily-materializing probe still references
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "vec_index",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    delta_flag = F.pmod(F.col("vec_id"), F.lit(4)) == 0
+    vector_store_init(emb.filter(~delta_flag), table, dim=_DIM)
+    return incremental_cosine_pairs(
+        spark, emb.filter(delta_flag), table, dim=_DIM, tau=_NEAR_DUP_TAU
+    )
+
+
 @query(
     "quantized_embeddings",
     oracle="""

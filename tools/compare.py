@@ -33,10 +33,18 @@ from bike_data_flow_spark.session import get_spark  # noqa: E402
 from bike_data_flow_spark.tables import TABLES  # noqa: E402
 
 # Reported separately: streamed_* boot a full Structured Streaming run
-# per call, and snapshot_table_roundtrip commits parquet snapshots to
-# disk — persistence/streaming gates, not batch compute paths.
+# per call, and the snapshot-store queries commit parquet snapshots to
+# disk per call (store init + probe append) — persistence/streaming
+# gates, not batch compute paths.
+_SNAPSHOT_WRITERS = {
+    "snapshot_table_roundtrip",
+    "incremental_dedup_pairs",
+    "incremental_embedding_dedup",
+}
+
+
 def _pinned(name: str) -> bool:
-    return name.startswith("streamed_") or name == "snapshot_table_roundtrip"
+    return name.startswith("streamed_") or name in _SNAPSHOT_WRITERS
 
 
 def main() -> None:
@@ -111,6 +119,17 @@ def main() -> None:
         "best-of-2, then clearCache + JVM GC (5.90 s). This harness times",
         "one query per region and is unaffected.",
         "",
+        "Attribution (r8): bench.py records per-query JVM counters in its",
+        "JSON (`jvm_counters`: GC-time/GC-count deltas across the timed",
+        "runs, post-reset peak heap, shuffle-spill delta). Reading a",
+        "driver-vs-isolated timing gap: elevated `gc_ms`/`peak_heap_mb` =",
+        "memory pressure in that run; a non-zero `spill_mb` delta = an",
+        "under-sized shuffle; flat counters with inflated wall time =",
+        "external host noise (the r7 `minhash_estimate_errors`",
+        "1.40-vs-0.99 s class). Any ≥15% driver-vs-this-table delta in a",
+        "future round should be diagnosed from those counters in the",
+        "BENCH_r{N}.json artifact alone.",
+        "",
         f"sf dir: `{sf_dir}` · warm = best of {repeat} after one warmup run · "
         f"cold = that first run (empty JIT/codegen/file-index caches) · Spark "
         f"local (noop sink) vs DuckDB {duckdb.__version__} (fetchall). DuckDB "
@@ -142,7 +161,7 @@ def main() -> None:
         for name, s, d, c in pinned:
             note = (
                 "commits parquet snapshots to a scratch table per call"
-                if name == "snapshot_table_roundtrip"
+                if name in _SNAPSHOT_WRITERS
                 else "boots a real Structured Streaming query per call"
             )
             lines.append(f"| {name} | {s:.3f} | {c:.3f} | {d:.3f} | {note} |")
