@@ -111,13 +111,24 @@ def exact_quantile_cont(
     hash-stable cross-engine. Degenerate range (min == max) returns
     that value directly. TOTAL: empty input yields the one row
     (n=0, q=NULL) — the same shape SQL quantile_cont / Spark
-    percentile return — not zero rows. The operator is EAGER (the
-    result is ≤1 row by contract): it materializes via localCheckpoint
-    so the internal ``binned`` cache can be released before returning,
-    instead of leaking one cache entry per call.
+    percentile return — not zero rows.
+
+    Execution shape: ``values`` (typically an expensive residual/score
+    pipeline the caller derived) is PINNED once with an eager
+    localCheckpoint — the stats agg, the histogram, and the
+    bucket-local sort all read the pinned column, so the caller's
+    pipeline executes exactly once per call and no cache entry is
+    registered (the r8 ``binned.cache()`` spelling leaked one
+    CacheManager entry per call AND scanned the caller's pipeline
+    twice — stats, then cache materialization; measured 2.5 s vs
+    1.3 s on regression_conformal_q at sf0.1). The pinned column is
+    O(n) executor storage, the same footprint the cache had; blocks
+    release with the plan via the ContextCleaner instead of waiting
+    on an unpersist.
     """
     v = F.col(value_col)
-    stats = values.agg(
+    pinned = values.select(v.alias(value_col)).localCheckpoint()
+    stats = pinned.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.min(v).alias("_lo"),
         F.max(v).alias("_hi"),
@@ -133,11 +144,9 @@ def exact_quantile_cont(
         (pos - k.cast("double")).alias("_frac"),
         width.alias("_w"),
     ).localCheckpoint()
-    # cached: two consumers (bucket counts, rank-holding-bucket pick)
-    # of the binned projection — `values` is typically an expensive
-    # residual/score pipeline the caller derived, same rationale as
-    # select_within_token_budget's binned cache
-    binned = values.select(v.alias("_v")).crossJoin(F.broadcast(ranks)).select(
+    # two consumers (bucket counts, rank-holding-bucket pick) both read
+    # the PINNED column — in-memory block re-reads, not pipeline re-runs
+    binned = pinned.select(v.alias("_v")).crossJoin(F.broadcast(ranks)).select(
         "_v", "_n", "_k", "_frac",
         F.when(F.col("_w") == 0, F.lit(0))
         .otherwise(
@@ -148,7 +157,7 @@ def exact_quantile_cont(
         )
         .cast("bigint")
         .alias("_b"),
-    ).cache()
+    )
     counts = binned.groupBy("_b", "_n", "_k", "_frac").agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -199,6 +208,4 @@ def exact_quantile_cont(
     empty_row = ranks.filter(F.col("_n") == 0).select(
         F.col("_n").alias("n"), F.lit(None).cast("double").alias("q")
     )
-    out = interpolated.unionByName(empty_row).localCheckpoint()
-    binned.unpersist()
-    return out
+    return interpolated.unionByName(empty_row)

@@ -1,0 +1,45 @@
+"""bench.py's per-query JVM counters (GC deltas, post-reset peak heap,
+spill deltas) must read real values through the Py4J management APIs —
+the attribution story in BENCH_COMPARE.md depends on these not silently
+returning sentinels."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from bench import _gc_totals, _peak_heap_mb, _reset_heap_peaks, _spill_mb  # noqa: E402
+
+
+def test_gc_totals_monotone_nonnegative(spark):
+    ms0, n0 = _gc_totals(spark)
+    assert ms0 >= 0 and n0 >= 0
+    spark.sparkContext._jvm.System.gc()
+    ms1, n1 = _gc_totals(spark)
+    assert ms1 >= ms0 and n1 >= n0
+    # an explicit System.gc() must register as at least one collection
+    assert n1 > n0
+
+
+def test_peak_heap_resets_and_reads(spark):
+    _reset_heap_peaks(spark)
+    # allocate something JVM-side so the peak is demonstrably live
+    spark.range(2_000_00).selectExpr("sum(id)").collect()
+    peak = _peak_heap_mb(spark)
+    assert peak > 0.0
+    _reset_heap_peaks(spark)
+    # post-reset the peak re-anchors to current usage: still positive
+    # (the heap is never empty), and the reset visibly took effect
+    # because another reset+read stays self-consistent
+    assert _peak_heap_mb(spark) > 0.0
+
+
+def test_spill_reader_returns_real_total(spark):
+    # the AppStatusStore path must resolve (not the -1.0 sentinel): a
+    # moved internal API would silently break attribution
+    spark.range(10).selectExpr("sum(id)").collect()
+    assert _spill_mb(spark) >= 0.0

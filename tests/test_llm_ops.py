@@ -672,3 +672,28 @@ def test_stitch_pairs_hot_boundary_cap(spark):
     uncapped = stitch_pairs(docs, max_key_freq=None).collect()
     got = {(r.a_id, r.b_id) for r in uncapped}
     assert (1, 2) in got and len(got) == 1 + 12 * 12
+
+
+def test_ppjoin_threshold_dial_resolves_at_call_time(spark):
+    """The runtime Jaccard dial (queries/textops3.PPJOIN_THRESHOLD)
+    must reach the operator at CALL time — and because ppjoin is exact
+    at every threshold, the dialed result must equal the gate-threshold
+    result filtered to the higher bar (no recall loss, only scope)."""
+    from bike_data_flow_spark.queries import textops3 as T3
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in T3.prefix_filter_jaccard_pairs(spark, sf).collect()
+    }
+    assert T3.PPJOIN_THRESHOLD is None and len(base) > 0
+
+    T3.PPJOIN_THRESHOLD = 0.9
+    try:
+        dialed = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in T3.prefix_filter_jaccard_pairs(spark, sf).collect()
+        }
+    finally:
+        T3.PPJOIN_THRESHOLD = None
+    assert dialed == {t for t in base if t[2] >= 0.9}

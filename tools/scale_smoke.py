@@ -55,6 +55,11 @@ QUERIES = [
     "prefix_filter_jaccard_pairs",
     "duplicate_spans",
     "minhash_lsh_pairs",
+    # incremental stores: timed rows INCLUDE the one-time corpus
+    # bootstrap (store init rebuilds per call at gate scale); the
+    # production shape amortizes that across every later batch
+    "incremental_dedup_pairs",
+    "incremental_embedding_dedup",
     "semdedup_survivors",
     "ann_recall_at_k",
     "hard_negative_mining",
@@ -70,6 +75,10 @@ KNN_DIAL = {
     "knn_graph_triangles",
     "knn_graph_refined",
     "knn_label_spread",
+    # hyperplane buckets gate the probe join's collision count, so the
+    # vector-store probe scales on the same dial (vecstore resolves
+    # N_HYPERPLANES at call time for both the store build and the probe)
+    "incremental_embedding_dedup",
 }
 # ppjoin's 10x leg runs at tau 0.8 (vs the gate's 0.6): the Jaccard
 # threshold is ppjoin's prefix-length dial — prefix = n - ceil(tau*n)+1
