@@ -256,7 +256,11 @@ def main() -> None:
         lines.append(f"| {name}{dial} | {tb} | {tt} | {r}× |")
     lines += [
         "",
-        "† 10× leg at N_HYPERPLANES=8. ‡ 10× leg at PPJOIN_THRESHOLD=0.8.",
+        "† 10× leg at N_HYPERPLANES=8. ‡ 10× leg at PPJOIN_THRESHOLD=0.8. "
+        "The incremental_* rows time the WHOLE composed query — store "
+        "bootstrap from the 10× corpus plus the Δ probe — so the ratio "
+        "upper-bounds the daily shape, whose bootstrap amortizes across "
+        "every later batch.",
         "",
         f"Fixed-dial control: prefix_filter_jaccard_pairs at 10× with "
         f"τ still 0.6 = {ppjoin_fixed} s — linear work on fixed cores "
