@@ -147,3 +147,107 @@ def test_planes_dial_mismatch_refused(spark, store_dir):
             )
     finally:
         S.N_HYPERPLANES = old
+
+
+# --- randomized probe-equivalence property -------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PDIM = 4
+# non-zero integer vectors: real embeddings are unit-ish and never
+# all-zero (zero norm makes cosine undefined on every engine)
+_vec = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=_PDIM, max_size=_PDIM
+).filter(lambda v: any(x != 0 for x in v))
+
+
+def _py_bucket(v):
+    b = 0
+    for p in range(S.N_HYPERPLANES):
+        d = sum(
+            float(x) * S.hyperplane_component(p, i + 1)
+            for i, x in enumerate(v)
+        )
+        if d > 0:
+            b |= 1 << p
+    return b
+
+
+def _py_cos6(a, b):
+    # same left-to-right float64 fold as similarity.cosine / the oracle
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    import math
+
+    # math.sqrt is IEEE correctly-rounded like the JVM's — x**0.5 (pow)
+    # is not guaranteed to be and can land an ulp off the fold Spark runs
+    c = dot / (math.sqrt(na) * math.sqrt(nb))
+    # Spark round(double, 6) = BigDecimal(exact double) HALF_UP
+    return float(Decimal(c).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+@given(st.lists(_vec, min_size=3, max_size=8))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_probe_matches_brute_force(spark, vecs):
+    """For ANY corpus/Δ split, the store probe must return exactly the
+    brute-force same-bucket pairs touching Δ with round(cos,6) ≥ τ —
+    ids and rounded values both (the fold order matches the Python
+    reference bit-for-bit)."""
+    import os
+    import shutil
+    import tempfile
+
+    tau = 0.4
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    d = os.path.join(
+        tempfile.gettempdir(), f"vecstore_prop_{os.getpid()}", "vecs"
+    )
+    shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+    try:
+        in_delta = lambda i: i % 2 == 0  # noqa: E731
+        V.vector_store_init(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) != 0), d, dim=_PDIM
+        )
+        got = _pairs(
+            V.incremental_cosine_pairs(
+                spark,
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+                d,
+                dim=_PDIM,
+                tau=tau,
+                commit=False,
+            )
+        )
+        want = set()
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                if not (in_delta(i) or in_delta(j)):
+                    continue
+                if _py_bucket(vecs[i]) != _py_bucket(vecs[j]):
+                    continue
+                c = _py_cos6(vecs[i], vecs[j])
+                if c >= tau:
+                    want.add((i, j, c))
+        assert got == want
+    finally:
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
