@@ -36,7 +36,11 @@ Scale notes:
   ``incremental_cosine_pairs`` refuses a probe under a different dial
   (a bucket id is only meaningful under the planes that produced it).
 - Contract: Δ's ids are disjoint from the store's (the ingest layer's
-  duplicate-payload gate guarantees exactly-once admission upstream).
+  duplicate-payload gate guarantees exactly-once admission upstream),
+  and vectors are non-zero (cosine of a zero-norm vector is NaN, which
+  Spark's comparison semantics order ABOVE any threshold — screen
+  degenerate embeddings at ingest, like the expectation-suite checks
+  do for scalar columns).
 
 Reference parity: the reference has no vector stack at all — this is a
 north-star extension; semantics anchor to the batch pair
