@@ -131,16 +131,41 @@ def _publish_manifest(table_dir: str, version: int, manifest: dict) -> None:
 
 
 def snapshot_write(
-    df: DataFrame, table_dir: str, mode: str = "append", meta: dict | None = None
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    meta: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit df as a new snapshot; returns the new version number.
     ``meta`` (JSON-able) is stored on the manifest — e.g. a streaming
-    sink's batch id, which makes replayed commits detectable."""
+    sink's batch id, which makes replayed commits detectable.
+
+    ``partition_by`` lays the version's data out Hive-partitioned on
+    the named (bounded-cardinality!) columns, so snapshot_read scans
+    with an equality/IN predicate on them touch only the matching
+    directories (PartitionFilters — file-listing-level pruning, the
+    zone-map story one level up). The layout is a TABLE property: an
+    append whose partition_by differs from the previous version's is
+    refused — a mixed layout would surface the partition column as
+    NULL for rows of the differently-laid dirs, silently corrupting
+    reads."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     prev = _recover_orphan_manifests(table_dir, current_version(table_dir))
     version = 1 if prev is None else prev + 1
+
+    layout = list(partition_by or [])
+    if mode == "append" and prev is not None:
+        prev_layout = _read_manifest(table_dir, prev).get("partition_by", [])
+        if prev_layout != layout:
+            raise ValueError(
+                f"snapshot table {table_dir} is laid out "
+                f"partition_by={prev_layout}, append requested {layout}: "
+                "layouts must match (mixed layouts read the partition "
+                "column as NULL for the other dirs) — overwrite to relay"
+            )
 
     # per-attempt unique dir: two writers racing toward the same version
     # can never clobber each other's DATA — the loser's files become
@@ -150,7 +175,10 @@ def snapshot_write(
 
     rel_dir = f"data/v{version}-{uuid.uuid4().hex[:8]}"
     data_dir = f"{table_dir}/{rel_dir}"
-    df.write.mode("overwrite").parquet(data_dir)
+    writer = df.write.mode("overwrite")
+    if layout:
+        writer = writer.partitionBy(*layout)
+    writer.parquet(data_dir)
 
     dirs = [rel_dir]
     if mode == "append" and prev is not None:
@@ -162,6 +190,7 @@ def snapshot_write(
         "committed_at_unix": int(time.time()),
         "schema": df.schema.jsonValue(),
         "meta": meta or {},
+        "partition_by": layout,
     }
     # conditional commit: the publish succeeds iff v{N}.json does not
     # exist yet, so two writers that both resolved prev=N-1 (e.g. a
@@ -183,6 +212,19 @@ def snapshot_read(
             raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     manifest = _read_manifest(table_dir, version)
     paths = [f"{table_dir}/{d}" for d in manifest["dirs"]]
+    if len(paths) > 1 and manifest.get("partition_by"):
+        # partition discovery refuses multiple roots whose own names
+        # differ (CONFLICTING_DIRECTORY_STRUCTURES): read each version
+        # dir as its own base and union — per-root PartitionFilters
+        # pruning still applies to every branch
+        dfs = [
+            spark.read.option("mergeSchema", "true").parquet(p)
+            for p in paths
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 

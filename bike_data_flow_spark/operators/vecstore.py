@@ -20,13 +20,14 @@ Contract (pinned by tests/test_vecstore.py and the
 Scale notes:
 - Unlike MinHash banding, a vector has exactly ONE bucket, so every
   colliding pair is produced once by the equi-join — no distinct.
-- The store is the BIG side. A bloom over Δ's occupied buckets
-  broadcasts to the store scan and drops non-colliding store rows
-  MAP-SIDE before the shuffle (Δ occupies few of the 2^planes buckets
-  when planes are dialed to log2(corpus); at 100 TB the store is
-  additionally laid out bucket-partitioned so the same predicate
-  prunes whole files). False positives just reach the exact equi-join;
-  false negatives cannot occur.
+- The store is the BIG side, pruned in two layers before the join
+  shuffles anything: (1) it persists Hive-partitioned on
+  pmod(bucket, VECSTORE_SHARDS), and Δ's occupied shards — a literal
+  list bounded by VECSTORE_SHARDS, never corpus-sized — prune the scan
+  at the FILE LISTING level (PartitionFilters); (2) a bloom over Δ's
+  occupied buckets drops surviving non-colliding store rows MAP-SIDE
+  before the shuffle. Bloom false positives just reach the exact
+  equi-join; false negatives cannot occur.
 - Exact verify runs at CANDIDATE cardinality with the same left-fold
   cosine the batch operators use (similarity.cosine) — the bucket join
   only selects which pairs get scored, it never approximates a value.
@@ -56,6 +57,15 @@ from .bloom import bloom_build, with_bloom_flag
 from .similarity import cosine, hyperplane_bucket
 from .snapshots import latest_meta, snapshot_read, snapshot_write
 
+# Directory-layout shard: the store persists Hive-partitioned on
+# pmod(bucket, VECSTORE_SHARDS), NOT on bucket itself — the bucket
+# count is 2^planes (dial-scaled to ~corpus/cap at 100 TB, far too
+# many directories), while the shard count is bounded by construction,
+# so Δ's occupied shards collect to a ≤VECSTORE_SHARDS literal IN-list
+# that prunes the store scan at the FILE LISTING level
+# (PartitionFilters) before the bloom prunes surviving rows map-side.
+VECSTORE_SHARDS = 256
+
 
 def bucket_rows_for(
     vecs: DataFrame,
@@ -64,13 +74,15 @@ def bucket_rows_for(
     vec_col: str = "embedding",
     n_planes: int | None = None,
 ) -> DataFrame:
-    """(id, bucket, embedding) — the store's row format. ``n_planes``
-    resolves to the CURRENT similarity.N_HYPERPLANES at call time
-    inside hyperplane_bucket, honoring the runtime dial."""
+    """(id, bucket, embedding, _shard) — the store's row format.
+    ``n_planes`` resolves to the CURRENT similarity.N_HYPERPLANES at
+    call time inside hyperplane_bucket, honoring the runtime dial."""
     return vecs.select(
         F.col(id_col),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         F.col(vec_col),
+    ).withColumn(
+        "_shard", F.pmod(F.col("bucket"), F.lit(VECSTORE_SHARDS)).cast("int")
     )
 
 
@@ -97,6 +109,7 @@ def vector_store_init(
         table_dir,
         mode="overwrite",
         meta={"format": "hyperplane_buckets", "dim": dim, "planes": planes},
+        partition_by=["_shard"],
     )
 
 
@@ -132,6 +145,14 @@ def incremental_cosine_pairs(
         new_vecs, dim, id_col, vec_col, planes
     ).localCheckpoint()
     store = snapshot_read(spark, table_dir)
+
+    # directory-level prune FIRST: Δ's occupied shards are a bounded
+    # literal list (≤ VECSTORE_SHARDS by construction — collecting it
+    # can never be corpus-sized), and _shard is the store's Hive
+    # partition column, so this lands as PartitionFilters — only the
+    # matching directories are even LISTED, let alone scanned
+    shards = [r[0] for r in delta.select("_shard").distinct().collect()]
+    store = store.filter(F.col("_shard").isin(shards))
 
     if use_bloom:
         # Δ is the SMALL side here (the reverse of sigstore's direction):
@@ -182,5 +203,5 @@ def incremental_cosine_pairs(
     # cannot change the value; Δ∩store = ∅ keeps the two arms disjoint.
     pairs = cross.unionByName(within).filter(F.col("cos_sim") >= tau)
     if commit:
-        snapshot_write(delta, table_dir, mode="append")
+        snapshot_write(delta, table_dir, mode="append", partition_by=["_shard"])
     return pairs

@@ -251,3 +251,47 @@ def test_probe_matches_brute_force(spark, vecs):
         assert got == want
     finally:
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_store_scan_prunes_shard_partitions(spark, store_dir):
+    """The store persists Hive-partitioned on _shard, so the probe's
+    bounded shard IN-list must land as PartitionFilters — directory
+    listing-level pruning, not a post-scan filter."""
+    import contextlib
+    import io
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    V.vector_store_init(emb, store_dir, dim=_DIM)
+    pruned = snapshot_read(spark, store_dir).filter(
+        F.col("_shard").isin([1, 2])
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_shard" in plan, plan
+    # the partition filter must not degrade into a data filter only
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "_shard" in pf.group(1), plan
+    # and the pruned read returns exactly the matching rows
+    want = {
+        r.vec_id
+        for r in V.bucket_rows_for(emb, _DIM).collect()
+        if r._shard in (1, 2)
+    }
+    assert {r.vec_id for r in pruned.collect()} == want
+
+
+def test_mixed_layout_append_refused(spark, store_dir):
+    """An append whose partition_by differs from the table's layout
+    must be refused — mixed layouts read the partition column as NULL
+    for the other directories."""
+    from bike_data_flow_spark.operators.snapshots import snapshot_write
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    V.vector_store_init(emb.filter(F.col("vec_id") < 100), store_dir, dim=_DIM)
+    rows = V.bucket_rows_for(emb.filter(F.col("vec_id") >= 100), _DIM)
+    with pytest.raises(ValueError, match="partition_by"):
+        snapshot_write(rows, store_dir, mode="append")  # layout omitted
