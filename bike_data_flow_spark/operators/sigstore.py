@@ -23,6 +23,11 @@ Scale notes:
   shuffle join (most new docs collide with nothing — that is the
   point of dedup). False positives just reach the exact equi-join;
   false negatives cannot occur, so results are unchanged.
+- The bloom is PERSISTED (sibling one-row snapshot table) and
+  maintained by OR-merging each admitted Δ's bitmap — a probe never
+  scans the store to build its prefilter, which at 100 TB would be a
+  daily TBs-of-band-keys scan. Commit order is bloom-then-append, so
+  a crash between the two errs on false positives, never negatives.
 - Contract: Δ's ids are disjoint from the store's (the ingest layer's
   duplicate-payload gate guarantees exactly-once admission upstream).
 
@@ -43,7 +48,28 @@ from .dedup import (
     minhash_band_keys,
     minhash_signatures,
 )
-from .snapshots import snapshot_read, snapshot_write
+from .snapshots import current_version, snapshot_read, snapshot_write
+
+
+def _bloom_table(table_dir: str) -> str:
+    """Sibling snapshot table holding ONE row: the store's combined
+    band-key bloom bitmap. Persisted so a probe never scans the store
+    to build its prefilter (at 100 TB the store itself is TBs of band
+    keys — rescanning it per daily probe would defeat the whole
+    incremental contract); maintained by OR-merging each admitted Δ's
+    bitmap (bitmap of a union IS the bitwise OR of the bitmaps, same
+    bits/k/hashes, so the stored bloom stays exactly equal to one
+    built from scratch — pinned by tests/test_sigstore.py)."""
+    return table_dir.rstrip("/") + "_bloom"
+
+
+def _or_blooms(a, b):
+    """Elementwise OR of two one-row [bloom: array<long>] frames."""
+    return a.crossJoin(b.select(F.col("bloom").alias("_b2"))).select(
+        F.zip_with(
+            "bloom", "_b2", lambda x, y: x.bitwiseOR(y)
+        ).alias("bloom")
+    )
 
 def _combine():
     """band_key < 2^46 (base-31 Horner over 4 longs < 2^31) and band <
@@ -76,14 +102,28 @@ def signature_store_init(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> int:
-    """Bootstrap (or reset) the store from a corpus; returns version."""
-    return snapshot_write(
+    """Bootstrap (or reset) the store from a corpus; returns version.
+    Also bootstraps the sibling bloom table (built from the freshly
+    written store — one bootstrap-time read, never repeated by
+    probes)."""
+    version = snapshot_write(
         band_keys_for(docs, id_col, text_col),
         table_dir,
         mode="overwrite",
         meta={"format": "minhash_band_keys", "k": MINHASH_K,
               "bands": MINHASH_BANDS},
     )
+    spark = docs.sparkSession
+    snapshot_write(
+        bloom_build(
+            snapshot_read(spark, table_dir).select(_combine()),
+            F.col("_bk_comb"),
+        ),
+        _bloom_table(table_dir),
+        mode="overwrite",
+        meta={"covers_store_version": version},
+    )
+    return version
 
 
 def incremental_lsh_pairs(
@@ -109,12 +149,23 @@ def incremental_lsh_pairs(
     """
     delta = band_keys_for(new_docs, id_col, text_col).localCheckpoint()
     store = snapshot_read(spark, table_dir)
+    bloom_dir = _bloom_table(table_dir)
+    has_bloom_table = current_version(bloom_dir) is not None
 
     probe = delta
+    stored_bloom = None
     if use_bloom:
-        bl = bloom_build(store.select(_combine()), F.col("_bk_comb"))
+        # the persisted one-row bitmap — NO store scan per probe; a
+        # store bootstrapped outside signature_store_init falls back
+        # to building it once from the store (and from then on the
+        # commit path below keeps nothing, preserving old behavior)
+        stored_bloom = (
+            snapshot_read(spark, bloom_dir)
+            if has_bloom_table
+            else bloom_build(store.select(_combine()), F.col("_bk_comb"))
+        )
         probe = (
-            with_bloom_flag(delta, bl, _combine(), flag="_hit")
+            with_bloom_flag(delta, stored_bloom, _combine(), flag="_hit")
             .filter(F.col("_hit"))
             .drop("_hit")
         )
@@ -139,5 +190,29 @@ def incremental_lsh_pairs(
     )
     pairs = cross.unionByName(within).distinct()
     if commit:
+        if has_bloom_table:
+            # bloom FIRST, store append second: a crash in between
+            # leaves extra bits in the bloom (false positives — the
+            # exact join absorbs them); the reverse order could leave
+            # admitted keys missing from the bloom, and a bloom false
+            # NEGATIVE would silently drop real candidates forever
+            merged = _or_blooms(
+                stored_bloom
+                if stored_bloom is not None
+                else snapshot_read(spark, bloom_dir),
+                bloom_build(delta.select(_combine()), F.col("_bk_comb")),
+            )
+            snapshot_write(
+                merged,
+                bloom_dir,
+                mode="overwrite",
+                # the bloom is written BEFORE the store append, so it
+                # covers the current store version PLUS the in-flight Δ
+                meta={
+                    "includes_delta_beyond_store_version": current_version(
+                        table_dir
+                    )
+                },
+            )
         snapshot_write(delta, table_dir, mode="append")
     return pairs

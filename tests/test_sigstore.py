@@ -93,3 +93,65 @@ def test_bloom_prefilter_changes_nothing(spark, store_dir):
     )
     assert with_bloom == without
     assert len(with_bloom) > 0
+
+
+def test_persisted_bloom_stays_equal_to_from_scratch(spark, store_dir):
+    """The OR-maintained bloom bitmap must stay EXACTLY equal to one
+    built from scratch over the full store after every append (bitmap
+    of a union = bitwise OR of the bitmaps), and a probe reading the
+    persisted bloom must match the store-scanning spelling."""
+    from bike_data_flow_spark.operators.bloom import bloom_build
+    from bike_data_flow_spark.operators.sigstore import (
+        _bloom_table,
+        _combine,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 1), store_dir, commit=True
+    ).collect()
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 2), store_dir, commit=True
+    ).collect()
+
+    stored = snapshot_read(spark, _bloom_table(store_dir)).first()["bloom"]
+    scratch = bloom_build(
+        snapshot_read(spark, store_dir).select(_combine()), F.col("_bk_comb")
+    ).first()["bloom"]
+    assert list(stored) == list(scratch)
+    assert any(w != 0 for w in stored)
+
+
+def test_bloomless_store_falls_back(spark, store_dir):
+    """A store bootstrapped WITHOUT signature_store_init (no bloom
+    table) must still probe correctly — the prefilter builds from the
+    store once, and the commit path leaves no half-maintained bloom."""
+    from bike_data_flow_spark.operators.sigstore import _bloom_table
+    from bike_data_flow_spark.operators.snapshots import (
+        current_version as cv,
+        snapshot_write,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    delta_flag = F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    snapshot_write(
+        G.band_keys_for(docs.filter(~delta_flag)), store_dir, mode="overwrite"
+    )
+    want = _pairs(
+        G.incremental_lsh_pairs(
+            spark,
+            docs.filter(delta_flag),
+            store_dir,
+            commit=False,
+            use_bloom=False,
+        )
+    )
+    got = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(delta_flag), store_dir, commit=True
+        )
+    )
+    assert got == want and len(got) > 0
+    assert cv(_bloom_table(store_dir)) is None  # stayed bloomless
