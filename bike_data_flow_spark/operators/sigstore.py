@@ -17,7 +17,16 @@ Candidate semantics are exactly the batch operator's
 Scale notes:
 - The store is rows, not state: band keys append per batch
   (snapshot append = manifest union, no rewrite); compaction and
-  expiry come free from snapshots.py.
+  expiry come free from snapshots.py (snapshot_compact round-trips
+  the table's meta and layout — sibling maintenance marker).
+- The store persists Hive-partitioned on pmod(combined band key,
+  SIGSTORE_SHARDS): Δ's occupied shards — a ≤SIGSTORE_SHARDS literal
+  IN-list, never corpus-sized — prune the store scan at the FILE
+  LISTING level (PartitionFilters) before anything is read, the same
+  two-layer prune the vector index (vecstore.py) gets. Pruning only
+  engages when ``_shard`` is the table's recorded layout; a legacy
+  unsharded store still probes correctly, just without the
+  directory-level skip.
 - A bloom filter over the store's combined band keys broadcasts to the
   probe side and drops non-colliding Δ keys MAP-SIDE before the
   shuffle join (most new docs collide with nothing — that is the
@@ -28,8 +37,26 @@ Scale notes:
   scans the store to build its prefilter, which at 100 TB would be a
   daily TBs-of-band-keys scan. Commit order is bloom-then-append, so
   a crash between the two errs on false positives, never negatives.
+  The merge is a compare-and-swap loop (snapshot_write
+  ``expected_version``): two concurrent admitters re-read and re-merge
+  on conflict, so neither's bits can be lost to a read-modify-write
+  race — a lost bit would be a PERMANENT false negative, the one
+  failure mode the design forbids.
+- Bloom lifecycle invariants (see tests/test_sigstore.py):
+  * ``expire_snapshots`` on the MAIN store never touches the sibling
+    bloom — and must not: the bloom is a monotone superset of every
+    retained store version's keys, so probes against any time-traveled
+    version stay correct (extra bits = false positives only).
+  * A store REBUILD must go through ``signature_store_init``, which
+    resets the sibling bloom from the new corpus — a raw overwrite of
+    the store alone would leave the old superset bloom growing
+    forever (still correct, monotonically less selective).
 - Contract: Δ's ids are disjoint from the store's (the ingest layer's
   duplicate-payload gate guarantees exactly-once admission upstream).
+  ``commit=True`` admission remains single-admitter-per-batch at the
+  STORE-append level (a concurrent duplicate admission errs loudly on
+  the version fence, never corrupts); only the derived bloom state is
+  CAS-merged, because there a lost update would corrupt silently.
 
 Reference parity: the reference has no incremental dedup — this is a
 north-star extension; semantics anchor to dedup.minhash_lsh_candidates
@@ -48,7 +75,21 @@ from .dedup import (
     minhash_band_keys,
     minhash_signatures,
 )
-from .snapshots import current_version, snapshot_read, snapshot_write
+from .snapshots import (
+    SnapshotConflictError,
+    current_version,
+    latest_meta,
+    snapshot_read,
+    snapshot_write,
+    table_layout,
+)
+
+# Directory-layout shard for the band-key store: pmod of the combined
+# band key, NOT the raw key space (band_key cardinality is unbounded,
+# far too many directories) — bounded by construction, so Δ's occupied
+# shards collect to a ≤SIGSTORE_SHARDS literal IN-list that lands as
+# PartitionFilters on the store scan. Mirrors vecstore.VECSTORE_SHARDS.
+SIGSTORE_SHARDS = 256
 
 
 def _bloom_table(table_dir: str) -> str:
@@ -71,11 +112,13 @@ def _or_blooms(a, b):
         ).alias("bloom")
     )
 
+
 def _combine():
     """band_key < 2^46 (base-31 Horner over 4 longs < 2^31) and band <
     MINHASH_BANDS, so band_key * MINHASH_BANDS + band is a
     collision-free combine well inside BIGINT — the bloom's probe
-    value. (Built lazily: Columns need a live SparkContext.)"""
+    value and the shard hash input. (Built lazily: Columns need a live
+    SparkContext.)"""
     return (
         F.col("band_key") * F.lit(MINHASH_BANDS) + F.col("band")
     ).alias("_bk_comb")
@@ -89,10 +132,17 @@ def band_keys_for(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """(id, band, band_key) — the store's row format, identical to the
-    batch operator's band stage."""
-    return minhash_band_keys(
+    """(id, band, band_key, _shard) — the store's row format: the batch
+    operator's band rows plus the bounded directory-shard column."""
+    rows = minhash_band_keys(
         minhash_signatures(docs, id_col, text_col, n, k), id_col, k, bands
+    )
+    return rows.withColumn(
+        "_shard",
+        F.pmod(
+            F.col("band_key") * F.lit(MINHASH_BANDS) + F.col("band"),
+            F.lit(SIGSTORE_SHARDS),
+        ).cast("int"),
     )
 
 
@@ -102,16 +152,19 @@ def signature_store_init(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> int:
-    """Bootstrap (or reset) the store from a corpus; returns version.
-    Also bootstraps the sibling bloom table (built from the freshly
-    written store — one bootstrap-time read, never repeated by
-    probes)."""
+    """Bootstrap (or RESET) the store from a corpus; returns version.
+    Also bootstraps/resets the sibling bloom table (built from the
+    freshly written store — one bootstrap-time read, never repeated by
+    probes). Resetting the bloom here is the rebuild invariant: the
+    old bloom covered the old corpus's keys and must not survive an
+    overwrite, or it grows into an ever-less-selective superset."""
     version = snapshot_write(
         band_keys_for(docs, id_col, text_col),
         table_dir,
         mode="overwrite",
         meta={"format": "minhash_band_keys", "k": MINHASH_K,
               "bands": MINHASH_BANDS},
+        partition_by=["_shard"],
     )
     spark = docs.sparkSession
     snapshot_write(
@@ -126,34 +179,75 @@ def signature_store_init(
     return version
 
 
-def incremental_lsh_pairs(
+def _commit_bloom_merge(
     spark: SparkSession,
-    new_docs: DataFrame,
+    bloom_dir: str,
+    delta_bloom: DataFrame,
+    store_version: int | None,
+    max_retries: int = 8,
+) -> int:
+    """OR the Δ bitmap into the persisted bloom under a CAS loop: read
+    the bloom AND its version, merge, publish conditional on that
+    version still being current (snapshot_write expected_version).
+    A concurrent admitter that slipped in between forces a re-read +
+    re-merge, so the final bitmap is the OR of EVERY admitted Δ — the
+    uncoordinated overwrite this replaces could drop a concurrent Δ's
+    bits and silently suppress its candidate pairs forever."""
+    for _ in range(max_retries):
+        bv = current_version(bloom_dir)
+        merged = _or_blooms(snapshot_read(spark, bloom_dir), delta_bloom)
+        try:
+            return snapshot_write(
+                merged,
+                bloom_dir,
+                mode="overwrite",
+                # written BEFORE the store append, so the bloom covers
+                # the current store version PLUS the in-flight Δ
+                meta={"includes_delta_beyond_store_version": store_version},
+                expected_version=bv or 0,
+            )
+        except SnapshotConflictError:
+            continue
+    raise SnapshotConflictError(
+        f"bloom merge for {bloom_dir} lost {max_retries} consecutive CAS "
+        "rounds — admission concurrency is far above design; serialize "
+        "the admitters or raise max_retries"
+    )
+
+
+def probe_store_pairs(
+    spark: SparkSession,
+    delta: DataFrame,
     table_dir: str,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    commit: bool = True,
     use_bloom: bool = True,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (id_a < id_b) that TOUCH the
-    new batch: Δ×store band collisions plus Δ×Δ collisions — without
-    rescanning the stored corpus.
-
-    ``commit=True`` appends Δ's band keys to the store in the same
-    call (the daily-ingest shape: probe, then admit), so consecutive
-    calls maintain the store incrementally. Δ's keys are pinned with an
-    eager localCheckpoint first — the probe, the self-join, and the
-    commit all read the pinned rows, so the shingle→minhash pipeline
-    runs exactly once per batch and the commit cannot observe a
-    different recomputation than the probe did.
-    """
-    delta = band_keys_for(new_docs, id_col, text_col).localCheckpoint()
+    """Δ×store candidate pairs from PRECOMPUTED Δ band-key rows (the
+    ``band_keys_for`` format, ideally localCheckpointed by the caller).
+    Two prunes before the equi-join shuffles anything: the store's
+    _shard Hive layout is pruned by Δ's bounded occupied-shard IN-list
+    (PartitionFilters), and the persisted bloom drops non-colliding Δ
+    keys map-side. The building block both the batch entry point
+    (incremental_lsh_pairs) and the streaming foreachBatch probe
+    (streaming/store_probe.py) share — one minhash pass per batch."""
     store = snapshot_read(spark, table_dir)
+    layout = table_layout(table_dir)
     bloom_dir = _bloom_table(table_dir)
     has_bloom_table = current_version(bloom_dir) is not None
 
+    if "_shard" in layout:
+        # directory-level prune FIRST: Δ's occupied shards are a
+        # bounded literal list (≤ SIGSTORE_SHARDS by construction —
+        # collecting it can never be corpus-sized), and _shard is the
+        # store's Hive partition column, so this lands as
+        # PartitionFilters — only matching directories are even LISTED.
+        # Layout-gated: on an unsharded legacy store, rows predating
+        # the column would read _shard NULL and an IN-filter would
+        # silently drop them from the probe.
+        shards = [r[0] for r in delta.select("_shard").distinct().collect()]
+        store = store.filter(F.col("_shard").isin(shards))
+
     probe = delta
-    stored_bloom = None
     if use_bloom:
         # the persisted one-row bitmap — NO store scan per probe; a
         # store bootstrapped outside signature_store_init falls back
@@ -170,7 +264,7 @@ def incremental_lsh_pairs(
             .drop("_hit")
         )
 
-    cross = (
+    return (
         probe.select(F.col(id_col).alias("_did"), "band", "band_key")
         .join(
             store.select(F.col(id_col).alias("_sid"), "band", "band_key"),
@@ -181,38 +275,91 @@ def incremental_lsh_pairs(
             F.greatest("_did", "_sid").alias("id_b"),
         )
     )
-    a = delta.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = delta.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    within = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+
+
+def admit_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    table_dir: str,
+    extra_meta: dict | None = None,
+) -> int | None:
+    """Admit PRECOMPUTED Δ band-key rows into the store: CAS-merge Δ's
+    bitmap into the persisted bloom FIRST, then append the rows — a
+    crash in between leaves extra bits in the bloom (false positives,
+    absorbed by the exact join); the reverse order could leave admitted
+    keys missing from it, and a bloom false NEGATIVE would silently
+    drop real candidates forever. Returns the new store version, or
+    None for an empty Δ (no version bump for a no-op batch).
+    ``extra_meta`` rides on the append manifest beside the carried
+    table properties — the streaming sink's txn fence keys go here."""
+    if delta.isEmpty():
+        return None
+    bloom_dir = _bloom_table(table_dir)
+    if current_version(bloom_dir) is not None:
+        delta_bloom = bloom_build(
+            delta.select(_combine()), F.col("_bk_comb")
+        ).localCheckpoint()
+        _commit_bloom_merge(
+            spark, bloom_dir, delta_bloom, current_version(table_dir)
+        )
+    # carry the table's properties forward so latest_meta/table_layout
+    # survive any number of appends — but never stale txn fence keys
+    # from a previous writer's commit (the fence must only ever see
+    # keys its own commit wrote)
+    props = {
+        k: v
+        for k, v in latest_meta(table_dir).items()
+        if not k.startswith("txn_")
+    }
+    meta = {**props, **(extra_meta or {})}
+    return snapshot_write(
+        delta,
+        table_dir,
+        mode="append",
+        meta=meta or None,
+        partition_by=table_layout(table_dir) or None,
     )
-    pairs = cross.unionByName(within).distinct()
+
+
+def incremental_lsh_pairs(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    commit: bool = True,
+    use_bloom: bool = True,
+    include_within: bool = True,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) that TOUCH the
+    new batch: Δ×store band collisions plus (``include_within``) Δ×Δ
+    collisions — without rescanning the stored corpus.
+    ``include_within=False`` returns the Δ×store arm only — the
+    monitoring-probe shape (streaming foreachBatch), where within-batch
+    pairs belong to the admission loop that will commit the batch.
+
+    ``commit=True`` appends Δ's band keys to the store in the same
+    call (the daily-ingest shape: probe, then admit), so consecutive
+    calls maintain the store incrementally. Δ's keys are pinned with an
+    eager localCheckpoint first — the probe, the self-join, and the
+    commit all read the pinned rows, so the shingle→minhash pipeline
+    runs exactly once per batch and the commit cannot observe a
+    different recomputation than the probe did. An EMPTY Δ commits
+    nothing (no version bump for a no-op day).
+    """
+    delta = band_keys_for(new_docs, id_col, text_col).localCheckpoint()
+    cross = probe_store_pairs(spark, delta, table_dir, id_col, use_bloom)
+    if include_within:
+        a = delta.select(F.col(id_col).alias("id_a"), "band", "band_key")
+        b = delta.select(F.col(id_col).alias("id_b"), "band", "band_key")
+        within = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = cross.unionByName(within).distinct()
+    else:
+        pairs = cross.distinct()
     if commit:
-        if has_bloom_table:
-            # bloom FIRST, store append second: a crash in between
-            # leaves extra bits in the bloom (false positives — the
-            # exact join absorbs them); the reverse order could leave
-            # admitted keys missing from the bloom, and a bloom false
-            # NEGATIVE would silently drop real candidates forever
-            merged = _or_blooms(
-                stored_bloom
-                if stored_bloom is not None
-                else snapshot_read(spark, bloom_dir),
-                bloom_build(delta.select(_combine()), F.col("_bk_comb")),
-            )
-            snapshot_write(
-                merged,
-                bloom_dir,
-                mode="overwrite",
-                # the bloom is written BEFORE the store append, so it
-                # covers the current store version PLUS the in-flight Δ
-                meta={
-                    "includes_delta_beyond_store_version": current_version(
-                        table_dir
-                    )
-                },
-            )
-        snapshot_write(delta, table_dir, mode="append")
+        admit_delta(spark, delta, table_dir)
     return pairs

@@ -40,6 +40,13 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+class SnapshotConflictError(RuntimeError):
+    """A conditional commit lost: either the CAS precondition
+    (``expected_version``) no longer held, or another writer published
+    the same version first. The caller's move is re-read + retry —
+    the table is untouched by the losing attempt."""
+
+
 def _manifest_dir(table_dir: str) -> str:
     return f"{table_dir}/_snapshots"
 
@@ -119,7 +126,7 @@ def _publish_manifest(table_dir: str, version: int, manifest: dict) -> None:
     try:
         os.link(tmp, mpath)
     except FileExistsError:
-        raise RuntimeError(
+        raise SnapshotConflictError(
             f"snapshot version collision at {mpath}: another writer "
             f"committed v{version} concurrently — this table requires a "
             "single active writer per commit sequence (a CRASHED writer "
@@ -136,6 +143,8 @@ def snapshot_write(
     mode: str = "append",
     meta: dict | None = None,
     partition_by: list[str] | None = None,
+    expected_version: int | None = None,
+    maintenance: dict | None = None,
 ) -> int:
     """Commit df as a new snapshot; returns the new version number.
     ``meta`` (JSON-able) is stored on the manifest — e.g. a streaming
@@ -149,11 +158,34 @@ def snapshot_write(
     append whose partition_by differs from the previous version's is
     refused — a mixed layout would surface the partition column as
     NULL for rows of the differently-laid dirs, silently corrupting
-    reads."""
+    reads.
+
+    ``expected_version`` makes the commit a compare-and-swap: it
+    succeeds only if the table is STILL at that version (0 = no table
+    yet) — otherwise SnapshotConflictError, and the caller re-reads and
+    retries. This is the read-modify-write fence for derived one-row
+    state tables (e.g. sigstore's OR-merged bloom): without it two
+    concurrent mergers can both read vN and the later overwrite drops
+    the earlier one's contribution. The precondition is enforced twice:
+    cheaply here before any data write, and race-free by the O_EXCL
+    manifest publish (two survivors of the cheap check still target the
+    same version number — exactly one link succeeds).
+
+    ``maintenance`` is stored as a SIBLING manifest field, never inside
+    ``meta`` — maintenance markers (compaction) must not displace the
+    table properties ``meta`` carries (a store's planes/dim dials), and
+    ``latest_meta`` consumers must keep seeing those properties across
+    maintenance commits."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     prev = _recover_orphan_manifests(table_dir, current_version(table_dir))
+    if expected_version is not None and (prev or 0) != expected_version:
+        raise SnapshotConflictError(
+            f"snapshot CAS failed for {table_dir}: expected version "
+            f"{expected_version}, table is at {prev or 0} — re-read the "
+            "state this commit derived from and retry"
+        )
     version = 1 if prev is None else prev + 1
 
     layout = list(partition_by or [])
@@ -192,6 +224,8 @@ def snapshot_write(
         "meta": meta or {},
         "partition_by": layout,
     }
+    if maintenance:
+        manifest["maintenance"] = maintenance
     # conditional commit: the publish succeeds iff v{N}.json does not
     # exist yet, so two writers that both resolved prev=N-1 (e.g. a
     # zombie driver racing its replacement) cannot last-write-win each
@@ -200,6 +234,20 @@ def snapshot_write(
     _publish_manifest(table_dir, version, manifest)
     _write_pointer(table_dir, version)  # the visibility flip
     return version
+
+
+def _has_data_files(path: str) -> bool:
+    """Does the version dir contain any parquet data file (recursing
+    into Hive partition subdirs)? A partitionBy write of ZERO rows
+    emits a dir holding only _SUCCESS — no schema-carrying file at all
+    (non-partitioned writes do leave one) — and handing such a dir to
+    the reader fails with UNABLE_TO_INFER_SCHEMA. Empty commits are
+    legitimate (a daily batch with no new rows), so reads tolerate the
+    fileless dirs by skipping them: zero rows contributed either way."""
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def snapshot_read(
@@ -211,7 +259,20 @@ def snapshot_read(
         if version is None:
             raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     manifest = _read_manifest(table_dir, version)
-    paths = [f"{table_dir}/{d}" for d in manifest["dirs"]]
+    paths = [
+        p
+        for d in manifest["dirs"]
+        if _has_data_files(p := f"{table_dir}/{d}")
+    ]
+    if not paths:
+        # every referenced dir is fileless (e.g. a table whose only
+        # commits were empty batches): surface the manifest's recorded
+        # schema instead of an unreadable scan
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(manifest["schema"])
+        )
     if len(paths) > 1 and manifest.get("partition_by"):
         # partition discovery refuses multiple roots whose own names
         # differ (CONFLICTING_DIRECTORY_STRUCTURES): read each version
@@ -235,6 +296,16 @@ def latest_meta(table_dir: str) -> dict:
     if v is None:
         return {}
     return _read_manifest(table_dir, v).get("meta", {})
+
+
+def table_layout(table_dir: str) -> list[str]:
+    """The table's current partition_by layout ([] if unpartitioned or
+    no table yet) — what an append must match (the mixed-layout guard),
+    so incremental maintainers read it instead of hard-coding theirs."""
+    v = current_version(table_dir)
+    if v is None:
+        return []
+    return _read_manifest(table_dir, v).get("partition_by", [])
 
 
 def last_txn_version(table_dir: str, app_id: str) -> int | None:
@@ -408,13 +479,25 @@ def snapshot_compact(
     spark: SparkSession, table_dir: str, target_files: int = 1
 ) -> int:
     """OPTIMIZE: rewrite the table's live row set into ``target_files``
-    files and commit it as a new overwrite snapshot whose manifest meta
-    carries ``{"compaction": True}`` — the small-file maintenance
-    action for append-heavy tables (every append adds a dir; thousands
-    of commits mean thousands of tiny files under one manifest).
+    files (PER PARTITION for partitioned layouts) and commit it as a
+    new overwrite snapshot whose manifest carries a sibling
+    ``maintenance: {"compaction": True}`` marker — the small-file
+    maintenance action for append-heavy tables (every append adds a
+    dir; thousands of commits mean thousands of tiny files under one
+    manifest — and, for partitioned tables, an O(#appends)-branch union
+    in every snapshot_read until the rewrite collapses it to one dir).
+
+    TABLE PROPERTIES ROUND-TRIP (the r8 defect): the rewrite preserves
+    the previous manifest's ``meta`` verbatim and keeps the table's
+    ``partition_by`` layout — compaction is maintenance, not a schema
+    or property change. The compaction marker lives in the sibling
+    ``maintenance`` manifest field precisely so it cannot displace
+    properties like a vector store's recorded planes/dim dials (the
+    pre-fix spelling overwrote meta with the marker, which bricked
+    every subsequent vecstore probe and refused partitioned appends).
 
     Properties the marker buys:
-    - data-identical by construction (one read → coalesce → write;
+    - data-identical by construction (one read → repartition → write;
       nothing filters or transforms), so downstream CDF consumers have
       no change events to see: the streaming source skips compaction
       commits instead of raising its overwrite error, and appends
@@ -424,23 +507,55 @@ def snapshot_compact(
       dirs become unreferenced and are reclaimed — run compact, then
       expire, to actually free the small files).
 
-    Cost shape: one full read + write of the LIVE row set (like any
-    OPTIMIZE); partition-scoped compaction of dt= layouts is
-    operators/compact.py — this is the table-format-level counterpart.
+    Cost shape: one full read + shuffled write of the LIVE row set
+    (like any OPTIMIZE). Partitioned layouts repartition ON the layout
+    columns, so each partition's rows land in one task (= one file per
+    Hive dir at target_files=1, a salt fans wider) and the write
+    parallelizes across partitions — never a single global funnel task
+    (the pre-fix coalesce(1) pushed the whole live row set through one
+    writer, a non-starter at 100 TB). Partition-scoped compaction of
+    dt= zones is operators/compact.py — this is the table-format-level
+    counterpart.
     """
     cur = current_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
-    df = snapshot_read(spark, table_dir, cur).coalesce(target_files)
+    prev_manifest = _read_manifest(table_dir, cur)
+    layout = prev_manifest.get("partition_by", [])
+    df = snapshot_read(spark, table_dir, cur)
+    if layout:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in layout]
+        if target_files <= 1:
+            df = df.repartition(*cols)
+        else:
+            # deterministic-enough fan-out salt: splits each partition
+            # across ≤target_files writer tasks; the write is all-or-
+            # nothing into a fresh dir, so retry nondeterminism is moot
+            salt = F.pmod(
+                F.xxhash64(F.spark_partition_id()), F.lit(target_files)
+            )
+            df = df.repartition(*cols, salt.alias("_cf_salt"))
+    else:
+        df = df.repartition(max(1, target_files))
     return snapshot_write(
         df,
         table_dir,
         mode="overwrite",
-        meta={"compaction": True, "compacted_from": cur},
+        meta=prev_manifest.get("meta", {}),
+        partition_by=layout,
+        maintenance={"compaction": True, "compacted_from": cur},
     )
 
 
 def is_compaction(table_dir: str, version: int) -> bool:
-    """True iff the version is a data-preserving compaction commit."""
+    """True iff the version is a data-preserving compaction commit.
+    Reads the sibling ``maintenance`` field; the legacy pre-r9 spelling
+    (marker inside meta) is still honored for tables compacted before
+    the properties-round-trip fix."""
     m = _read_manifest(table_dir, version)
-    return bool(m.get("meta", {}).get("compaction"))
+    return bool(
+        m.get("maintenance", {}).get("compaction")
+        or m.get("meta", {}).get("compaction")
+    )

@@ -55,7 +55,12 @@ from pyspark.sql import functions as F
 
 from .bloom import bloom_build, with_bloom_flag
 from .similarity import cosine, hyperplane_bucket
-from .snapshots import latest_meta, snapshot_read, snapshot_write
+from .snapshots import (
+    latest_meta,
+    snapshot_read,
+    snapshot_write,
+    table_layout,
+)
 
 # Directory-layout shard: the store persists Hive-partitioned on
 # pmod(bucket, VECSTORE_SHARDS), NOT on bucket itself — the bucket
@@ -141,6 +146,17 @@ def incremental_cosine_pairs(
             f"current dial is {planes}: rebuild the store or match the dial "
             "(bucket ids are only comparable under the planes that made them)"
         )
+    if meta and meta.get("dim") != dim:
+        # same failure mode as a planes mismatch, so the same loud
+        # refusal: a different dim projects through different
+        # hyperplane components, silently bucketing Δ elsewhere and
+        # dropping real collisions instead of erroring
+        raise ValueError(
+            f"store {table_dir} was built at dim={meta.get('dim')}, probe "
+            f"requested dim={dim}: rebuild the store or match the dim "
+            "(bucket ids are only comparable under the projection that "
+            "made them)"
+        )
     delta = bucket_rows_for(
         new_vecs, dim, id_col, vec_col, planes
     ).localCheckpoint()
@@ -202,6 +218,20 @@ def incremental_cosine_pairs(
     # left-to-right over positions), so least/greatest id ordering above
     # cannot change the value; Δ∩store = ∅ keeps the two arms disjoint.
     pairs = cross.unionByName(within).filter(F.col("cos_sim") >= tau)
-    if commit:
-        snapshot_write(delta, table_dir, mode="append", partition_by=["_shard"])
+    if commit and not delta.isEmpty():
+        # empty Δ: no version bump — a partitionBy write of zero rows
+        # emits a fileless dir (snapshot_read tolerates those since r9,
+        # but a no-op day should not grow the manifest chain at all).
+        # Meta/layout are carried forward so latest_meta keeps the
+        # dim/planes dials validatable after any number of appends —
+        # minus any txn fence keys a streaming sink may have written
+        # (the fence must only see keys its own commit wrote).
+        props = {k: v for k, v in meta.items() if not k.startswith("txn_")}
+        snapshot_write(
+            delta,
+            table_dir,
+            mode="append",
+            meta=props or None,
+            partition_by=table_layout(table_dir) or ["_shard"],
+        )
     return pairs

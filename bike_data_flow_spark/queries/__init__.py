@@ -53,7 +53,9 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # regardless.  streamed_event_type_counts / streamed_distinct_users are
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
-    # -- new in round 8 (never driver-checked) --
+    # -- new in round 9 (never driver-checked) --
+    "foreachbatch_incremental_dedup",
+    # -- new in round 8 (driver-checked green in r8) --
     "incremental_embedding_dedup",
     "streamed_incremental_dedup",
     "incremental_dedup_pairs",

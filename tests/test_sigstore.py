@@ -155,3 +155,175 @@ def test_bloomless_store_falls_back(spark, store_dir):
     )
     assert got == want and len(got) > 0
     assert cv(_bloom_table(store_dir)) is None  # stayed bloomless
+
+
+def test_store_scan_prunes_shard_partitions(spark, store_dir):
+    """VERDICT r9 ask #5: the band-key store persists Hive-partitioned
+    on _shard, so a bounded shard IN-list must land as PartitionFilters
+    — directory-listing-level pruning, symmetric to the vector index
+    (test_vecstore.py)."""
+    import contextlib
+    import io
+    import re
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    G.signature_store_init(docs, store_dir)
+    pruned = snapshot_read(spark, store_dir).filter(
+        F.col("_shard").isin([1, 2, 3])
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "_shard" in pf.group(1), plan
+    # and the pruned read returns exactly the matching rows
+    want = {
+        (r.doc_id, r.band, r.band_key)
+        for r in G.band_keys_for(docs).collect()
+        if r._shard in (1, 2, 3)
+    }
+    got = {(r.doc_id, r.band, r.band_key) for r in pruned.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_concurrent_bloom_merge_loses_no_bits(spark, store_dir, monkeypatch):
+    """ADVICE r8: the persisted-bloom commit must be a CAS, not an
+    uncoordinated read-modify-write. Simulate the race deterministically
+    — a competitor's merge lands between our read and our publish — and
+    assert the final bitmap is the OR of EVERY delta (the pre-fix
+    overwrite dropped the competitor's bits: permanent false negatives)."""
+    from bike_data_flow_spark.operators import snapshots as S
+    from bike_data_flow_spark.operators.bloom import bloom_build
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+    bloom_dir = G._bloom_table(store_dir)
+
+    # the competitor's delta (never appended to the store — only its
+    # bloom merge lands, mid-flight through OUR commit)
+    d2_bloom = bloom_build(
+        G.band_keys_for(docs.filter(part == 2)).select(G._combine()),
+        F.col("_bk_comb"),
+    ).localCheckpoint()
+
+    real_write = S.snapshot_write
+    raced = {"n": 0}
+
+    def racing_write(df, table_dir, **kw):
+        if table_dir == bloom_dir and kw.get("expected_version") and not raced["n"]:
+            raced["n"] += 1
+            # competitor: read-merge-publish AFTER our read, BEFORE our
+            # publish — the classic lost-update interleaving
+            merged = G._or_blooms(S.snapshot_read(spark, bloom_dir), d2_bloom)
+            real_write(merged, bloom_dir, mode="overwrite", meta={})
+        return real_write(df, table_dir, **kw)
+
+    monkeypatch.setattr(G, "snapshot_write", racing_write)
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 1), store_dir, commit=True
+    ).collect()
+    monkeypatch.setattr(G, "snapshot_write", real_write)
+    assert raced["n"] == 1  # the race actually happened
+
+    final = snapshot_read(spark, bloom_dir).first()["bloom"]
+    scratch = bloom_build(
+        snapshot_read(spark, store_dir).select(G._combine()),
+        F.col("_bk_comb"),
+    ).first()["bloom"]
+    d2 = d2_bloom.first()["bloom"]
+    want = [a | b for a, b in zip(scratch, d2)]
+    assert list(final) == want  # no delta's bits were lost
+
+
+def test_rebuild_resets_sibling_bloom(spark, store_dir):
+    """Lifecycle invariant (VERDICT r9 ask #4): a store REBUILD through
+    signature_store_init must reset the sibling bloom to cover exactly
+    the new corpus — a stale superset bloom would otherwise grow
+    (monotonically less selective) forever."""
+    from bike_data_flow_spark.operators.bloom import bloom_build
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    G.signature_store_init(docs, store_dir)  # big corpus
+    G.signature_store_init(docs.filter(part == 0), store_dir)  # REBUILD small
+
+    stored = snapshot_read(spark, G._bloom_table(store_dir)).first()["bloom"]
+    scratch = bloom_build(
+        snapshot_read(spark, store_dir).select(G._combine()),
+        F.col("_bk_comb"),
+    ).first()["bloom"]
+    assert list(stored) == list(scratch)  # exactly the new corpus, no more
+
+
+def test_expire_leaves_probe_results_unchanged(spark, store_dir):
+    """Lifecycle invariant (VERDICT r9 ask #4): expire_snapshots on the
+    MAIN store does not touch the sibling bloom — and must not: the
+    bloom stays a superset of the retained keys, so probes are
+    unchanged (extra bits err toward false positives the exact join
+    absorbs)."""
+    from bike_data_flow_spark.operators.snapshots import expire_snapshots
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(4))
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 1), store_dir, commit=True
+    ).collect()
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 2), store_dir, commit=True
+    ).collect()
+    probe = lambda: _pairs(  # noqa: E731
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 3), store_dir, commit=False
+        )
+    )
+    before = probe()
+    bloom_v = current_version(G._bloom_table(store_dir))
+    expire_snapshots(store_dir, keep_last=1)
+    assert current_version(G._bloom_table(store_dir)) == bloom_v  # untouched
+    assert probe() == before
+    assert len(before) > 0
+
+
+def test_compact_then_probe_and_append(spark, store_dir):
+    """snapshot_compact on the SHARDED band-key store must round-trip
+    its meta and layout: probe results identical, bloom consistency
+    maintained, and the post-compaction append (admission) accepted."""
+    from bike_data_flow_spark.operators.bloom import bloom_build
+    from bike_data_flow_spark.operators.snapshots import (
+        _read_manifest,
+        snapshot_compact,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 1), store_dir, commit=True
+    ).collect()
+    probe = lambda: _pairs(  # noqa: E731
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 2), store_dir, commit=False
+        )
+    )
+    before = probe()
+
+    v = snapshot_compact(spark, store_dir)
+    m = _read_manifest(store_dir, v)
+    assert m["meta"].get("format") == "minhash_band_keys"  # meta survived
+    assert m["partition_by"] == ["_shard"]  # layout survived
+    assert len(m["dirs"]) == 1  # union collapsed
+
+    assert probe() == before and len(before) > 0
+    # admission still lands, and the bloom stays bit-equal to scratch
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 2), store_dir, commit=True
+    ).collect()
+    stored = snapshot_read(spark, G._bloom_table(store_dir)).first()["bloom"]
+    scratch = bloom_build(
+        snapshot_read(spark, store_dir).select(G._combine()),
+        F.col("_bk_comb"),
+    ).first()["bloom"]
+    assert list(stored) == list(scratch)

@@ -507,3 +507,114 @@ def test_concurrent_orphan_recovery_single_winner(spark, tmp_path: Path):
     assert len(set(all_refs)) == len(all_refs)
     # the table is still readable and consistent at the winner's commit
     assert {r["k"] for r in snapshot_read(spark, t, 2).collect()} == {1, 2}
+
+
+def test_compact_round_trips_meta_layout_and_collapses_union(
+    spark, tmp_path: Path
+):
+    """VERDICT r8 #1: compaction is maintenance, not a property change.
+    It must carry the previous manifest's meta forward, keep the
+    partition_by layout, collapse the multi-append dir union to ONE
+    dir, and stay partition-aware (one file per Hive dir, never a
+    global single-task funnel)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.operators.snapshots import (
+        _read_manifest,
+        is_compaction,
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    props = {"format": "demo", "dial": 7}
+    df1 = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(4)).cast("int").alias("p")
+    )
+    snapshot_write(df1, t, mode="overwrite", meta=props, partition_by=["p"])
+    df2 = spark.range(40, 80).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(4)).cast("int").alias("p")
+    )
+    snapshot_write(df2, t, meta=props, partition_by=["p"])
+    assert len(_read_manifest(t, 2)["dirs"]) == 2  # the union to collapse
+
+    v = snapshot_compact(spark, t)
+    m = _read_manifest(t, v)
+    assert m["meta"] == props  # properties carried forward verbatim
+    assert m["partition_by"] == ["p"]  # layout preserved
+    assert len(m["dirs"]) == 1  # union collapsed
+    assert is_compaction(t, v) and not is_compaction(t, 2)
+    assert sorted(r["k"] for r in snapshot_read(spark, t).collect()) == list(
+        range(80)
+    )
+    # partition-aware rewrite: exactly one file per Hive partition dir
+    (data_rel,) = m["dirs"]
+    for pdir in sorted(Path(f"{t}/{data_rel}").glob("p=*")):
+        files = glob.glob(f"{pdir}/*.parquet")
+        assert len(files) == 1, (pdir, files)
+    # and a post-compaction partitioned APPEND is accepted
+    df3 = spark.range(80, 90).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(4)).cast("int").alias("p")
+    )
+    snapshot_write(df3, t, meta=props, partition_by=["p"])
+    assert snapshot_read(spark, t).count() == 90
+
+
+def test_empty_partitioned_append_does_not_brick_reads(spark, tmp_path: Path):
+    """ADVICE r8: a partitionBy write of ZERO rows emits a dir holding
+    only _SUCCESS; reads must tolerate it (an empty daily batch is
+    legitimate) instead of failing UNABLE_TO_INFER_SCHEMA forever."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(2)).cast("int").alias("p")
+    )
+    snapshot_write(df, t, mode="overwrite", partition_by=["p"])
+    snapshot_write(df.filter(F.lit(False)), t, partition_by=["p"])  # empty
+    assert snapshot_read(spark, t).count() == 8  # not bricked
+    snapshot_write(
+        spark.range(8, 10).select(
+            F.col("id").alias("k"),
+            F.pmod("id", F.lit(2)).cast("int").alias("p"),
+        ),
+        t,
+        partition_by=["p"],
+    )
+    assert snapshot_read(spark, t).count() == 10
+
+
+def test_table_of_only_empty_commits_reads_as_empty(spark, tmp_path: Path):
+    """Degenerate corner of the fileless-dir tolerance: every referenced
+    dir is fileless — the read surfaces the manifest's recorded schema
+    with zero rows instead of an unreadable scan."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(2)).cast("int").alias("p")
+    )
+    snapshot_write(df.filter(F.lit(False)), t, mode="overwrite", partition_by=["p"])
+    got = snapshot_read(spark, t)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "p"}
+
+
+def test_snapshot_write_cas_expected_version(spark, tmp_path: Path):
+    """expected_version turns the commit into a compare-and-swap: a
+    stale precondition raises SnapshotConflictError BEFORE any data
+    write, and a fresh one commits exactly once."""
+    import pytest
+
+    from bike_data_flow_spark.operators.snapshots import (
+        SnapshotConflictError,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t, expected_version=0)  # fresh
+    with pytest.raises(SnapshotConflictError, match="expected version"):
+        snapshot_write(_df(spark, [(2, "b")]), t, expected_version=0)
+    snapshot_write(_df(spark, [(2, "b")]), t, expected_version=1)
+    assert current_version(t) == 2
+    assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
