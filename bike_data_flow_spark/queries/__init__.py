@@ -55,6 +55,8 @@ def query(name: str, oracle: str | None, bench: bool = False):
 _CHECK_FIRST = (
     # -- new in round 9 (never driver-checked) --
     "foreachbatch_incremental_dedup",
+    "compacted_vector_store_probe",
+    "compacted_signature_store_probe",
     # -- new in round 8 (driver-checked green in r8) --
     "incremental_embedding_dedup",
     "streamed_incremental_dedup",

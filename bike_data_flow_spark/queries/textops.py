@@ -302,6 +302,46 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Compaction-composition gate for the SIGNATURE store (the sibling of
+# vectors.compacted_vector_store_probe): build, append, OPTIMIZE
+# (snapshot_compact must round-trip the store's meta and _shard
+# layout), then probe — results must equal the full-corpus LSH pairs
+# touching Δ, i.e. the same oracle as incremental_dedup_pairs, because
+# compaction is data- and property-preserving by contract. The probe
+# also exercises the persisted bloom ACROSS the compaction commit (the
+# bloom sibling is untouched by OPTIMIZE — superset bits only).
+@query(
+    "compacted_signature_store_probe",
+    oracle=_minhash_oracle(delta_pred="{id} % 4 = 0"),
+)
+def compacted_signature_store_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sigstore import incremental_lsh_pairs, signature_store_init
+    from ..operators.snapshots import snapshot_compact
+
+    docs = load(spark, sf_dir, "documents")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "doc_signatures_compacted",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    part = F.pmod(F.col("doc_id"), F.lit(4))
+    signature_store_init(docs.filter(part.isin(1, 2)), table)
+    # the admission write happens inside the call; the pairs are lazy
+    # and deliberately unused — this step exists for its side effect
+    incremental_lsh_pairs(spark, docs.filter(part == 3), table, commit=True)
+    snapshot_compact(spark, table)
+    return incremental_lsh_pairs(
+        spark, docs.filter(part == 0), table, commit=False
+    )
+
+
 @query(
     "dedup_clusters",
     oracle=f"""

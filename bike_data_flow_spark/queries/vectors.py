@@ -182,6 +182,59 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The maintenance-path composition the r8 verdict found broken, now
+# oracle-gated end-to-end: the vector index is built, APPENDED to, then
+# COMPACTED (snapshot_compact — which must round-trip the manifest's
+# dim/planes meta and the _shard Hive layout), and only then probed.
+# The probe's result must still equal the full-corpus bucketed pairs
+# touching Δ — identical oracle to incremental_embedding_dedup, because
+# OPTIMIZE is data- and property-preserving by contract.
+@query(
+    "compacted_vector_store_probe",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cos("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)
+      AND round({_sql_cos("a.embedding", "b.embedding")}, 6) >= {_NEAR_DUP_TAU}
+    """,
+)
+def compacted_vector_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import snapshot_compact
+    from ..operators.vecstore import incremental_cosine_pairs, vector_store_init
+
+    emb = load(spark, sf_dir, "embeddings")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "vec_index_compacted",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    part = F.pmod(F.col("vec_id"), F.lit(4))
+    vector_store_init(emb.filter(part.isin(1, 2)), table, dim=_DIM)
+    # an append creates the multi-dir union compaction collapses (the
+    # admission write happens inside the call; the pairs are lazy and
+    # deliberately unused — this step exists for its store side effect)
+    incremental_cosine_pairs(
+        spark, emb.filter(part == 3), table, dim=_DIM, tau=_NEAR_DUP_TAU,
+        commit=True,
+    )
+    # …then OPTIMIZE rewrites the live rows into one dir per manifest
+    snapshot_compact(spark, table)
+    return incremental_cosine_pairs(
+        spark, emb.filter(part == 0), table, dim=_DIM, tau=_NEAR_DUP_TAU,
+        commit=False,
+    )
+
+
 @query(
     "quantized_embeddings",
     oracle="""
