@@ -321,6 +321,26 @@ def admit_delta(
     )
 
 
+def expire_store(table_dir: str, keep_last: int = 2) -> dict:
+    """Coherent retention maintenance for the store AND its sibling
+    bloom in one call (``expire_snapshots`` on the main store alone
+    never touches the bloom — correct, but the bloom table gains one
+    manifest per admission and needs its own expiry eventually).
+    Safe by the module's lifecycle invariants: the bloom is a monotone
+    superset of every retained store version's keys, so expiring OLD
+    bloom versions changes no probe, and time travel to any RETAINED
+    store version pairs with the current (superset) bloom — false
+    positives only, absorbed by the exact join.
+    Returns {"store": [...], "bloom": [...]} expired version lists."""
+    from .snapshots import expire_snapshots
+
+    out = {"store": expire_snapshots(table_dir, keep_last), "bloom": []}
+    bloom_dir = _bloom_table(table_dir)
+    if current_version(bloom_dir) is not None:
+        out["bloom"] = expire_snapshots(bloom_dir, keep_last)
+    return out
+
+
 def incremental_lsh_pairs(
     spark: SparkSession,
     new_docs: DataFrame,

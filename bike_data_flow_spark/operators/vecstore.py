@@ -118,26 +118,12 @@ def vector_store_init(
     )
 
 
-def incremental_cosine_pairs(
-    spark: SparkSession,
-    new_vecs: DataFrame,
-    table_dir: str,
-    dim: int,
-    tau: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    commit: bool = True,
-    use_bloom: bool = True,
-) -> DataFrame:
-    """(id_a < id_b, cos_sim) near-dup pairs that TOUCH the new batch:
-    Δ×store bucket collisions plus Δ×Δ collisions, exact-verified at
-    round(cos,6) ≥ tau — without rescanning the stored corpus.
-
-    ``commit=True`` appends Δ's bucket rows to the store in the same
-    call (the daily-ingest shape: probe, then admit). Δ's rows are
-    pinned with an eager localCheckpoint first, so the probe, the
-    self-join, and the commit all read one materialization.
-    """
+def validate_store_dials(table_dir: str, dim: int) -> dict:
+    """Refuse a probe whose bucketing could not match the store's: the
+    manifest records the planes dial and dim the index was built with,
+    and a mismatch on EITHER silently buckets Δ through a different
+    projection, dropping real collisions — so both fail loudly instead.
+    Returns the store's meta for the caller to carry forward."""
     meta = latest_meta(table_dir)
     planes = _planes()
     if meta and meta.get("planes") != planes:
@@ -157,9 +143,25 @@ def incremental_cosine_pairs(
             "(bucket ids are only comparable under the projection that "
             "made them)"
         )
-    delta = bucket_rows_for(
-        new_vecs, dim, id_col, vec_col, planes
-    ).localCheckpoint()
+    return meta
+
+
+def probe_vector_pairs(
+    spark: SparkSession,
+    delta: DataFrame,
+    table_dir: str,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Δ×store near-dup pairs from PRECOMPUTED Δ bucket rows (the
+    ``bucket_rows_for`` format, ideally localCheckpointed by the
+    caller); exact-verified at round(cos,6) ≥ tau. The building block
+    the batch entry point (incremental_cosine_pairs) and the streaming
+    foreachBatch probe (streaming/store_probe.py) share — one
+    bucketing pass per batch. The caller is responsible for
+    ``validate_store_dials`` (the dials govern how Δ was bucketed)."""
     store = snapshot_read(spark, table_dir)
 
     # directory-level prune FIRST: Δ's occupied shards are a bounded
@@ -181,7 +183,7 @@ def incremental_cosine_pairs(
             .drop("_hit")
         )
 
-    cross = (
+    return (
         delta.select(
             F.col(id_col).alias("_did"), "bucket", F.col(vec_col).alias("_dv")
         )
@@ -198,40 +200,100 @@ def incremental_cosine_pairs(
             F.greatest("_did", "_sid").alias("id_b"),
             F.round(cosine(F.col("_dv"), F.col("_sv")), 6).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= tau)
     )
-    a = delta.select(
-        F.col(id_col).alias("id_a"), "bucket", F.col(vec_col).alias("_ea")
+
+
+def admit_vector_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    table_dir: str,
+    extra_meta: dict | None = None,
+) -> int | None:
+    """Admit PRECOMPUTED Δ bucket rows into the index. Returns the new
+    version, or None for an empty Δ — no version bump for a no-op day
+    (a partitionBy write of zero rows emits a fileless dir;
+    snapshot_read tolerates those since r9, but the manifest chain
+    should not grow at all). Meta/layout are carried forward so
+    latest_meta keeps the dim/planes dials validatable after any
+    number of appends — minus any txn fence keys a previous writer
+    wrote (the fence must only see keys its own commit wrote);
+    ``extra_meta`` rides beside the carried properties."""
+    if delta.isEmpty():
+        return None
+    props = {
+        k: v
+        for k, v in latest_meta(table_dir).items()
+        if not k.startswith("txn_")
+    }
+    meta = {**props, **(extra_meta or {})}
+    return snapshot_write(
+        delta,
+        table_dir,
+        mode="append",
+        meta=meta or None,
+        partition_by=table_layout(table_dir) or ["_shard"],
     )
-    b = delta.select(
-        F.col(id_col).alias("id_b"), "bucket", F.col(vec_col).alias("_eb")
+
+
+def incremental_cosine_pairs(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    table_dir: str,
+    dim: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    commit: bool = True,
+    use_bloom: bool = True,
+    include_within: bool = True,
+) -> DataFrame:
+    """(id_a < id_b, cos_sim) near-dup pairs that TOUCH the new batch:
+    Δ×store bucket collisions plus (``include_within``) Δ×Δ
+    collisions, exact-verified at round(cos,6) ≥ tau — without
+    rescanning the stored corpus. ``include_within=False`` returns the
+    Δ×store arm only — the monitoring-probe shape (streaming
+    foreachBatch), where within-batch pairs belong to the admission
+    loop that will commit the batch.
+
+    ``commit=True`` appends Δ's bucket rows to the store in the same
+    call (the daily-ingest shape: probe, then admit). Δ's rows are
+    pinned with an eager localCheckpoint first, so the probe, the
+    self-join, and the commit all read one materialization.
+    """
+    validate_store_dials(table_dir, dim)
+    delta = bucket_rows_for(
+        new_vecs, dim, id_col, vec_col, _planes()
+    ).localCheckpoint()
+    cross = probe_vector_pairs(
+        spark, delta, table_dir, tau, id_col, vec_col, use_bloom
     )
-    within = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"),
+    if include_within:
+        a = delta.select(
+            F.col(id_col).alias("id_a"), "bucket", F.col(vec_col).alias("_ea")
         )
-    )
-    # cos is a SYMMETRIC fold (zip_with pairs elementwise, the sum folds
-    # left-to-right over positions), so least/greatest id ordering above
-    # cannot change the value; Δ∩store = ∅ keeps the two arms disjoint.
-    pairs = cross.unionByName(within).filter(F.col("cos_sim") >= tau)
-    if commit and not delta.isEmpty():
-        # empty Δ: no version bump — a partitionBy write of zero rows
-        # emits a fileless dir (snapshot_read tolerates those since r9,
-        # but a no-op day should not grow the manifest chain at all).
-        # Meta/layout are carried forward so latest_meta keeps the
-        # dim/planes dials validatable after any number of appends —
-        # minus any txn fence keys a streaming sink may have written
-        # (the fence must only see keys its own commit wrote).
-        props = {k: v for k, v in meta.items() if not k.startswith("txn_")}
-        snapshot_write(
-            delta,
-            table_dir,
-            mode="append",
-            meta=props or None,
-            partition_by=table_layout(table_dir) or ["_shard"],
+        b = delta.select(
+            F.col(id_col).alias("id_b"), "bucket", F.col(vec_col).alias("_eb")
         )
+        within = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+            .filter(F.col("cos_sim") >= tau)
+        )
+        # cos is a SYMMETRIC fold (zip_with pairs elementwise, the sum
+        # folds left-to-right over positions), so least/greatest id
+        # ordering cannot change the value; Δ∩store = ∅ keeps the two
+        # arms disjoint.
+        pairs = cross.unionByName(within)
+    else:
+        pairs = cross
+    if commit:
+        admit_vector_delta(spark, delta, table_dir)
     return pairs

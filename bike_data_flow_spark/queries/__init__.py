@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None, bench: bool = False):
 _CHECK_FIRST = (
     # -- new in round 9 (never driver-checked) --
     "foreachbatch_incremental_dedup",
+    "foreachbatch_embedding_dedup",
     "compacted_vector_store_probe",
     "compacted_signature_store_probe",
     # -- new in round 8 (driver-checked green in r8) --

@@ -182,6 +182,70 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The embedding twin of foreachbatch_incremental_dedup: each
+# micro-batch probes the persisted vector index INSIDE foreachBatch
+# (streaming/store_probe.py stream_vector_probe), so the shard
+# PartitionFilters + Δ-bucket bloom prune apply per batch and the
+# store re-resolves per batch. Output is the Δ×store arm only (one
+# side in Δ, one in the store — within-batch pairs belong to the
+# admission loop), hence the XOR in the oracle's delta predicate.
+@query(
+    "foreachbatch_embedding_dedup",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cos("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ((a.vec_id % 4 = 0) <> (b.vec_id % 4 = 0))
+      AND round({_sql_cos("a.embedding", "b.embedding")}, 6) >= {_NEAR_DUP_TAU}
+    """,
+)
+def foreachbatch_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.vecstore import vector_store_init
+    from ..streaming.store_probe import stream_vector_probe
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "vec_index_fb",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "store")
+    delta_flag = F.pmod(F.col("vec_id"), F.lit(4)) == 0
+    vector_store_init(emb.filter(~delta_flag), table, dim=_DIM)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(delta_flag)
+    )
+    q = stream_vector_probe(
+        stream,
+        table,
+        os.path.join(base, "pairs"),
+        os.path.join(base, "ckpt"),
+        dim=_DIM,
+        tau=_NEAR_DUP_TAU,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(os.path.join(base, "pairs"))
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )
+
+
 # The maintenance-path composition the r8 verdict found broken, now
 # oracle-gated end-to-end: the vector index is built, APPENDED to, then
 # COMPACTED (snapshot_compact — which must round-trip the manifest's

@@ -44,6 +44,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import snapshots as S
 from ..operators.sigstore import admit_delta, band_keys_for, probe_store_pairs
+from ..operators.vecstore import (
+    admit_vector_delta,
+    bucket_rows_for,
+    probe_vector_pairs,
+    validate_store_dials,
+)
 from .snapshot_sink import _app_id
 
 
@@ -119,6 +125,85 @@ def stream_store_probe(
         )
 
     writer = docs_stream.writeStream.foreachBatch(_fb).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def vector_probe_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    pairs_out_dir: str,
+    dim: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    admit: bool = False,
+    app_id: str | None = None,
+) -> None:
+    """The embedding twin of ``probe_batch``: bucket Δ once (under the
+    store's validated dim/planes dials), probe the vector index
+    (shard PartitionFilters + Δ-bucket bloom + exact cosine verify),
+    append the scored pairs, then optionally admit Δ under the txn
+    fence. Same at-least-once pairs / exactly-once admission contract."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    validate_store_dials(table_dir, dim)
+    delta = bucket_rows_for(batch_df, dim, id_col, vec_col).localCheckpoint()
+    pairs = probe_vector_pairs(spark, delta, table_dir, tau, id_col, vec_col)
+    (
+        pairs.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(pairs_out_dir)
+    )
+    if admit:
+        last = S.last_txn_version(table_dir, app_id)
+        if last is not None and batch_id <= last:
+            return
+        admit_vector_delta(
+            spark,
+            delta,
+            table_dir,
+            extra_meta={"txn_app_id": app_id, "txn_version": batch_id},
+        )
+
+
+def stream_vector_probe(
+    vecs_stream: DataFrame,
+    table_dir: str,
+    pairs_out_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    admit: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the foreachBatch probe loop over an embedding stream —
+    live semantic near-dup monitoring against the persisted vector
+    index; ``admit=True`` closes the admission loop exactly-once."""
+    app = _app_id(checkpoint_dir)
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        vector_probe_batch(
+            batch_df,
+            batch_id,
+            table_dir,
+            pairs_out_dir,
+            dim,
+            tau,
+            id_col,
+            vec_col,
+            admit=admit,
+            app_id=app,
+        )
+
+    writer = vecs_stream.writeStream.foreachBatch(_fb).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -327,3 +327,33 @@ def test_compact_then_probe_and_append(spark, store_dir):
         F.col("_bk_comb"),
     ).first()["bloom"]
     assert list(stored) == list(scratch)
+
+
+def test_expire_store_prunes_both_tables_probe_unchanged(spark, store_dir):
+    """expire_store retires old manifests of BOTH the store and its
+    bloom sibling coherently; probes are unchanged (the retained bloom
+    is a superset — false positives only)."""
+    from bike_data_flow_spark.operators.snapshots import snapshot_history
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(4))
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 1), store_dir, commit=True
+    ).collect()
+    G.incremental_lsh_pairs(
+        spark, docs.filter(part == 2), store_dir, commit=True
+    ).collect()
+    probe = lambda: _pairs(  # noqa: E731
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 3), store_dir, commit=False
+        )
+    )
+    before = probe()
+
+    expired = G.expire_store(store_dir, keep_last=1)
+    assert expired["store"] == [1, 2]
+    assert expired["bloom"] == [1, 2]  # init + first admission retired
+    assert len(snapshot_history(store_dir)) == 1
+    assert len(snapshot_history(G._bloom_table(store_dir))) == 1
+    assert probe() == before and len(before) > 0

@@ -148,3 +148,108 @@ def test_empty_batch_is_a_noop(spark, dirs):
     )
     assert not os.path.exists(dirs["pairs"])  # no sink write at all
     assert current_version(dirs["store"]) == 1
+
+
+# ---- embedding twin (stream_vector_probe) --------------------------------
+
+_DIM = 64
+_TAU = 0.4
+
+
+def test_vector_probe_batch_admission_and_replay_fence(spark, dirs):
+    """The vector twin: batch 0 probes index A and admits; batch 1 sees
+    the admission live; replay admits nothing; maintained index equals
+    the full corpus's bucket rows."""
+    from bike_data_flow_spark.operators import vecstore as V
+    from bike_data_flow_spark.streaming.store_probe import vector_probe_batch
+
+    emb = load(spark, SF, "embeddings")
+    part = F.pmod(F.col("vec_id"), F.lit(3))
+    a, b1, b2 = (emb.filter(part == i) for i in range(3))
+    V.vector_store_init(a, dirs["store"], dim=_DIM)
+
+    def _want(batch):
+        return {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in V.incremental_cosine_pairs(
+                spark, batch, dirs["store"], dim=_DIM, tau=_TAU,
+                commit=False, include_within=False,
+            ).collect()
+        }
+
+    def _got(batch_id):
+        df = spark.read.parquet(dirs["pairs"]).filter(
+            F.col("_batch_id") == batch_id
+        )
+        return {(r.id_a, r.id_b, r.cos_sim) for r in df.collect()}
+
+    want_b1 = _want(b1)
+    vector_probe_batch(
+        b1, 0, dirs["store"], dirs["pairs"], _DIM, _TAU, admit=True,
+        app_id="w",
+    )
+    assert _got(0) == want_b1
+    v1 = current_version(dirs["store"])
+
+    want_b2 = _want(b2)  # computed against the UPDATED store
+    vector_probe_batch(
+        b2, 1, dirs["store"], dirs["pairs"], _DIM, _TAU, admit=True,
+        app_id="w",
+    )
+    assert _got(1) == want_b2
+    v2 = current_version(dirs["store"])
+    assert v2 == v1 + 1
+
+    vector_probe_batch(  # replay: fence must hold
+        b2, 1, dirs["store"], dirs["pairs"], _DIM, _TAU, admit=True,
+        app_id="w",
+    )
+    assert current_version(dirs["store"]) == v2
+
+    from bike_data_flow_spark.operators.vecstore import bucket_rows_for
+
+    full = {(r.vec_id, r.bucket) for r in bucket_rows_for(emb, _DIM).collect()}
+    stored = {
+        (r.vec_id, r.bucket)
+        for r in snapshot_read(spark, dirs["store"]).collect()
+    }
+    assert stored == full
+
+
+def test_vector_stream_equivalence(spark, dirs):
+    """The real streaming engine driving the vector probe must emit
+    exactly the batch operator's Δ×store arm for the same split."""
+    from bike_data_flow_spark.operators import vecstore as V
+    from bike_data_flow_spark.streaming.store_probe import stream_vector_probe
+
+    emb = load(spark, SF, "embeddings")
+    delta_flag = F.pmod(F.col("vec_id"), F.lit(4)) == 0
+    V.vector_store_init(emb.filter(~delta_flag), dirs["store"], dim=_DIM)
+    want = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in V.incremental_cosine_pairs(
+            spark, emb.filter(delta_flag), dirs["store"], dim=_DIM,
+            tau=_TAU, commit=False, include_within=False,
+        ).collect()
+    }
+
+    schema = spark.read.parquet(f"{SF}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(SF)
+        .filter(delta_flag)
+    )
+    q = stream_vector_probe(
+        stream, dirs["store"], dirs["pairs"], dirs["ckpt"], dim=_DIM,
+        tau=_TAU,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in spark.read.parquet(dirs["pairs"])
+        .select("id_a", "id_b", "cos_sim")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    assert current_version(dirs["store"]) == 1  # probe-only
