@@ -26,7 +26,15 @@ Scale notes:
   two-layer prune the vector index (vecstore.py) gets. Pruning only
   engages when ``_shard`` is the table's recorded layout; a legacy
   unsharded store still probes correctly, just without the
-  directory-level skip.
+  directory-level skip. Honest cost accounting: each doc emits
+  ~MINHASH_BANDS band keys, so a DAILY-sized Δ occupies every shard
+  and the directory skip is nil there (the bloom still does the
+  map-side work); the prune pays off for SMALL probes — exactly the
+  per-micro-batch Δs of the foreachBatch monitoring loop
+  (streaming/store_probe.py), where a handful of docs touch a
+  handful of shards and the store scan shrinks by up to the shard
+  count. The count itself is a recorded-at-init runtime dial
+  (SIGSTORE_SHARDS) so file granularity tracks corpus size.
 - A bloom filter over the store's combined band keys broadcasts to the
   probe side and drops non-colliding Δ keys MAP-SIDE before the
   shuffle join (most new docs collide with nothing — that is the
@@ -87,9 +95,18 @@ from .snapshots import (
 # Directory-layout shard for the band-key store: pmod of the combined
 # band key, NOT the raw key space (band_key cardinality is unbounded,
 # far too many directories) — bounded by construction, so Δ's occupied
-# shards collect to a ≤SIGSTORE_SHARDS literal IN-list that lands as
-# PartitionFilters on the store scan. Mirrors vecstore.VECSTORE_SHARDS.
-SIGSTORE_SHARDS = 256
+# shards collect to a bounded literal IN-list that lands as
+# PartitionFilters on the store scan. Mirrors vecstore.VECSTORE_SHARDS
+# with one difference: band keys are hash-uniform, so EVERY shard is
+# occupied even for a tiny corpus (vecstore's dirs are bounded by
+# 2^planes instead) — the shard count is therefore a RUNTIME DIAL,
+# resolved at store-INIT time and RECORDED in the manifest; probes and
+# appends always derive shard values from the store's recorded
+# modulus, so redialing never breaks an existing store. Gate-scale
+# default 32 keeps per-commit file counts commensurate with the
+# corpus; a 100 TB deployment dials it up (e.g. 1024) so tiny
+# monitoring Δs skip proportionally more of the file listing.
+SIGSTORE_SHARDS = 32
 
 
 def _bloom_table(table_dir: str) -> str:
@@ -124,6 +141,20 @@ def _combine():
     ).alias("_bk_comb")
 
 
+def _shard_expr(n_shards: int):
+    """_shard under a GIVEN modulus — always the store's recorded one."""
+    return F.pmod(
+        F.col("band_key") * F.lit(MINHASH_BANDS) + F.col("band"),
+        F.lit(n_shards),
+    ).cast("int")
+
+
+def store_shards(table_dir: str) -> int:
+    """The shard modulus the store was built with (manifest property);
+    falls back to the current dial for stores predating the record."""
+    return latest_meta(table_dir).get("shards", SIGSTORE_SHARDS)
+
+
 def band_keys_for(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -131,19 +162,18 @@ def band_keys_for(
     n: int = 3,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """(id, band, band_key, _shard) — the store's row format: the batch
-    operator's band rows plus the bounded directory-shard column."""
+    operator's band rows plus the bounded directory-shard column.
+    ``n_shards`` resolves to the CURRENT dial; callers touching an
+    existing store pass that store's recorded modulus instead."""
+    if n_shards is None:
+        n_shards = SIGSTORE_SHARDS
     rows = minhash_band_keys(
         minhash_signatures(docs, id_col, text_col, n, k), id_col, k, bands
     )
-    return rows.withColumn(
-        "_shard",
-        F.pmod(
-            F.col("band_key") * F.lit(MINHASH_BANDS) + F.col("band"),
-            F.lit(SIGSTORE_SHARDS),
-        ).cast("int"),
-    )
+    return rows.withColumn("_shard", _shard_expr(n_shards))
 
 
 def signature_store_init(
@@ -157,13 +187,23 @@ def signature_store_init(
     freshly written store — one bootstrap-time read, never repeated by
     probes). Resetting the bloom here is the rebuild invariant: the
     old bloom covered the old corpus's keys and must not survive an
-    overwrite, or it grows into an ever-less-selective superset."""
+    overwrite, or it grows into an ever-less-selective superset.
+
+    The rows REPARTITION ON _shard before the Hive-partitioned write:
+    partitionBy alone writes one file per (task × shard) — every task
+    holds rows of ~all shards, so a 32-task write of a 256-shard
+    layout sprays ~8k tiny files and the probe's scan drowns in file
+    opens (measured 16× on the composed gate query). Hash-routing each
+    shard to one task makes it one file per shard per commit."""
+    n_shards = SIGSTORE_SHARDS
     version = snapshot_write(
-        band_keys_for(docs, id_col, text_col),
+        band_keys_for(docs, id_col, text_col, n_shards=n_shards).repartition(
+            "_shard"
+        ),
         table_dir,
         mode="overwrite",
         meta={"format": "minhash_band_keys", "k": MINHASH_K,
-              "bands": MINHASH_BANDS},
+              "bands": MINHASH_BANDS, "shards": n_shards},
         partition_by=["_shard"],
     )
     spark = docs.sparkSession
@@ -237,14 +277,22 @@ def probe_store_pairs(
 
     if "_shard" in layout:
         # directory-level prune FIRST: Δ's occupied shards are a
-        # bounded literal list (≤ SIGSTORE_SHARDS by construction —
-        # collecting it can never be corpus-sized), and _shard is the
-        # store's Hive partition column, so this lands as
+        # bounded literal list (≤ the store's recorded modulus by
+        # construction — collecting it can never be corpus-sized), and
+        # _shard is the store's Hive partition column, so this lands as
         # PartitionFilters — only matching directories are even LISTED.
-        # Layout-gated: on an unsharded legacy store, rows predating
-        # the column would read _shard NULL and an IN-filter would
-        # silently drop them from the probe.
-        shards = [r[0] for r in delta.select("_shard").distinct().collect()]
+        # Shard values derive from the STORE's recorded modulus, not
+        # Δ's _shard column (the runtime dial may have moved since the
+        # store was built). Layout-gated: on an unsharded legacy store,
+        # rows predating the column would read _shard NULL and an
+        # IN-filter would silently drop them from the probe.
+        n_shards = store_shards(table_dir)
+        shards = [
+            r[0]
+            for r in delta.select(_shard_expr(n_shards).alias("_s"))
+            .distinct()
+            .collect()
+        ]
         store = store.filter(F.col("_shard").isin(shards))
 
     probe = delta
@@ -312,12 +360,24 @@ def admit_delta(
         if not k.startswith("txn_")
     }
     meta = {**props, **(extra_meta or {})}
+    layout = table_layout(table_dir)
+    if "_shard" in layout:
+        # re-derive _shard under the STORE's recorded modulus (the
+        # runtime dial may differ), then route one task per shard: one
+        # file per Hive dir per commit (see signature_store_init's
+        # repartition note) — without this every append sprays
+        # task×shard tiny files and probe scans degrade per day
+        delta = delta.withColumn(
+            "_shard", _shard_expr(store_shards(table_dir))
+        ).repartition(*layout)
+    elif layout:
+        delta = delta.repartition(*layout)
     return snapshot_write(
         delta,
         table_dir,
         mode="append",
         meta=meta or None,
-        partition_by=table_layout(table_dir) or None,
+        partition_by=layout or None,
     )
 
 

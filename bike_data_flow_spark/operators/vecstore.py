@@ -66,10 +66,22 @@ from .snapshots import (
 # pmod(bucket, VECSTORE_SHARDS), NOT on bucket itself — the bucket
 # count is 2^planes (dial-scaled to ~corpus/cap at 100 TB, far too
 # many directories), while the shard count is bounded by construction,
-# so Δ's occupied shards collect to a ≤VECSTORE_SHARDS literal IN-list
+# so Δ's occupied shards collect to a bounded literal IN-list
 # that prunes the store scan at the FILE LISTING level
 # (PartitionFilters) before the bloom prunes surviving rows map-side.
-VECSTORE_SHARDS = 256
+# Like sigstore.SIGSTORE_SHARDS (r9) this is a RUNTIME DIAL, resolved
+# at store-INIT time and RECORDED in the manifest; probes and appends
+# derive shard values from the recorded modulus, so redialing never
+# breaks an existing store. Occupied dirs = min(2^planes, shards):
+# the gate default 64 keeps per-commit file counts commensurate with
+# gate-scale corpora; a 100 TB deployment dials it up with the planes.
+VECSTORE_SHARDS = 64
+
+
+def store_shards(table_dir: str) -> int:
+    """The shard modulus the store was built with (manifest property);
+    falls back to the current dial for stores predating the record."""
+    return latest_meta(table_dir).get("shards", VECSTORE_SHARDS)
 
 
 def bucket_rows_for(
@@ -78,16 +90,21 @@ def bucket_rows_for(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """(id, bucket, embedding, _shard) — the store's row format.
     ``n_planes`` resolves to the CURRENT similarity.N_HYPERPLANES at
-    call time inside hyperplane_bucket, honoring the runtime dial."""
+    call time inside hyperplane_bucket, honoring the runtime dial;
+    ``n_shards`` likewise — callers touching an existing store pass
+    that store's recorded modulus instead."""
+    if n_shards is None:
+        n_shards = VECSTORE_SHARDS
     return vecs.select(
         F.col(id_col),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         F.col(vec_col),
     ).withColumn(
-        "_shard", F.pmod(F.col("bucket"), F.lit(VECSTORE_SHARDS)).cast("int")
+        "_shard", F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int")
     )
 
 
@@ -107,13 +124,20 @@ def vector_store_init(
 ) -> int:
     """Bootstrap (or reset) the index from a corpus; returns version.
     The manifest records dim + planes so later probes can verify they
-    run under the same bucketing."""
+    run under the same bucketing. Rows repartition on _shard first so
+    the Hive-partitioned write emits one file per shard per commit —
+    partitionBy alone writes one file per (task × shard), spraying
+    thousands of tiny files that drown later probes in file opens."""
     planes = n_planes if n_planes is not None else _planes()
+    n_shards = VECSTORE_SHARDS
     return snapshot_write(
-        bucket_rows_for(vecs, dim, id_col, vec_col, planes),
+        bucket_rows_for(
+            vecs, dim, id_col, vec_col, planes, n_shards
+        ).repartition("_shard"),
         table_dir,
         mode="overwrite",
-        meta={"format": "hyperplane_buckets", "dim": dim, "planes": planes},
+        meta={"format": "hyperplane_buckets", "dim": dim, "planes": planes,
+              "shards": n_shards},
         partition_by=["_shard"],
     )
 
@@ -165,11 +189,21 @@ def probe_vector_pairs(
     store = snapshot_read(spark, table_dir)
 
     # directory-level prune FIRST: Δ's occupied shards are a bounded
-    # literal list (≤ VECSTORE_SHARDS by construction — collecting it
-    # can never be corpus-sized), and _shard is the store's Hive
-    # partition column, so this lands as PartitionFilters — only the
-    # matching directories are even LISTED, let alone scanned
-    shards = [r[0] for r in delta.select("_shard").distinct().collect()]
+    # literal list (≤ the store's recorded modulus by construction —
+    # collecting it can never be corpus-sized), and _shard is the
+    # store's Hive partition column, so this lands as PartitionFilters
+    # — only the matching directories are even LISTED, let alone
+    # scanned. Shard values derive from the STORE's recorded modulus,
+    # not Δ's _shard column (the runtime dial may have moved).
+    n_shards = store_shards(table_dir)
+    shards = [
+        r[0]
+        for r in delta.select(
+            F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int").alias("_s")
+        )
+        .distinct()
+        .collect()
+    ]
     store = store.filter(F.col("_shard").isin(shards))
 
     if use_bloom:
@@ -227,12 +261,24 @@ def admit_vector_delta(
         if not k.startswith("txn_")
     }
     meta = {**props, **(extra_meta or {})}
+    layout = table_layout(table_dir) or ["_shard"]
+    if "_shard" in layout:
+        # re-derive _shard under the STORE's recorded modulus (the
+        # runtime dial may differ since init)
+        delta = delta.withColumn(
+            "_shard",
+            F.pmod(F.col("bucket"), F.lit(store_shards(table_dir))).cast(
+                "int"
+            ),
+        )
     return snapshot_write(
-        delta,
+        # one file per Hive dir per commit (see vector_store_init's
+        # repartition note)
+        delta.repartition(*layout),
         table_dir,
         mode="append",
         meta=meta or None,
-        partition_by=table_layout(table_dir) or ["_shard"],
+        partition_by=layout,
     )
 
 

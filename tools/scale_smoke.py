@@ -222,6 +222,39 @@ def main() -> None:
     ppjoin_fixed = timed(spark, registry["prefix_filter_jaccard_pairs"].fn, TENX)
     print(("prefix_filter_jaccard_pairs@10x, FIXED tau=0.6", ppjoin_fixed), flush=True)
 
+    # Fixed-Δ probe scaling: the r9 claim under test is that the
+    # foreachBatch monitoring probe's cost is O(|Δ| + collisions),
+    # INDEPENDENT of store size (persisted bloom = one-row read; Δ's
+    # occupied-shard IN-list prunes the store listing). Evidence: the
+    # SAME ~1% Δ probes a base-corpus store and a 10×-corpus store;
+    # the ratio should sit near 1×, not near 10×.
+    import shutil
+    import tempfile
+
+    from bike_data_flow_spark.operators import sigstore as G
+
+    delta_docs = spark.read.parquet(f"{BASE}/documents.parquet").filter(
+        F.pmod(F.col("doc_id"), F.lit(100)) == 0
+    )
+    probe_times = []
+    for src in (BASE, TENX):
+        store_docs = spark.read.parquet(f"{src}/documents.parquet").filter(
+            F.pmod(F.col("doc_id"), F.lit(100)) != 0  # Δ ids held out
+        )
+        d = tempfile.mkdtemp(prefix="smoke_sigstore_")
+        table = os.path.join(d, "store")
+        G.signature_store_init(store_docs, table)
+
+        def probe(spark_, _sf_dir, _table=table):
+            return G.incremental_lsh_pairs(
+                spark_, delta_docs, _table, commit=False,
+                include_within=False,
+            )
+
+        probe_times.append(timed(spark, probe, src))
+        shutil.rmtree(d, ignore_errors=True)
+    print(("fixed-delta store probe base/10x", probe_times), flush=True)
+
     blowup = None
     if args.show_blowup:
         t0 = timed(spark, registry["knn_graph_edges"].fn, TENX)
@@ -265,6 +298,16 @@ def main() -> None:
         f"Fixed-dial control: prefix_filter_jaccard_pairs at 10× with "
         f"τ still 0.6 = {ppjoin_fixed} s — linear work on fixed cores "
         "(compute-bound exact verify), the cost the τ dial trades away.",
+        "",
+        f"Fixed-Δ probe scaling (r9): the SAME ~1% document Δ probing a "
+        f"base-corpus signature store vs a 10×-corpus store = "
+        f"{probe_times[0]} s vs {probe_times[1]} s "
+        f"({round(probe_times[1] / probe_times[0], 2)}×) — the "
+        "monitoring-probe cost the foreachBatch loop pays per batch is "
+        "governed by |Δ| and its collisions, not by store size "
+        "(persisted bloom = one-row read; Δ's occupied-shard IN-list "
+        "prunes the store's file listing). Store bootstrap excluded: "
+        "that is the one-time admission-side cost.",
         "",
         "Reading: a ratio ≤ ~10× on 32 fixed cores means the work grew "
         "at most linearly with the data (sub-10× = the base time was "
