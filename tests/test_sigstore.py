@@ -357,3 +357,50 @@ def test_expire_store_prunes_both_tables_probe_unchanged(spark, store_dir):
     assert len(snapshot_history(store_dir)) == 1
     assert len(snapshot_history(G._bloom_table(store_dir))) == 1
     assert probe() == before and len(before) > 0
+
+
+def test_shard_dial_migration_safe(spark, store_dir, monkeypatch):
+    """A store built under one SIGSTORE_SHARDS dial must keep probing
+    and admitting correctly after the dial moves: shard values derive
+    from the manifest-recorded modulus, never the current global."""
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    G.signature_store_init(docs.filter(part == 0), store_dir)  # dial=32
+    assert G.store_shards(store_dir) == 32
+
+    monkeypatch.setattr(G, "SIGSTORE_SHARDS", 7)  # dial moves
+    want = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 1), store_dir, commit=False,
+            use_bloom=False,
+        )
+    )
+    got = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 1), store_dir, commit=True
+        )
+    )
+    assert got == want and len(got) > 0
+    # the admitted rows were re-sharded under the RECORDED modulus —
+    # every stored _shard is consistent with pmod(combined, 32)
+    rows = snapshot_read(spark, store_dir).select(
+        "_shard",
+        F.pmod(
+            F.col("band_key") * F.lit(G.MINHASH_BANDS) + F.col("band"),
+            F.lit(32),
+        ).cast("int").alias("_want"),
+    )
+    assert rows.filter(F.col("_shard") != F.col("_want")).count() == 0
+    # and a probe AFTER the mixed-dial admission still reconciles
+    probe2 = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 2), store_dir, commit=False
+        )
+    )
+    probe2_ref = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 2), store_dir, commit=False,
+            use_bloom=False,
+        )
+    )
+    assert probe2 == probe2_ref

@@ -376,3 +376,34 @@ def test_empty_delta_commit_is_a_noop(spark, store_dir):
     assert got.count() == 0
     assert current_version(store_dir) == v  # no version bump
     assert snapshot_read(spark, store_dir).count() == emb.count()  # readable
+
+
+def test_shard_dial_migration_safe(spark, store_dir, monkeypatch):
+    """A store built under one VECSTORE_SHARDS dial must keep probing
+    and admitting correctly after the dial moves: shard values derive
+    from the manifest-recorded modulus, never the current global."""
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    part = F.pmod(F.col("vec_id"), F.lit(3))
+    V.vector_store_init(emb.filter(part == 0), store_dir, dim=_DIM)
+    assert V.store_shards(store_dir) == 64
+
+    monkeypatch.setattr(V, "VECSTORE_SHARDS", 5)  # dial moves
+    want = _pairs(
+        V.incremental_cosine_pairs(
+            spark, emb.filter(part == 1), store_dir, dim=_DIM, tau=_TAU,
+            commit=False, use_bloom=False,
+        )
+    )
+    got = _pairs(
+        V.incremental_cosine_pairs(
+            spark, emb.filter(part == 1), store_dir, dim=_DIM, tau=_TAU,
+            commit=True,
+        )
+    )
+    assert got == want and len(got) > 0
+    # admitted rows re-sharded under the RECORDED modulus (64)
+    rows = snapshot_read(spark, store_dir).select(
+        "_shard",
+        F.pmod(F.col("bucket"), F.lit(64)).cast("int").alias("_want"),
+    )
+    assert rows.filter(F.col("_shard") != F.col("_want")).count() == 0
