@@ -419,19 +419,37 @@ def snapshot_merge(
     — for fact-scale targets use merge.merge_upsert +
     persist.write_enhanced's dynamic partition overwrite, which touch
     only changed partitions.
+
+    Table-properties round-trip (same contract as snapshot_compact):
+    the rewrite preserves the previous manifest's ``meta`` and
+    ``partition_by`` — MERGE changes rows, never the table's layout or
+    recorded properties (the pre-r9 spelling silently de-partitioned a
+    Hive-layout table and dropped its properties on every merge).
     """
     from pyspark.sql import functions as F
 
     from .merge import merge_upsert
 
-    if current_version(table_dir) is None:
+    cur = current_version(table_dir)
+    if cur is None:
         return snapshot_write(source, table_dir, mode="overwrite")
+    prev_manifest = _read_manifest(table_dir, cur)
+    layout = prev_manifest.get("partition_by", [])
     target = snapshot_read(spark, table_dir)
     for f in source.schema.fields:  # add-column evolution before merge:
         if f.name not in target.columns:  # merge projects target.columns
             target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
     merged = merge_upsert(target, source, list(keys), **merge_kwargs)
-    return snapshot_write(merged, table_dir, mode="overwrite")
+    if layout:
+        # one file per Hive dir (the compaction write discipline)
+        merged = merged.repartition(*[F.col(c) for c in layout])
+    return snapshot_write(
+        merged,
+        table_dir,
+        mode="overwrite",
+        meta=prev_manifest.get("meta", {}),
+        partition_by=layout,
+    )
 
 
 def snapshot_changes(

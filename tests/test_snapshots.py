@@ -618,3 +618,45 @@ def test_snapshot_write_cas_expected_version(spark, tmp_path: Path):
     snapshot_write(_df(spark, [(2, "b")]), t, expected_version=1)
     assert current_version(t) == 2
     assert {r["k"] for r in snapshot_read(spark, t).collect()} == {1, 2}
+
+
+def test_snapshot_merge_preserves_layout_and_meta(spark, tmp_path: Path):
+    """MERGE INTO must round-trip the table's partition_by and meta,
+    exactly like compaction — a merge changes rows, never properties
+    (the pre-r9 spelling silently de-partitioned the table)."""
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.operators.snapshots import (
+        _read_manifest,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    props = {"format": "dim_table", "dial": 3}
+    df = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.pmod("id", F.lit(3)).cast("int").alias("p"),
+    )
+    snapshot_write(df, t, mode="overwrite", meta=props, partition_by=["p"])
+
+    src = spark.createDataFrame(
+        [(1, "UPDATED", 1), (100, "NEW", 2)], "k int, v string, p int"
+    )
+    v = snapshot_merge(spark, t, src, ["k"])
+    m = _read_manifest(t, v)
+    assert m["partition_by"] == ["p"]  # layout survived the merge
+    assert m["meta"] == props  # properties survived the merge
+    rows = {r["k"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    assert rows[1] == "UPDATED" and rows[100] == "NEW" and len(rows) == 13
+    # the preserved layout still prunes
+    pruned = snapshot_read(spark, t).filter(F.col("p") == 2)
+    assert {r["k"] for r in pruned.collect()} == {2, 5, 8, 11, 100}
+    # and a post-merge partitioned append is still accepted
+    snapshot_write(
+        spark.createDataFrame([(200, "A", 0)], "k int, v string, p int"),
+        t,
+        meta=props,
+        partition_by=["p"],
+    )
+    assert snapshot_read(spark, t).count() == 14
