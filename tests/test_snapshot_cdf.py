@@ -217,3 +217,38 @@ def test_compaction_commit_streams_through_without_changes(spark, tmp_path: Path
     rows = spark.read.parquet(out).collect()
     got = {(r["k"], r["_commit_version"]) for r in rows}
     assert got == {(1, 1), (2, 2), (3, 4)}  # nothing from v3
+
+
+def test_partitioned_appends_and_empty_commit_stream_correctly(
+    spark, tmp_path: Path
+):
+    """Hive-layout tables stream through the CDF source: the partition
+    column round-trips through the executor-side pyarrow read (hive
+    discovery), and an EMPTY partitioned append (fileless dir — the
+    ADVICE r8 case) emits zero rows instead of crashing the stream."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    t, ckpt, out = (
+        str(tmp_path / "t"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+
+    def pdf(rows):
+        return spark.createDataFrame(rows, "k int, v string, p int")
+
+    snapshot_write(
+        pdf([(1, "a", 0), (2, "b", 1)]), t, mode="overwrite",
+        partition_by=["p"],
+    )
+    snapshot_write(pdf([(3, "c", 0)]), t, partition_by=["p"])
+    snapshot_write(
+        pdf([(9, "z", 0)]).filter(F.lit(False)), t, partition_by=["p"]
+    )  # v3: EMPTY append — fileless dir
+    snapshot_write(pdf([(4, "d", 1)]), t, partition_by=["p"])
+    _run_once(spark, t, ckpt, out)
+    rows = spark.read.parquet(out).collect()
+    got = {(r["k"], r["p"], r["_commit_version"]) for r in rows}
+    # partition col values intact; nothing from the empty v3
+    assert got == {(1, 0, 1), (2, 1, 1), (3, 0, 2), (4, 1, 4)}
