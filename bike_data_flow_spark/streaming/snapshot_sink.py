@@ -55,15 +55,26 @@ def commit_batch(
     batch_df: DataFrame, batch_id: int, table_dir: str, app_id: str
 ) -> bool:
     """Fenced append of one micro-batch; returns False when the batch
-    is a replay (already committed by this writer)."""
+    is a replay (already committed by this writer).
+
+    Layout-aware (r9): a pre-existing Hive-layout target keeps its
+    partition_by — the append adopts the table's recorded layout and
+    routes one task per partition value (the one-file-per-dir write
+    discipline). The pre-fix spelling appended layout-less, so every
+    batch into a partitioned table was refused by the mixed-layout
+    guard and the stream died on its first commit."""
     last = S.last_txn_version(table_dir, app_id)
     if last is not None and batch_id <= last:
         return False
+    layout = S.table_layout(table_dir)
+    if layout:
+        batch_df = batch_df.repartition(*layout)
     S.snapshot_write(
         batch_df,
         table_dir,
         mode="append",
         meta={"txn_app_id": app_id, "txn_version": batch_id},
+        partition_by=layout or None,
     )
     return True
 

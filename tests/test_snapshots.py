@@ -660,3 +660,55 @@ def test_snapshot_merge_preserves_layout_and_meta(spark, tmp_path: Path):
         partition_by=["p"],
     )
     assert snapshot_read(spark, t).count() == 14
+
+
+def test_stream_sink_into_partitioned_table(spark, tmp_path: Path):
+    """The streaming snapshot sink must be able to target a
+    PRE-EXISTING Hive-layout table: appends adopt the table's recorded
+    layout (pre-r9 every batch was refused by the mixed-layout guard),
+    pruning keeps working, and the txn fence still holds."""
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.streaming.snapshot_sink import (
+        commit_batch,
+        write_stream_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 6).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.pmod("id", F.lit(2)).cast("int").alias("p"),
+    )
+    snapshot_write(base, t, mode="overwrite", partition_by=["p"])
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in (10, 11):
+        spark.createDataFrame(
+            [(i, f"s{i}", i % 2)], "k int, v string, p int"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("k int, v string, p int").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = write_stream_snapshots(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r["k"] for r in snapshot_read(spark, t).collect()}
+    assert got == {0, 1, 2, 3, 4, 5, 10, 11}
+    # layout survived and still prunes
+    from bike_data_flow_spark.operators.snapshots import table_layout
+
+    assert table_layout(t) == ["p"]
+    odd = {r["k"] for r in snapshot_read(spark, t).filter(F.col("p") == 1).collect()}
+    assert odd == {1, 3, 5, 11}
+    # replay fence still holds on the partitioned path
+    from bike_data_flow_spark.streaming.snapshot_sink import _app_id
+
+    app = _app_id(str(tmp_path / "ckpt"))
+    before = current_version(t)
+    assert commit_batch(
+        spark.createDataFrame([(99, "dup", 1)], "k int, v string, p int"),
+        0, t, app,
+    ) is False
+    assert current_version(t) == before
