@@ -493,8 +493,43 @@ def snapshot_changes(
     return inserts.unionByName(deletes)
 
 
+def _zorder_col(df: DataFrame, cols: list[str], bits: int):
+    """Morton key over quantile-binned numeric columns — the
+    arbitrary-type front end OPTIMIZE ZORDER needs on top of
+    layout.zorder_key (which takes ready-made non-negative bins).
+    Quantile edges (approxQuantile, one job for all columns) ride the
+    plan as array literals; bin = count of edges ≤ value, so skewed
+    distributions still spread across the full bin range (uniform
+    width_bucket bins would collapse under skew). 2^bits bins per
+    dimension; bits=8 → 255 edges/dim, well inside literal-size
+    sanity."""
+    from pyspark.sql import functions as F
+
+    from .layout import zorder_key
+
+    n_edges = (1 << bits) - 1
+    probs = [i / (n_edges + 1) for i in range(1, n_edges + 1)]
+    edges = df.stat.approxQuantile(cols, probs, 0.01)
+    def _bin(col_name: str, arr):
+        # single-arg lambda on purpose: a second (even defaulted)
+        # parameter makes pyspark bind it as the (value, index) form
+        return F.size(
+            F.filter(arr, lambda e: F.col(col_name).cast("double") >= e)
+        )
+
+    bin_cols = [
+        _bin(c, F.array(*[F.lit(float(e)) for e in es]))
+        for c, es in zip(cols, edges)
+    ]
+    return zorder_key(bin_cols, bits)
+
+
 def snapshot_compact(
-    spark: SparkSession, table_dir: str, target_files: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """OPTIMIZE: rewrite the table's live row set into ``target_files``
     files (PER PARTITION for partitioned layouts) and commit it as a
@@ -525,25 +560,41 @@ def snapshot_compact(
       dirs become unreferenced and are reclaimed — run compact, then
       expire, to actually free the small files).
 
+    ``zorder_by`` turns the rewrite into OPTIMIZE ZORDER (Delta's
+    spelling): rows cluster on a Morton interleave of the named
+    numeric columns — quantile-binned, so skew spreads — making
+    parquet min/max footer stats selective for predicates on ANY of
+    the dimensions. Unpartitioned tables range-partition into
+    ``target_files`` files with DISJOINT key ranges (file-level
+    skipping); Hive layouts keep their directory structure and
+    Z-sort within each partition's file (row-group-level skipping).
+    Data-identity is untouched — clustering is physical layout only,
+    so the compaction marker/CDF-skip contract holds unchanged.
+
     Cost shape: one full read + shuffled write of the LIVE row set
-    (like any OPTIMIZE). Partitioned layouts repartition ON the layout
-    columns, so each partition's rows land in one task (= one file per
-    Hive dir at target_files=1, a salt fans wider) and the write
-    parallelizes across partitions — never a single global funnel task
-    (the pre-fix coalesce(1) pushed the whole live row set through one
+    (like any OPTIMIZE; zorder adds one approxQuantile pass).
+    Partitioned layouts repartition ON the layout columns, so each
+    partition's rows land in one task (= one file per Hive dir at
+    target_files=1, a salt fans wider) and the write parallelizes
+    across partitions — never a single global funnel task (the
+    pre-fix coalesce(1) pushed the whole live row set through one
     writer, a non-starter at 100 TB). Partition-scoped compaction of
     dt= zones is operators/compact.py — this is the table-format-level
     counterpart.
     """
+    from pyspark.sql import functions as F
+
     cur = current_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     prev_manifest = _read_manifest(table_dir, cur)
     layout = prev_manifest.get("partition_by", [])
     df = snapshot_read(spark, table_dir, cur)
+    if zorder_by:
+        df = df.withColumn(
+            "_zkey", _zorder_col(df, list(zorder_by), zorder_bits)
+        )
     if layout:
-        from pyspark.sql import functions as F
-
         cols = [F.col(c) for c in layout]
         if target_files <= 1:
             df = df.repartition(*cols)
@@ -555,15 +606,31 @@ def snapshot_compact(
                 F.xxhash64(F.spark_partition_id()), F.lit(target_files)
             )
             df = df.repartition(*cols, salt.alias("_cf_salt"))
+        if zorder_by:
+            df = df.sortWithinPartitions(*layout, "_zkey")
+    elif zorder_by:
+        # disjoint key ranges across files — the file-level skipping
+        # layout; the final sort makes row groups tight too
+        df = df.repartitionByRange(
+            max(1, target_files), F.col("_zkey")
+        ).sortWithinPartitions("_zkey")
     else:
         df = df.repartition(max(1, target_files))
+    if zorder_by:
+        # the key is physical-layout scaffolding, not table data (drop
+        # AFTER the sort: a projection does not disturb row order)
+        df = df.drop("_zkey")
     return snapshot_write(
         df,
         table_dir,
         mode="overwrite",
         meta=prev_manifest.get("meta", {}),
         partition_by=layout,
-        maintenance={"compaction": True, "compacted_from": cur},
+        maintenance={
+            "compaction": True,
+            "compacted_from": cur,
+            **({"zorder_by": list(zorder_by)} if zorder_by else {}),
+        },
     )
 
 
