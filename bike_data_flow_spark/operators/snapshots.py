@@ -285,8 +285,36 @@ def snapshot_read(
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
+    else:
+        out = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _restore_partition_types(out, manifest)
+
+
+def _restore_partition_types(out: DataFrame, manifest: dict) -> DataFrame:
+    """Partition columns come back through Hive directory-name
+    INFERENCE, which can drift from the written type (a string column
+    holding '2024-01-01' reads back as DATE, a zero-padded code as
+    INT) — so time travel would not return the schema that was
+    committed. Cast drifted partition columns back to the manifest's
+    recorded type. Cast ONLY on mismatch: for the common case (int
+    shard/bin columns, where inference already agrees) the column is
+    untouched, so predicates on it still push down as
+    PartitionFilters — a cast would shadow the pruning column."""
+    layout = manifest.get("partition_by") or []
+    if not layout:
         return out
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    recorded = {
+        f.name: f.dataType
+        for f in StructType.fromJson(manifest["schema"]).fields
+    }
+    actual = dict(zip(out.schema.names, [f.dataType for f in out.schema]))
+    for c in layout:
+        if c in recorded and c in actual and recorded[c] != actual[c]:
+            out = out.withColumn(c, F.col(c).cast(recorded[c]))
+    return out
 
 
 def latest_meta(table_dir: str) -> dict:

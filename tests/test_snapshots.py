@@ -781,3 +781,29 @@ def test_snapshot_compact_zorder_clusters_files(spark, tmp_path: Path):
     for col in ("x", "y"):
         per_file = spans(col)
         assert sum(per_file) / len(per_file) < 0.8 * 1000, (col, per_file)
+
+
+def test_partition_column_type_round_trips(spark, tmp_path: Path):
+    """Hive directory-name inference must not leak into the table's
+    schema: a STRING partition column holding date-like values reads
+    back as STRING (the committed type), across appends and time
+    travel — while int partition columns stay cast-free so their
+    predicates keep pushing down as PartitionFilters."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "k int, dt string"
+    )
+    snapshot_write(df, t, mode="overwrite", partition_by=["dt"])
+    got = snapshot_read(spark, t)
+    assert dict(got.dtypes)["dt"] == "string"  # not inferred DATE
+    assert {r["dt"] for r in got.collect()} == {"2024-01-01", "2024-01-02"}
+    # still string after an append creates the multi-dir union path
+    snapshot_write(
+        spark.createDataFrame([(3, "2024-01-03")], "k int, dt string"),
+        t,
+        partition_by=["dt"],
+    )
+    got = snapshot_read(spark, t)
+    assert dict(got.dtypes)["dt"] == "string"
+    assert got.filter(got.dt == "2024-01-02").count() == 1
+    assert dict(snapshot_read(spark, t, version=1).dtypes)["dt"] == "string"
