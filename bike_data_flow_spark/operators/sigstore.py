@@ -76,7 +76,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bloom import bloom_build, with_bloom_flag
+from .bloom import (
+    BLOOM_BITS_DEFAULT,
+    BLOOM_K_DEFAULT,
+    bloom_build,
+    with_bloom_flag,
+)
 from .dedup import (
     MINHASH_BANDS,
     MINHASH_K,
@@ -107,6 +112,19 @@ from .snapshots import (
 # corpus; a 100 TB deployment dials it up (e.g. 1024) so tiny
 # monitoring Δs skip proportionally more of the file listing.
 SIGSTORE_SHARDS = 32
+
+# Bloom geometry dial — RECORDED on the bloom table at init, like the
+# shard modulus: probes and merges always use the recorded (bits, k),
+# so redialing never corrupts an existing bloom (an OR-merge of
+# bitmaps only means "union" when both sides share bits AND hash
+# count). Why it must be a dial at all: a fixed 2^21-bit bitmap
+# SATURATES as the store grows — at ~10^9 band keys every bit is set,
+# the FP rate hits 1.0, and the prefilter silently degrades to a
+# pass-through (correct, but the map-side drop the design pays for is
+# gone). Size ~10 bits/key for ~1% FP at k=4; watch bloom_saturation()
+# and REBUILD (signature_store_init) at a bigger dial past ~0.5.
+SIGSTORE_BLOOM_BITS = BLOOM_BITS_DEFAULT
+SIGSTORE_BLOOM_K = BLOOM_K_DEFAULT
 
 
 def _bloom_table(table_dir: str) -> str:
@@ -155,6 +173,39 @@ def store_shards(table_dir: str) -> int:
     return latest_meta(table_dir).get("shards", SIGSTORE_SHARDS)
 
 
+def bloom_geometry(table_dir: str) -> tuple[int, int]:
+    """(bits, k) the sibling bloom was built with (manifest property);
+    falls back to the library defaults for blooms predating the
+    record. Every probe and every OR-merge MUST use these — bitmaps of
+    different geometry do not compose."""
+    m = latest_meta(_bloom_table(table_dir))
+    return (
+        m.get("bits", BLOOM_BITS_DEFAULT),
+        m.get("k", BLOOM_K_DEFAULT),
+    )
+
+
+def bloom_saturation(spark: SparkSession, table_dir: str) -> float:
+    """Fraction of SET bits in the persisted bloom — the operational
+    health dial for the prefilter: expected FP rate ≈ saturation^k, so
+    ~0.5 means ~6% at k=4 and rising fast; past that, rebuild the
+    store (signature_store_init) under a bigger SIGSTORE_BLOOM_BITS.
+    One one-row aggregate over the persisted bitmap — no store scan."""
+    bits, _k = bloom_geometry(table_dir)
+    row = (
+        snapshot_read(spark, _bloom_table(table_dir))
+        .select(
+            F.aggregate(
+                F.transform(F.col("bloom"), lambda w: F.bit_count(w)),
+                F.lit(0),
+                lambda a, b: a + b,
+            ).alias("set_bits")
+        )
+        .first()
+    )
+    return row["set_bits"] / bits
+
+
 def band_keys_for(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -196,6 +247,7 @@ def signature_store_init(
     opens (measured 16× on the composed gate query). Hash-routing each
     shard to one task makes it one file per shard per commit."""
     n_shards = SIGSTORE_SHARDS
+    bits, bk = SIGSTORE_BLOOM_BITS, SIGSTORE_BLOOM_K
     version = snapshot_write(
         band_keys_for(docs, id_col, text_col, n_shards=n_shards).repartition(
             "_shard"
@@ -211,10 +263,12 @@ def signature_store_init(
         bloom_build(
             snapshot_read(spark, table_dir).select(_combine()),
             F.col("_bk_comb"),
+            num_bits=bits,
+            k=bk,
         ),
         _bloom_table(table_dir),
         mode="overwrite",
-        meta={"covers_store_version": version},
+        meta={"covers_store_version": version, "bits": bits, "k": bk},
     )
     return version
 
@@ -235,6 +289,14 @@ def _commit_bloom_merge(
     bits and silently suppress its candidate pairs forever."""
     for _ in range(max_retries):
         bv = current_version(bloom_dir)
+        # carry the bloom's GEOMETRY properties forward — the merge
+        # meta must not displace bits/k (every later probe and merge
+        # derives them from the manifest)
+        props = {
+            k: v
+            for k, v in latest_meta(bloom_dir).items()
+            if k in ("bits", "k")
+        }
         merged = _or_blooms(snapshot_read(spark, bloom_dir), delta_bloom)
         try:
             return snapshot_write(
@@ -243,7 +305,10 @@ def _commit_bloom_merge(
                 mode="overwrite",
                 # written BEFORE the store append, so the bloom covers
                 # the current store version PLUS the in-flight Δ
-                meta={"includes_delta_beyond_store_version": store_version},
+                meta={
+                    **props,
+                    "includes_delta_beyond_store_version": store_version,
+                },
                 expected_version=bv or 0,
             )
         except SnapshotConflictError:
@@ -300,14 +365,24 @@ def probe_store_pairs(
         # the persisted one-row bitmap — NO store scan per probe; a
         # store bootstrapped outside signature_store_init falls back
         # to building it once from the store (and from then on the
-        # commit path below keeps nothing, preserving old behavior)
-        stored_bloom = (
-            snapshot_read(spark, bloom_dir)
-            if has_bloom_table
-            else bloom_build(store.select(_combine()), F.col("_bk_comb"))
-        )
+        # commit path below keeps nothing, preserving old behavior).
+        # Geometry comes from the bloom MANIFEST, never the current
+        # dial — probing a bitmap under the wrong (bits, k) would
+        # manufacture false negatives.
+        if has_bloom_table:
+            bits, bk = bloom_geometry(table_dir)
+            stored_bloom = snapshot_read(spark, bloom_dir)
+        else:
+            bits, bk = SIGSTORE_BLOOM_BITS, SIGSTORE_BLOOM_K
+            stored_bloom = bloom_build(
+                store.select(_combine()), F.col("_bk_comb"),
+                num_bits=bits, k=bk,
+            )
         probe = (
-            with_bloom_flag(delta, stored_bloom, _combine(), flag="_hit")
+            with_bloom_flag(
+                delta, stored_bloom, _combine(), num_bits=bits, k=bk,
+                flag="_hit",
+            )
             .filter(F.col("_hit"))
             .drop("_hit")
         )
@@ -344,8 +419,9 @@ def admit_delta(
         return None
     bloom_dir = _bloom_table(table_dir)
     if current_version(bloom_dir) is not None:
+        bits, bk = bloom_geometry(table_dir)  # recorded, never the dial
         delta_bloom = bloom_build(
-            delta.select(_combine()), F.col("_bk_comb")
+            delta.select(_combine()), F.col("_bk_comb"), num_bits=bits, k=bk
         ).localCheckpoint()
         _commit_bloom_merge(
             spark, bloom_dir, delta_bloom, current_version(table_dir)

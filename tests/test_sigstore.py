@@ -404,3 +404,51 @@ def test_shard_dial_migration_safe(spark, store_dir, monkeypatch):
         )
     )
     assert probe2 == probe2_ref
+
+
+def test_bloom_geometry_dial_recorded_and_migration_safe(
+    spark, store_dir, monkeypatch
+):
+    """The bloom's (bits, k) are a RECORDED property: a tiny-dial bloom
+    still yields exactly the bloomless pair set (FP-only contract at
+    any saturation), saturation is measurable and rises with load, and
+    admissions AFTER the global dial moves still OR-merge under the
+    recorded geometry (bitmap length unchanged, bit-equal to a
+    from-scratch build at that geometry)."""
+    from bike_data_flow_spark.operators.bloom import bloom_build
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    monkeypatch.setattr(G, "SIGSTORE_BLOOM_BITS", 1 << 12)  # tiny: saturates
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+    assert G.bloom_geometry(store_dir) == (1 << 12, 4)
+    sat0 = G.bloom_saturation(spark, store_dir)
+    assert 0.0 < sat0 <= 1.0
+
+    # probes stay EXACT at any saturation (bloom is FP-only)
+    monkeypatch.setattr(G, "SIGSTORE_BLOOM_BITS", 1 << 21)  # dial moves
+    want = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 1), store_dir, commit=False,
+            use_bloom=False,
+        )
+    )
+    got = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 1), store_dir, commit=True
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # the merge ran under the RECORDED tiny geometry, not the new dial
+    stored = snapshot_read(spark, G._bloom_table(store_dir)).first()["bloom"]
+    assert len(stored) == (1 << 12) // 64  # bitmap length unchanged
+    scratch = bloom_build(
+        snapshot_read(spark, store_dir).select(G._combine()),
+        F.col("_bk_comb"),
+        num_bits=1 << 12,
+        k=4,
+    ).first()["bloom"]
+    assert list(stored) == list(scratch)
+    assert G.bloom_geometry(store_dir) == (1 << 12, 4)  # props carried
+    assert G.bloom_saturation(spark, store_dir) >= sat0  # monotone
