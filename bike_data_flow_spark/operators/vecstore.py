@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from .bloom import bloom_build, with_bloom_flag
 from .similarity import cosine, hyperplane_bucket
 from .snapshots import (
+    current_version,
     latest_meta,
     snapshot_read,
     snapshot_write,
@@ -188,23 +189,29 @@ def probe_vector_pairs(
     ``validate_store_dials`` (the dials govern how Δ was bucketed)."""
     store = snapshot_read(spark, table_dir)
 
-    # directory-level prune FIRST: Δ's occupied shards are a bounded
-    # literal list (≤ the store's recorded modulus by construction —
-    # collecting it can never be corpus-sized), and _shard is the
-    # store's Hive partition column, so this lands as PartitionFilters
-    # — only the matching directories are even LISTED, let alone
-    # scanned. Shard values derive from the STORE's recorded modulus,
-    # not Δ's _shard column (the runtime dial may have moved).
-    n_shards = store_shards(table_dir)
-    shards = [
-        r[0]
-        for r in delta.select(
-            F.pmod(F.col("bucket"), F.lit(n_shards)).cast("int").alias("_s")
-        )
-        .distinct()
-        .collect()
-    ]
-    store = store.filter(F.col("_shard").isin(shards))
+    if "_shard" in store.columns:
+        # directory-level prune FIRST: Δ's occupied shards are a
+        # bounded literal list (≤ the store's recorded modulus by
+        # construction — collecting it can never be corpus-sized), and
+        # _shard is the store's Hive partition column, so this lands
+        # as PartitionFilters — only the matching directories are even
+        # LISTED, let alone scanned. Shard values derive from the
+        # STORE's recorded modulus, not Δ's _shard column (the runtime
+        # dial may have moved). Column-gated for symmetry with
+        # sigstore: a legacy store without the column still probes,
+        # just without the directory skip.
+        n_shards = store_shards(table_dir)
+        shards = [
+            r[0]
+            for r in delta.select(
+                F.pmod(F.col("bucket"), F.lit(n_shards))
+                .cast("int")
+                .alias("_s")
+            )
+            .distinct()
+            .collect()
+        ]
+        store = store.filter(F.col("_shard").isin(shards))
 
     if use_bloom:
         # Δ is the SMALL side here (the reverse of sigstore's direction):
@@ -261,7 +268,15 @@ def admit_vector_delta(
         if not k.startswith("txn_")
     }
     meta = {**props, **(extra_meta or {})}
-    layout = table_layout(table_dir) or ["_shard"]
+    # adopt the EXISTING table's layout (a legacy layout-less store
+    # appends layout-less — forcing ["_shard"] onto it would trip the
+    # mixed-layout guard); only a brand-new table gets the sharded
+    # default
+    layout = (
+        table_layout(table_dir)
+        if current_version(table_dir) is not None
+        else ["_shard"]
+    )
     if "_shard" in layout:
         # re-derive _shard under the STORE's recorded modulus (the
         # runtime dial may differ since init)
@@ -271,14 +286,16 @@ def admit_vector_delta(
                 "int"
             ),
         )
-    return snapshot_write(
+    if layout:
         # one file per Hive dir per commit (see vector_store_init's
         # repartition note)
-        delta.repartition(*layout),
+        delta = delta.repartition(*layout)
+    return snapshot_write(
+        delta,
         table_dir,
         mode="append",
         meta=meta or None,
-        partition_by=layout,
+        partition_by=layout or None,
     )
 
 

@@ -407,3 +407,46 @@ def test_shard_dial_migration_safe(spark, store_dir, monkeypatch):
         F.pmod(F.col("bucket"), F.lit(64)).cast("int").alias("_want"),
     )
     assert rows.filter(F.col("_shard") != F.col("_want")).count() == 0
+
+
+def test_legacy_layoutless_store_probes_and_appends(spark, store_dir):
+    """A store bootstrapped OUTSIDE vector_store_init (raw snapshot
+    write, no Hive layout, no manifest properties) must still probe
+    correctly (no directory skip, bloom only) and accept layout-less
+    admissions — symmetry with sigstore's bloomless-fallback posture."""
+    from bike_data_flow_spark.operators.snapshots import snapshot_write
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    part = F.pmod(F.col("vec_id"), F.lit(3))
+    snapshot_write(
+        V.bucket_rows_for(emb.filter(part == 0), _DIM), store_dir,
+        mode="overwrite",
+    )
+    want = _pairs(
+        V.incremental_cosine_pairs(
+            spark, emb.filter(part == 1), store_dir, dim=_DIM, tau=_TAU,
+            commit=False, use_bloom=False,
+        )
+    )
+    got = _pairs(
+        V.incremental_cosine_pairs(
+            spark, emb.filter(part == 1), store_dir, dim=_DIM, tau=_TAU,
+            commit=True,  # layout-less append must be accepted
+        )
+    )
+    assert got == want and len(got) > 0
+    assert current_version(store_dir) == 2
+    # post-append probe still reconciles
+    probe2 = _pairs(
+        V.incremental_cosine_pairs(
+            spark, emb.filter(part == 2), store_dir, dim=_DIM, tau=_TAU,
+            commit=False,
+        )
+    )
+    ref2 = _pairs(
+        V.incremental_cosine_pairs(
+            spark, emb.filter(part == 2), store_dir, dim=_DIM, tau=_TAU,
+            commit=False, use_bloom=False,
+        )
+    )
+    assert probe2 == ref2
