@@ -1,6 +1,8 @@
-"""foreachBatch probe (and optional fenced admission) of the persisted
-dedup signature store — the HIGH-FREQUENCY spelling of the streamed
-store probe.
+"""foreachBatch probes (and optional fenced admission) of BOTH
+persisted dedup stores — the MinHash signature store (operators/
+sigstore.py) and its embedding twin, the vector index (operators/
+vecstore.py) — the HIGH-FREQUENCY spelling of the streamed store
+probe.
 
 Why not a stream-static join (queries/streaming_q.py
 ``streamed_incremental_dedup``)? Two reasons, both documented as the
