@@ -1,0 +1,154 @@
+"""Fellegi–Sunter probabilistic record linkage.
+
+The classic decision model for entity resolution (Fellegi & Sunter
+1969): each candidate pair gets a log-likelihood match weight summed
+over field-level agreement indicators. For every compared field f,
+
+    w_f(agree)    = log2(m_f / u_f)
+    w_f(disagree) = log2((1 - m_f) / (1 - u_f))
+
+where m_f = P(fields agree | pair is a true match) — supplied as a
+model constant — and u_f = P(fields agree | pair is a non-match) —
+ESTIMATED FROM THE DATA as the probability two distinct random records
+agree on f, which for exact-equality comparators has the closed form
+
+    u_f = (Σ_v n_v² − N) / (N² − N)
+
+over the field's value histogram. Both numerator and denominator are
+exact BIGINT sums, so u is one deterministic double division — the
+oracle computes bit-identical values from the same integers.
+
+Spark shape at 100 TB:
+
+- ``field_u_probabilities`` is ONE scan of the record set: fields are
+  stacked long (map-side explode ×|fields|), partially aggregated into
+  (field, value) counts, reduced to |fields| rows, and pivoted to a
+  single row — broadcast to every score task. No driver collect.
+- ``blocked_pairs`` unions several self-equi-joins on cheap blocking
+  keys (multi-pass blocking — the standard way to keep candidate pairs
+  sub-quadratic while letting every compared field still disagree
+  inside some pass). Each pass shuffles on its own compound key; pair
+  volume is Σ_blocks |b|²/2 per pass, governed by the key choice, and
+  skew-prone keys should go through dedup.capped_block_join instead.
+- ``fs_score`` is a pure map stage over the pairs: the u row rides in
+  via a broadcast cross join, every weight is a CASE over two column
+  equalities, and the decision thresholds are plan literals.
+
+Reference parity: the reference has no probabilistic linkage; this
+extends its dedup/ER surface (SURVEY.md §2 north-star: entity
+resolution) the way wrm station records would be linked across feeds
+without a shared key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def field_u_long(records: DataFrame, fields: list[str]) -> DataFrame:
+    """(field, u) rows — one per compared field — where u is the
+    exact-equality agreement probability of two distinct random
+    records, from one stacked pass over ``records``. Both sums are
+    exact integers, so u is one deterministic double division."""
+    stack_args = ", ".join(
+        f"'{f}', cast({f} as string)" for f in fields
+    )
+    stacked = records.select(
+        F.expr(f"stack({len(fields)}, {stack_args}) as (field, value)")
+    )
+    counts = stacked.groupBy("field", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("field").agg(
+        (
+            (F.sum(F.col("c") * F.col("c")) - F.sum("c"))
+            / (F.sum("c") * F.sum("c") - F.sum("c"))
+        ).alias("u")
+    )
+
+
+def field_u_probabilities(records: DataFrame, fields: list[str]) -> DataFrame:
+    """One-row DataFrame with one column per compared field (named
+    after the field), holding u_f — ``field_u_long`` pivoted wide for
+    broadcast into the score stage."""
+    return (
+        field_u_long(records, fields)
+        .groupBy()
+        .pivot("field", fields)
+        .agg(F.first("u"))
+    )
+
+
+def blocked_pairs(
+    records: DataFrame,
+    id_col: str,
+    block_keys: list[list[str]],
+    carry: list[str],
+) -> DataFrame:
+    """Multi-pass blocked candidate pairs: one self-equi-join per key
+    list in ``block_keys``, unioned and de-duplicated on the id pair.
+    Output columns: id_a, id_b (id_a < id_b) plus ``<c>_a``/``<c>_b``
+    for every carried comparison column."""
+    out: DataFrame | None = None
+    for keys in block_keys:
+        a = records.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in carry],
+            *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        )
+        b = records.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+            *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        )
+        pass_pairs = (
+            a.join(b, [f"_bk_{k}" for k in keys])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop(*[f"_bk_{k}" for k in keys])
+        )
+        out = pass_pairs if out is None else out.unionByName(pass_pairs)
+    assert out is not None, "at least one blocking pass required"
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
+def fs_weight(
+    agree: Column, m: float, u: Column
+) -> Column:
+    """Field contribution to the FS match weight."""
+    return F.when(
+        agree, F.log2(F.lit(m) / u)
+    ).otherwise(F.log2((F.lit(1.0) - F.lit(m)) / (F.lit(1.0) - u)))
+
+
+def fs_score(
+    pairs: DataFrame,
+    u_row: DataFrame,
+    m_probs: dict[str, float],
+    match_threshold: float,
+    possible_threshold: float,
+) -> DataFrame:
+    """Score candidate pairs under the FS model and classify.
+
+    ``pairs`` carries ``<f>_a``/``<f>_b`` per field in ``m_probs``;
+    ``u_row`` is the one-row frame from ``field_u_probabilities``.
+    Output: (id_a, id_b, score, decision) for pairs at or above
+    ``possible_threshold`` (below it the pair is a non-match and a
+    100 TB run must not materialize it).
+    """
+    scored = pairs.crossJoin(F.broadcast(u_row))
+    total = None
+    for f, m in m_probs.items():
+        w = fs_weight(
+            F.col(f"{f}_a") == F.col(f"{f}_b"), m, F.col(f)
+        )
+        total = w if total is None else total + w
+    scored = scored.select(
+        "id_a", "id_b", F.round(total, 4).alias("score")
+    )
+    decision = F.when(
+        F.col("score") >= match_threshold, F.lit("match")
+    ).otherwise(F.lit("possible"))
+    return scored.filter(
+        F.col("score") >= possible_threshold
+    ).withColumn("decision", decision)

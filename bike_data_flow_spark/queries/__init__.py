@@ -54,6 +54,10 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
     # -- new in round 9 (never driver-checked) --
+    "fs_linkage_scores",
+    "fs_field_weights",
+    "cluster_balanced_sample",
+    "leakage_safe_split",
     "foreachbatch_incremental_dedup",
     "foreachbatch_embedding_dedup",
     "compacted_vector_store_probe",
@@ -238,6 +242,7 @@ def load_all() -> dict[str, Query]:
     from . import (  # noqa: F401
         bike_pipeline,
         evalops,
+        linkage_q,
         maintenance,
         mlops,
         mutations,

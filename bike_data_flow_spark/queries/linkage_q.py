@@ -1,0 +1,170 @@
+"""Probabilistic record linkage (Fellegi–Sunter) over the `part`
+table: multi-pass blocked candidate pairs scored by data-estimated
+log-likelihood weights. Oracles compute the identical model in DuckDB
+from the same exact integer histograms, so u probabilities, weights,
+scores, and decisions hash-match bit-for-bit (modulo the repo-wide
+round(…, 4) convention on floating outputs).
+
+Extends the reference's entity-resolution surface (SURVEY.md §2
+north-star; sibling of relational11.fuzzy_entity_clusters): where the
+fuzzy clusterer links by name edit-distance alone, the FS model fuses
+ALL fields with principled per-field evidence weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import linkage as L
+from ..tables import load
+from . import query
+
+# Compared fields and their assumed m = P(agree | true match). u is
+# estimated from the data; m is the model's prior belief about field
+# reliability (name almost always survives a true re-record; size is
+# the most volatile).
+_FS_M = {"p_name": 0.95, "p_brand": 0.90, "p_type": 0.85, "p_size": 0.70}
+_FS_FIELDS = list(_FS_M)
+
+# Decision thresholds on the summed weight (base-2 log-likelihood
+# ratio). The 2⁴ agreement patterns land at discrete scores; these
+# sit in the wide gaps between observed tiers at every gate SF
+# (nearest tiers: 7.67 / 10.14 around 9.0 and 6.31 / 7.67 around 6.5).
+_FS_MATCH_T = 9.0
+_FS_POSSIBLE_T = 6.5
+
+# Multi-pass blocking: same name tail + brand, and same name tail +
+# size. Two cheap compound keys keep the pair set sub-quadratic while
+# every compared field can still DISAGREE inside some pass (a single
+# pass on (tok, brand) could never observe brand disagreement).
+_FS_BLOCKS = [["tok", "p_brand"], ["tok", "p_size"]]
+
+_B_SQL = """
+  b AS (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+               string_split(p_name, ' ')[-1] AS tok FROM part)
+"""
+
+_U_ONE = (
+    "(SELECT (sum(c*c) - sum(c)) / (sum(c)*sum(c) - sum(c)) "
+    "FROM (SELECT count(*) AS c FROM b GROUP BY {field}))"
+)
+
+_U_SQL = (
+    "u AS (SELECT "
+    + ", ".join(
+        _U_ONE.format(field=f) + f" AS u_{f}" for f in _FS_FIELDS
+    )
+    + ")"
+)
+
+_W_SQL = " + ".join(
+    f"CASE WHEN {f}_l = {f}_r THEN log2({m} / u_{f}) "
+    f"ELSE log2({1.0 - m:.2f} / (1 - u_{f})) END"
+    for f, m in _FS_M.items()
+)
+
+_CAND_SQL = """
+  cand AS (
+    SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+           a.p_name AS p_name_l, c.p_name AS p_name_r,
+           a.p_brand AS p_brand_l, c.p_brand AS p_brand_r,
+           a.p_type AS p_type_l, c.p_type AS p_type_r,
+           a.p_size AS p_size_l, c.p_size AS p_size_r
+    FROM b a JOIN b c
+      ON a.tok = c.tok AND a.p_brand = c.p_brand
+     AND a.p_partkey < c.p_partkey
+    UNION
+    SELECT a.p_partkey, c.p_partkey,
+           a.p_name, c.p_name, a.p_brand, c.p_brand,
+           a.p_type, c.p_type, a.p_size, c.p_size
+    FROM b a JOIN b c
+      ON a.tok = c.tok AND a.p_size = c.p_size
+     AND a.p_partkey < c.p_partkey
+  )
+"""
+
+
+# Candidate generation is two blocked self-joins (multi-pass blocking)
+# deduped on the id pair; scoring is a pure map stage with the one-row
+# u frame broadcast; only pairs at/above the 'possible' threshold are
+# materialized. At 100 TB the pair volume is set by the blocking keys
+# (Σ|block|²/2 per pass) — skewed keys should route through
+# dedup.capped_block_join; these two compound keys are ~uniform.
+@query(
+    "fs_linkage_scores",
+    oracle=f"""
+    WITH {_B_SQL}, {_U_SQL}, {_CAND_SQL},
+    scored AS (
+      SELECT id_a, id_b, round({_W_SQL}, 4) AS score
+      FROM cand, u
+    )
+    SELECT id_a, id_b, score,
+           CASE WHEN score >= {_FS_MATCH_T} THEN 'match'
+                ELSE 'possible' END AS decision
+    FROM scored WHERE score >= {_FS_POSSIBLE_T}
+    """,
+)
+def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter pair scores + decisions over multi-pass blocked
+    candidates. See operators/linkage.py for the model and the 100 TB
+    plan shape."""
+    part = load(spark, sf_dir, "part")
+    records = part.select(
+        "p_partkey",
+        *_FS_FIELDS,
+        F.element_at(F.split("p_name", " "), -1).alias("tok"),
+    )
+    u_row = L.field_u_probabilities(records, _FS_FIELDS)
+    pairs = L.blocked_pairs(
+        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
+    )
+    return L.fs_score(
+        pairs,
+        u_row,
+        _FS_M,
+        match_threshold=_FS_MATCH_T,
+        possible_threshold=_FS_POSSIBLE_T,
+    )
+
+
+# The model's explainability artifact: per field, the data-estimated
+# u probability and the agreement/disagreement evidence weights. One
+# scan, |fields| output rows — the table a linkage reviewer reads
+# before trusting the decisions above.
+@query(
+    "fs_field_weights",
+    oracle=f"""
+    WITH {_B_SQL},
+    s AS (
+      {" UNION ALL ".join(
+          f"SELECT '{f}' AS field, {_U_ONE.format(field=f)} AS u, "
+          f"CAST({m} AS DOUBLE) AS m"
+          for f, m in _FS_M.items()
+      )}
+    )
+    SELECT field, round(u, 6) AS u_agree,
+           round(log2(m / u), 4) AS w_agree,
+           round(log2((1 - m) / (1 - u)), 4) AS w_disagree
+    FROM s
+    """,
+)
+def fs_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    records = part.select("p_partkey", *_FS_FIELDS)
+    u = L.field_u_long(records, _FS_FIELDS)
+    m = None
+    for f, mv in _FS_M.items():
+        m = (
+            F.when(F.col("field") == f, F.lit(mv))
+            if m is None
+            else m.when(F.col("field") == f, F.lit(mv))
+        )
+    return u.select(
+        "field",
+        F.round("u", 6).alias("u_agree"),
+        F.round(F.log2(m / F.col("u")), 4).alias("w_agree"),
+        F.round(
+            F.log2((F.lit(1.0) - m) / (F.lit(1.0) - F.col("u"))), 4
+        ).alias("w_disagree"),
+    )

@@ -24,7 +24,7 @@ from ..operators.dedup import normalized_text
 from ..operators import text as T
 from ..tables import load
 from . import query
-from .textops import _NORM
+from .textops import _NORM, _minhash_oracle
 from .textops2 import _MIX_TAU, _N_TOK
 
 _BUDGET_TOKENS = 1_000_000
@@ -139,3 +139,57 @@ def source_dedup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_pairs"),
         F.sum(F.col("ks") * (F.col("k") - F.col("ks"))).alias("cross_links"),
     )
+
+
+# --- leakage-safe train/val/test split --------------------------------------
+
+_LSP_HASH_D = (
+    "CAST(('0x' || substr(md5('lsp|' || CAST(cluster_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+_LSP_HASH_S = (
+    "pmod(conv(substring(md5(concat('lsp|', cast(cluster_id as string))), "
+    "1, 8), 16, 10), 100)"
+)
+
+
+# Near-dup-aware split: hash the near-dup CLUSTER id, not the doc id —
+# two near-duplicate documents can never straddle train/val, the
+# leakage mode a per-doc hash split (stratified_split_counts) cannot
+# rule out. Plan: the LSH candidate pairs + pointer-jumping connected
+# components already benchmarked by dedup_clusters, then a map-side
+# hash on the cluster label. At 100 TB the split adds ZERO shuffles on
+# top of clustering; singleton docs (no near-dup) hash on their own id
+# because their cluster_id IS their doc_id.
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({{minhash_pairs}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM walk GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_LSP_HASH_D} < 80 THEN 'train'
+                WHEN {_LSP_HASH_D} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters
+    """.replace("{minhash_pairs}", _minhash_oracle().strip()),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs)
+    clusters = D.connected_components(pairs, docs.select("doc_id"))
+    h = F.expr(_LSP_HASH_S)
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))

@@ -1527,3 +1527,63 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum("t").cast("double")) / F.lit(_CD_SCALE), 6
         ).alias("shift"),
     )
+
+
+# --- cluster-balanced (density-equalized) sampling -------------------------
+
+# Per-cluster keep-rate (basis points) = floor(10000·C / sqrt(|c|)),
+# capped at 100%: expected kept rows per cluster ≈ C·sqrt(|c|) — the
+# sqrt-propensity flattening that keeps a web-scale corpus's giant
+# duplicate-heavy clusters from dominating the training mix while
+# small (rare-topic) clusters survive near-intact.
+_CBS_C = 5.0
+_CBS_NUM = 10000.0 * _CBS_C  # plan-time constant, same literal both engines
+
+_CBS_HASH_D = (
+    "CAST(('0x' || substr(md5('cbs|' || CAST(vec_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 10000"
+)
+_CBS_HASH_S = (
+    "pmod(conv(substring(md5(concat('cbs|', cast(vec_id as string))), 1, 8), "
+    "16, 10), 10000)"
+)
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=(
+        "WITH "
+        + ",\n".join(_kmeans_ctes(k=5, n_iter=5, train_pct=_KMEANS_TRAIN_PCT))
+        + f""",
+    sizes AS (SELECT cluster, count(*) AS cluster_n FROM a6 GROUP BY cluster)
+    SELECT a.vec_id, a.cluster, s.cluster_n
+    FROM a6 a JOIN sizes s USING (cluster)
+    WHERE {_CBS_HASH_D} <
+          least(10000, floor({_CBS_NUM} / sqrt(s.cluster_n)))
+    """
+    ),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-equalized corpus sampling: k-means clusters (the same
+    deterministic Lloyd dials as kmeans_clusters), then a per-cluster
+    deterministic hash sample at rate ∝ 1/sqrt(|cluster|). Plan shape:
+    the assignment pass (kmeans_lloyd — centroid literals, no join),
+    ONE k-row partial-agg for cluster sizes broadcast back onto the
+    assignment, and a map-side hash filter — no window, no global
+    sort, no skewed shuffle (the k-key size agg is partial-agg
+    bounded), so the operator is a constant number of corpus passes
+    at any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    asg = S.kmeans_lloyd(emb, k=5, n_iter=5, train_pct=_KMEANS_TRAIN_PCT)
+    sizes = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_n")
+    )
+    keep_bp = F.least(
+        F.lit(10000).cast("double"),
+        F.floor(F.lit(_CBS_NUM) / F.sqrt(F.col("cluster_n"))).cast("double"),
+    )
+    return (
+        asg.join(F.broadcast(sizes), "cluster")
+        .filter(F.expr(_CBS_HASH_S) < keep_bp)
+        .select("vec_id", "cluster", "cluster_n")
+    )

@@ -1,0 +1,96 @@
+"""Properties of the round-9 curation additions: cluster-balanced
+sampling (queries/vectors.cluster_balanced_sample) and the leakage-safe
+split (queries/textops4.leakage_safe_split). The value-level parity is
+oracle-gated; these tests pin the SEMANTIC guarantees the hash compare
+can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bike_data_flow_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_leakage_safe_split_no_pair_straddles_splits(spark):
+    """THE guarantee: no near-dup candidate pair lands in two different
+    splits (the leakage a per-doc hash split permits)."""
+    from bike_data_flow_spark.operators import dedup as D
+    from bike_data_flow_spark.tables import load
+
+    q = load_all()["leakage_safe_split"].fn
+    assign = q(spark, SF).select("doc_id", "split")
+    docs = load(spark, SF, "documents")
+    pairs = D.minhash_lsh_candidates(docs)
+    a = assign.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    b = assign.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    straddlers = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert straddlers.count() == 0
+
+
+def test_leakage_safe_split_total_and_deterministic(spark):
+    q = load_all()["leakage_safe_split"].fn
+    one = q(spark, SF).orderBy("doc_id").collect()
+    two = q(spark, SF).orderBy("doc_id").collect()
+    assert one == two  # hash split: stable across runs
+    assert len(one) == 500  # every document assigned exactly once
+    assert len({r["doc_id"] for r in one}) == 500
+    assert {r["split"] for r in one} <= {"train", "val", "test"}
+
+
+def test_cluster_balanced_sample_flattens_big_clusters(spark):
+    """Keep-rate must be ~C/sqrt(|c|): observed per-cluster rates fall
+    as cluster size grows, and each observed rate is within binomial
+    noise of the planned basis-point dial."""
+    import math
+
+    from bike_data_flow_spark.operators import similarity as S
+    from bike_data_flow_spark.queries.vectors import (
+        _CBS_NUM,
+        _KMEANS_TRAIN_PCT,
+    )
+    from bike_data_flow_spark.tables import load
+
+    kept = load_all()["cluster_balanced_sample"].fn(spark, SF)
+    kept_sizes = {
+        r["cluster"]: r["n_kept"]
+        for r in kept.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .collect()
+    }
+    emb = load(spark, SF, "embeddings")
+    asg = S.kmeans_lloyd(emb, k=5, n_iter=5, train_pct=_KMEANS_TRAIN_PCT)
+    full_sizes = {
+        r["cluster"]: r["n"]
+        for r in asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for c, n in full_sizes.items():
+        rate = min(1.0, math.floor(_CBS_NUM / math.sqrt(n)) / 10000.0)
+        got = kept_sizes.get(c, 0) / n
+        # 4-sigma binomial tolerance
+        tol = 4.0 * math.sqrt(rate * (1 - rate) / n) + 1e-9
+        assert abs(got - rate) <= tol, (c, n, rate, got)
+
+
+def test_cluster_balanced_sample_is_subset_of_assignment(spark):
+    from bike_data_flow_spark.operators import similarity as S
+    from bike_data_flow_spark.queries.vectors import _KMEANS_TRAIN_PCT
+    from bike_data_flow_spark.tables import load
+
+    kept = load_all()["cluster_balanced_sample"].fn(spark, SF)
+    emb = load(spark, SF, "embeddings")
+    asg = S.kmeans_lloyd(emb, k=5, n_iter=5, train_pct=_KMEANS_TRAIN_PCT)
+    # (vec_id, cluster) of every kept row appears in the assignment
+    missing = kept.select("vec_id", "cluster").exceptAll(
+        asg.select("vec_id", "cluster")
+    )
+    assert missing.count() == 0

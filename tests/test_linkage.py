@@ -1,0 +1,102 @@
+"""Fellegi–Sunter record linkage (operators/linkage.py)."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from bike_data_flow_spark.operators import linkage as L
+
+
+def _records(spark):
+    rows = [
+        (1, "acme corp", "red", 10),
+        (2, "acme corp", "red", 10),
+        (3, "acme corp", "blue", 10),
+        (4, "zenith ltd", "red", 20),
+        (5, "zenith ltd", "green", 20),
+        (6, "other co", "red", 30),
+    ]
+    return spark.createDataFrame(rows, "rid long, name string, color string, size long")
+
+
+def test_field_u_matches_brute_force(spark):
+    df = _records(spark)
+    rows = df.collect()
+    got = {
+        r["field"]: r["u"]
+        for r in L.field_u_long(df, ["name", "color", "size"]).collect()
+    }
+    n = len(rows)
+    for f in ("name", "color", "size"):
+        agree = sum(
+            1 for a, b in combinations(rows, 2) if a[f] == b[f]
+        )
+        expect = agree / (n * (n - 1) / 2)
+        assert got[f] == expect, f
+
+
+def test_field_u_probabilities_pivots_wide(spark):
+    row = L.field_u_probabilities(_records(spark), ["name", "color"]).collect()
+    assert len(row) == 1
+    assert set(row[0].asDict()) == {"name", "color"}
+
+
+def test_blocked_pairs_multi_pass_union_dedup(spark):
+    df = _records(spark).withColumn("blk_a", F.col("color")).withColumn(
+        "blk_b", F.col("size")
+    )
+    pairs = L.blocked_pairs(
+        df, "rid", [["blk_a"], ["blk_b"]], carry=["name"]
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    rows = df.collect()
+    expect = {
+        (a["rid"], b["rid"])
+        for a, b in combinations(rows, 2)
+        if a["color"] == b["color"] or a["size"] == b["size"]
+    }
+    assert got == expect
+    assert len(pairs) == len(got)  # de-duplicated across passes
+    # carried comparison columns present on both sides
+    assert {"name_a", "name_b"} <= set(pairs[0].asDict())
+
+
+def test_fs_score_weight_math_and_thresholds(spark):
+    # one agreeing and one disagreeing pair on a single field
+    pairs = spark.createDataFrame(
+        [(1, 2, "x", "x"), (3, 4, "x", "y")],
+        "id_a long, id_b long, f_a string, f_b string",
+    )
+    u_row = spark.createDataFrame([(0.25,)], "f double")
+    m = 0.9
+    agree_w = round(math.log2(m / 0.25), 4)
+    disagree_w = round(math.log2((1 - m) / 0.75), 4)
+
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in L.fs_score(
+            pairs,
+            u_row,
+            {"f": m},
+            match_threshold=agree_w - 0.1,
+            possible_threshold=disagree_w - 0.1,
+        ).collect()
+    }
+    assert out[(1, 2)]["score"] == agree_w
+    assert out[(1, 2)]["decision"] == "match"
+    assert out[(3, 4)]["score"] == disagree_w
+    assert out[(3, 4)]["decision"] == "possible"
+
+
+def test_fs_score_drops_below_possible_threshold(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, "x", "y")], "id_a long, id_b long, f_a string, f_b string"
+    )
+    u_row = spark.createDataFrame([(0.25,)], "f double")
+    out = L.fs_score(
+        pairs, u_row, {"f": 0.9}, match_threshold=5.0, possible_threshold=0.0
+    )
+    assert out.count() == 0
