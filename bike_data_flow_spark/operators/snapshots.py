@@ -137,6 +137,76 @@ def _publish_manifest(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+class ConstraintViolation(ValueError):
+    """A snapshot write was refused because incoming rows violate the
+    table's CHECK constraints. The table is untouched — no data dir,
+    no manifest, no pointer move."""
+
+
+def set_check_constraints(table_dir: str, constraints: dict[str, str]) -> None:
+    """Record named CHECK constraints as a TABLE property: SQL boolean
+    expressions over the table's columns that every subsequently
+    written row must satisfy (Delta-style write-time enforcement —
+    ``{"bikes_nonneg": "bikes >= 0", "sid_set": "station_id IS NOT
+    NULL"}``). A row violates when its expression is FALSE **or
+    NULL** — spell the constraint with coalesce() if NULLs should
+    pass. Replaces the whole set; pass ``{}`` to drop enforcement.
+
+    Constraints live in their own atomically-published file beside the
+    manifests (like the _LATEST pointer), NOT inside any version's
+    ``meta``: they are orthogonal to versions, survive maintenance
+    rewrites and meta-carrying commits, and cost zero manifest bloat."""
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    path = f"{_manifest_dir(table_dir)}/_CONSTRAINTS.json"
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(constraints, fh)
+    os.replace(tmp, path)
+
+
+def check_constraints(table_dir: str) -> dict[str, str]:
+    """The table's recorded CHECK constraints (empty if none set)."""
+    path = f"{_manifest_dir(table_dir)}/_CONSTRAINTS.json"
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _validate_constraints(df: DataFrame, table_dir: str) -> None:
+    """ONE aggregate pass counting violations of every constraint at
+    once (map-side partials; never a pass per constraint). Costs one
+    extra evaluation of ``df`` — cache upstream if it is expensive.
+    At 100 TB this is the same single-scan admission audit shape as
+    quality.validate, and it runs BEFORE any data file is written, so
+    a refused batch leaves no garbage to collect."""
+    from pyspark.sql import functions as F
+
+    cons = check_constraints(table_dir)
+    if not cons:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.expr(expr) == F.lit(True), 0).otherwise(1)
+        ).alias(name)
+        for name, expr in cons.items()
+    ]
+    counts = df.agg(*aggs).first()
+    bad = {
+        name: counts[name]
+        for name in cons
+        if counts[name] and counts[name] > 0
+    }
+    if bad:
+        detail = ", ".join(
+            f"{name!r} ({cons[name]}): {n} row(s)" for name, n in bad.items()
+        )
+        raise ConstraintViolation(
+            f"write to {table_dir} refused — CHECK constraint(s) "
+            f"violated: {detail}"
+        )
+
+
 def snapshot_write(
     df: DataFrame,
     table_dir: str,
@@ -198,6 +268,14 @@ def snapshot_write(
                 "layouts must match (mixed layouts read the partition "
                 "column as NULL for the other dirs) — overwrite to relay"
             )
+
+    # CHECK constraints gate NEW data only: maintenance commits
+    # (compaction/zorder) rewrite rows that were validated when first
+    # admitted, so re-validating would double the rewrite's cost for
+    # nothing — and constraints ADDED after bad data landed must not
+    # brick OPTIMIZE (they gate future writes, not history).
+    if maintenance is None:
+        _validate_constraints(df, table_dir)
 
     # per-attempt unique dir: two writers racing toward the same version
     # can never clobber each other's DATA — the loser's files become

@@ -27,6 +27,12 @@ restarted stream on the same version, snapshot_write's conditional
 manifest publish (O_EXCL-style link) makes the loser ERROR instead of
 last-write-winning, so a double-commit cannot slip through unnoticed.
 
+CHECK constraints (snapshots.set_check_constraints) gate every batch:
+the sink commits with no maintenance marker, so a violating batch
+raises ConstraintViolation inside foreachBatch and FAILS THE STREAM
+before any data file lands — loud and uncommitted, never silently
+dropped rows (tests/test_constraints.py pins both directions).
+
 At 100 TB: each commit is O(1) manifest metadata regardless of batch
 size; run expire_snapshots periodically to bound manifest count —
 but keep retention LONGER than the maximum stream downtime, or the
