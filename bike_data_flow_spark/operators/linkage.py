@@ -80,32 +80,71 @@ def field_u_probabilities(records: DataFrame, fields: list[str]) -> DataFrame:
     )
 
 
+# Runtime dial for scaled deployments: when a block exceeds this many
+# records, its members are hash-striped into ceil(|block|/cap) stripes
+# and only within-stripe pairs are generated — pair volume per block
+# drops from |b|²/2 to ~|b|·cap/2 (LINEAR in |b| for fixed cap). NOT
+# output-preserving: a cross-stripe true match in an oversized block is
+# missed by that pass (multi-pass blocking gives it further chances) —
+# the recall/cost trade a 100 TB run makes when its blocking keys have
+# bounded cardinality, exactly like textops3.PPJOIN_THRESHOLD. None
+# (the gate default) = exact blocked join, oracle-parity preserved.
+BLOCK_STRIPE_CAP: int | None = None
+
+
 def blocked_pairs(
     records: DataFrame,
     id_col: str,
     block_keys: list[list[str]],
     carry: list[str],
+    stripe_cap: int | None = None,
 ) -> DataFrame:
     """Multi-pass blocked candidate pairs: one self-equi-join per key
     list in ``block_keys``, unioned and de-duplicated on the id pair.
     Output columns: id_a, id_b (id_a < id_b) plus ``<c>_a``/``<c>_b``
-    for every carried comparison column."""
+    for every carried comparison column. ``stripe_cap`` (defaulting to
+    the module dial BLOCK_STRIPE_CAP) bounds oversized blocks by hash
+    striping — see the dial's comment for the trade."""
+    cap = BLOCK_STRIPE_CAP if stripe_cap is None else stripe_cap
     out: DataFrame | None = None
     for keys in block_keys:
-        a = records.select(
+        side = records
+        join_keys = [f"_bk_{k}" for k in keys]
+        stripe_cols: list = []
+        if cap:
+            sizes = records.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("_bsz")
+            )
+            n_stripes = F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("_bsz") / F.lit(cap)).cast("long"),
+            )
+            stripe = F.pmod(
+                F.expr(
+                    "conv(substring(md5(concat('fsb|', "
+                    f"cast({id_col} as string))), 1, 8), 16, 10)"
+                ).cast("long"),
+                n_stripes,
+            )
+            side = records.join(sizes, keys).withColumn("_stripe", stripe)
+            stripe_cols = [F.col("_stripe")]
+            join_keys = join_keys + ["_stripe"]
+        a = side.select(
             F.col(id_col).alias("id_a"),
             *[F.col(c).alias(f"{c}_a") for c in carry],
             *[F.col(k).alias(f"_bk_{k}") for k in keys],
+            *stripe_cols,
         )
-        b = records.select(
+        b = side.select(
             F.col(id_col).alias("id_b"),
             *[F.col(c).alias(f"{c}_b") for c in carry],
             *[F.col(k).alias(f"_bk_{k}") for k in keys],
+            *stripe_cols,
         )
         pass_pairs = (
-            a.join(b, [f"_bk_{k}" for k in keys])
+            a.join(b, join_keys)
             .filter(F.col("id_a") < F.col("id_b"))
-            .drop(*[f"_bk_{k}" for k in keys])
+            .drop(*join_keys)
         )
         out = pass_pairs if out is None else out.unionByName(pass_pairs)
     assert out is not None, "at least one blocking pass required"

@@ -1381,3 +1381,81 @@ def jl_project(
     return df.select(
         F.col(id_col), F.posexplode(F.array(*comps)).alias("dim", "val")
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal): seed with the
+    smallest id, then k−1 times add the point FARTHEST (squared L2)
+    from the already-selected set — the classic 2-approximation for
+    max-coverage subset selection, used to pick a maximally diverse
+    coreset of a training corpus.
+
+    Deterministic: fixed seed, ties broken by smallest id, distances
+    computed as left folds (zip_with + aggregate from 0.0) so the SQL
+    oracle reproduces every double bit-for-bit.
+
+    Scale shape: each of the k−1 rounds is ONE map-only pass over the
+    cached corpus (distance to the new center is a plan-literal fold;
+    the running min is a `least` chain) + a TakeOrdered(1) — partial
+    top-1 per partition, single row to the driver, NO shuffle. Driver
+    state is k ids + k vectors (coreset-sized by definition). k is
+    expected small (10s–100s); for large k, checkpoint the running
+    min every few rounds to keep the lineage flat.
+
+    Returns (sel_rank, id, d): the selected points in pick order with
+    the squared distance to the previously-selected set at pick time
+    (seed: 0.0), d rounded to 6.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).cache()
+
+    def sqd(vals: list[float]) -> Column:
+        lit = F.array(*[F.lit(v) for v in vals])
+        return F.aggregate(
+            F.zip_with(
+                F.col("_v"), lit, lambda x, y: (_d(x) - y) * (_d(x) - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    seed = base.orderBy(F.asc("_id")).limit(1).collect()[0]
+    picks = [(1, seed["_id"], 0.0)]
+    cur = base.select(
+        "_id", "_v", sqd([float(x) for x in seed["_v"]]).alias("_dmin")
+    )
+    for r in range(2, k + 1):
+        far = cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()[0]
+        picks.append((r, far["_id"], float(far["_dmin"])))
+        cur = cur.select(
+            "_id",
+            "_v",
+            F.least(
+                F.col("_dmin"), sqd([float(x) for x in far["_v"]])
+            ).alias("_dmin"),
+        )
+    out = spark.createDataFrame(
+        picks,
+        StructType(
+            [
+                StructField("sel_rank", LongType()),
+                StructField(id_col, df.schema[id_col].dataType),
+                StructField("d", DoubleType()),
+            ]
+        ),
+    )
+    return out.select("sel_rank", id_col, F.round("d", 6).alias("d"))

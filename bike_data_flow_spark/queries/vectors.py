@@ -1587,3 +1587,37 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_CBS_HASH_S) < keep_bp)
         .select("vec_id", "cluster", "cluster_n")
     )
+
+
+# --- greedy k-center (farthest-point) coreset selection ---------------------
+
+# The oracle unrolls the k−1 greedy rounds into CTEs (the kmeans
+# pattern): each s_r is the 1-row argmax of the running min-distance
+# (ties -> smallest id), each d_r folds the new center in via least().
+# Distances are the SAME left folds both engines, so every double —
+# and therefore every argmax — agrees bit-for-bit.
+@query(
+    "kcenter_selection",
+    oracle="""
+    WITH kv AS MATERIALIZED (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    s1 AS (SELECT vec_id, v FROM kv ORDER BY vec_id ASC LIMIT 1),
+    d1 AS (SELECT p.vec_id, p.v, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))]) AS d FROM kv p, s1 s),
+    s2 AS (SELECT vec_id, v, d FROM d1 QUALIFY row_number() OVER (ORDER BY d DESC, vec_id ASC) = 1),
+    d2 AS (SELECT p.vec_id, p.v, least(p.d, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))])) AS d FROM d1 p, s2 s),
+    s3 AS (SELECT vec_id, v, d FROM d2 QUALIFY row_number() OVER (ORDER BY d DESC, vec_id ASC) = 1),
+    d3 AS (SELECT p.vec_id, p.v, least(p.d, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))])) AS d FROM d2 p, s3 s),
+    s4 AS (SELECT vec_id, v, d FROM d3 QUALIFY row_number() OVER (ORDER BY d DESC, vec_id ASC) = 1),
+    d4 AS (SELECT p.vec_id, p.v, least(p.d, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))])) AS d FROM d3 p, s4 s),
+    s5 AS (SELECT vec_id, v, d FROM d4 QUALIFY row_number() OVER (ORDER BY d DESC, vec_id ASC) = 1)
+    SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, CAST(0.0 AS DOUBLE) AS d FROM s1
+    UNION ALL SELECT CAST(2 AS BIGINT), vec_id, round(d, 6) FROM s2
+    UNION ALL SELECT CAST(3 AS BIGINT), vec_id, round(d, 6) FROM s3
+    UNION ALL SELECT CAST(4 AS BIGINT), vec_id, round(d, 6) FROM s4
+    UNION ALL SELECT CAST(5 AS BIGINT), vec_id, round(d, 6) FROM s5
+    """,
+)
+def kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximally-diverse k-point coreset by greedy farthest-point
+    traversal (k=5). See operators/similarity.kcenter_greedy for the
+    per-round map-only + TakeOrdered(1) scale shape."""
+    return S.kcenter_greedy(load(spark, sf_dir, "embeddings"), k=5)

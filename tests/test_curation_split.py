@@ -94,3 +94,53 @@ def test_cluster_balanced_sample_is_subset_of_assignment(spark):
         asg.select("vec_id", "cluster")
     )
     assert missing.count() == 0
+
+
+def test_kcenter_greedy_matches_brute_force(spark):
+    """Operator equals the straightforward Python greedy on a small
+    synthetic set (seed = min id, farthest-point, ties -> min id)."""
+    import random
+
+    from bike_data_flow_spark.operators.similarity import kcenter_greedy
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    sel = [min(rows)[0]]
+    vecs = dict(rows)
+    dmin = {i: sqd(v, vecs[sel[0]]) for i, v in rows}
+    expect = [(1, sel[0], 0.0)]
+    for r in range(2, 6):
+        far = max(dmin.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        expect.append((r, far, round(dmin[far], 6)))
+        for i, v in rows:
+            dmin[i] = min(dmin[i], sqd(v, vecs[far]))
+    got = [
+        (r["sel_rank"], r["vec_id"], r["d"])
+        for r in kcenter_greedy(df, k=5).orderBy("sel_rank").collect()
+    ]
+    assert got == expect
+
+
+def test_kcenter_greedy_first_pick_is_min_id_and_d_monotone_coverage(spark):
+    from bike_data_flow_spark.operators.similarity import kcenter_greedy
+    from bike_data_flow_spark.tables import load
+
+    out = (
+        kcenter_greedy(load(spark, SF, "embeddings"), k=5)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert out[0]["sel_rank"] == 1 and out[0]["d"] == 0.0
+    # greedy picks have non-increasing selection distances after rank 2
+    ds = [r["d"] for r in out[1:]]
+    assert all(a >= b for a, b in zip(ds, ds[1:]))

@@ -100,3 +100,49 @@ def test_fs_score_drops_below_possible_threshold(spark):
         pairs, u_row, {"f": 0.9}, match_threshold=5.0, possible_threshold=0.0
     )
     assert out.count() == 0
+
+
+def test_blocked_pairs_stripe_cap_bounds_and_subsets(spark):
+    """Hash striping: output is a SUBSET of the exact blocked pairs,
+    per-block pair volume drops to ~|b|·cap/2, and a cap larger than
+    every block is a no-op."""
+    rows = [(i, "blk", f"n{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "rid long, b string, name string")
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in L.blocked_pairs(df, "rid", [["b"]], carry=["name"]).collect()
+    }
+    assert len(full) == 20 * 19 // 2
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in L.blocked_pairs(
+            df, "rid", [["b"]], carry=["name"], stripe_cap=5
+        ).collect()
+    }
+    assert capped < full
+    # 4 stripes of ~5 → at most Σ s_i·(s_i−1)/2 with Σs_i=20, far
+    # below the quadratic full set; generous bound: half the full set
+    assert len(capped) <= len(full) // 2
+
+    noop = {
+        (r["id_a"], r["id_b"])
+        for r in L.blocked_pairs(
+            df, "rid", [["b"]], carry=["name"], stripe_cap=50
+        ).collect()
+    }
+    assert noop == full
+
+
+def test_blocked_pairs_module_dial_is_picked_up(spark):
+    rows = [(i, "blk", "x") for i in range(12)]
+    df = spark.createDataFrame(rows, "rid long, b string, name string")
+    before = L.blocked_pairs(df, "rid", [["b"]], carry=["name"]).count()
+    L.BLOCK_STRIPE_CAP = 3
+    try:
+        dialed = L.blocked_pairs(df, "rid", [["b"]], carry=["name"]).count()
+    finally:
+        L.BLOCK_STRIPE_CAP = None
+    assert before == 12 * 11 // 2
+    assert dialed < before

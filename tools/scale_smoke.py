@@ -44,8 +44,8 @@ from pyspark.sql import functions as F  # noqa: E402
 BASE = "/root/testdata/sf0.1"
 TENX = "/tmp/scale_smoke_10x"
 COPIES = 10
-DIMS = ["region", "nation", "customer", "supplier", "part"]
-FACTS = ["events", "documents", "embeddings", "lineitem", "orders"]
+DIMS = ["region", "nation", "customer", "supplier"]
+FACTS = ["events", "documents", "embeddings", "lineitem", "orders", "part"]
 
 # heavy tier: the BENCH_COMPARE top shapes the r6 verdict named —
 # kNN family, ppjoin, streaks, sweep-line — plus the dedup/LSH core
@@ -55,6 +55,7 @@ QUERIES = [
     "prefix_filter_jaccard_pairs",
     "duplicate_spans",
     "minhash_lsh_pairs",
+    "fs_linkage_scores",
     # incremental stores: timed rows INCLUDE the one-time corpus
     # bootstrap (store init rebuilds per call at gate scale); the
     # production shape amortizes that across every later batch
@@ -86,6 +87,13 @@ KNN_DIAL = {
 # preserving (reports only closer duplicates) — the exhaustiveness/cost
 # trade a scaled deployment makes; see queries/textops3.PPJOIN_THRESHOLD.
 PPJOIN_DIAL = {"prefix_filter_jaccard_pairs": 0.8}
+# FS linkage's 10x leg hash-stripes oversized blocks (cap=100): this
+# corpus's blocking keys have FIXED cardinality, so exact blocked pairs
+# grow quadratically (10x corpus -> ~100x pairs). The stripe cap bounds
+# per-block pairs to |b|·cap/2 (linear) at the cost of cross-stripe
+# recall inside oversized blocks — the trade a bounded-cardinality-key
+# deployment makes; see operators/linkage.BLOCK_STRIPE_CAP.
+FS_DIAL = {"fs_linkage_scores": 100}
 
 
 def generate(spark) -> None:
@@ -157,6 +165,20 @@ def generate(spark) -> None:
         out = c if out is None else out.unionByName(c)
     out.write.mode("overwrite").parquet(f"{TENX}/embeddings.parquet")
 
+    # part scales by id-shifted copies with every ATTRIBUTE verbatim:
+    # the FS-linkage row tests the fixed-cardinality-blocking-key
+    # regime, so names/brands/types/sizes must NOT gain new values —
+    # blocks grow 10x and exact pairs ~100x, which is the point. Only
+    # fs_linkage_scores reads part here (no smoke query joins part to
+    # lineitem, whose keys keep referencing the k=0 copy).
+    pt = spark.read.parquet(f"{BASE}/part.parquet")
+    p_off = pt.agg(F.max("p_partkey") + 1).first()[0]
+    out = None
+    for k in range(COPIES):
+        c = pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * p_off))
+        out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{TENX}/part.parquet")
+
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
     o = spark.read.parquet(f"{BASE}/orders.parquet")
     o_off = o.agg(F.max("o_orderkey") + 1).first()[0]
@@ -196,6 +218,7 @@ def main() -> None:
     ap.add_argument("--out", default="SCALE_SMOKE.md")
     args = ap.parse_args()
 
+    from bike_data_flow_spark.operators import linkage as LK
     from bike_data_flow_spark.operators import similarity as S
     from bike_data_flow_spark.queries import load_all
     from bike_data_flow_spark.queries import textops3 as T3
@@ -213,14 +236,37 @@ def main() -> None:
             S.N_HYPERPLANES = 8  # the 10×-deployment dial setting
         if name in PPJOIN_DIAL:
             T3.PPJOIN_THRESHOLD = PPJOIN_DIAL[name]
+        if name in FS_DIAL:
+            LK.BLOCK_STRIPE_CAP = FS_DIAL[name]
         t_tenx = timed(spark, q.fn, TENX)
         S.N_HYPERPLANES = 4
         T3.PPJOIN_THRESHOLD = None
+        LK.BLOCK_STRIPE_CAP = None
         rows.append((name, t_base, t_tenx, round(t_tenx / t_base, 2)))
         print(rows[-1], flush=True)
 
     ppjoin_fixed = timed(spark, registry["prefix_filter_jaccard_pairs"].fn, TENX)
     print(("prefix_filter_jaccard_pairs@10x, FIXED tau=0.6", ppjoin_fixed), flush=True)
+
+    fs_fixed = timed(spark, registry["fs_linkage_scores"].fn, TENX)
+    print(("fs_linkage_scores@10x, UNSTRIPED", fs_fixed), flush=True)
+
+    # candidate-pair volume is the quantity the stripe cap actually
+    # bounds (wall-clock at this SF is dominated by fixed stages)
+    from bike_data_flow_spark.queries.linkage_q import _FS_BLOCKS, _FS_FIELDS
+
+    part10 = spark.read.parquet(f"{TENX}/part.parquet").select(
+        "p_partkey",
+        *_FS_FIELDS,
+        F.element_at(F.split("p_name", " "), -1).alias("tok"),
+    )
+    fs_pairs = [
+        LK.blocked_pairs(
+            part10, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS, stripe_cap=cap
+        ).count()
+        for cap in (None, FS_DIAL["fs_linkage_scores"])
+    ]
+    print(("fs candidate pairs@10x unstriped/striped", fs_pairs), flush=True)
 
     # Fixed-Δ probe scaling: the r9 claim under test is that the
     # foreachBatch monitoring probe's cost is O(|Δ| + collisions),
@@ -285,11 +331,23 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for name, tb, tt, r in rows:
-        dial = " †" if name in KNN_DIAL else (" ‡" if name in PPJOIN_DIAL else "")
+        dial = (
+            " †"
+            if name in KNN_DIAL
+            else (
+                " ‡"
+                if name in PPJOIN_DIAL
+                else (" §" if name in FS_DIAL else "")
+            )
+        )
         lines.append(f"| {name}{dial} | {tb} | {tt} | {r}× |")
     lines += [
         "",
         "† 10× leg at N_HYPERPLANES=8. ‡ 10× leg at PPJOIN_THRESHOLD=0.8. "
+        "§ 10× leg at linkage.BLOCK_STRIPE_CAP=100 (hash-striped "
+        "oversized blocks: per-block pairs |b|·cap/2 instead of |b|²/2 "
+        "— the linear-cost/recall trade for bounded-cardinality "
+        "blocking keys; gate runs are undialed and exact). "
         "The incremental_* rows time the WHOLE composed query — store "
         "bootstrap from the 10× corpus plus the Δ probe — so the ratio "
         "upper-bounds the daily shape, whose bootstrap amortizes across "
@@ -298,6 +356,19 @@ def main() -> None:
         f"Fixed-dial control: prefix_filter_jaccard_pairs at 10× with "
         f"τ still 0.6 = {ppjoin_fixed} s — linear work on fixed cores "
         "(compute-bound exact verify), the cost the τ dial trades away.",
+        "",
+        f"Fixed-dial control: fs_linkage_scores at 10× UNSTRIPED = "
+        f"{fs_fixed} s, candidate pairs {fs_pairs[0]:,} vs "
+        f"{fs_pairs[1]:,} striped (cap=100, "
+        f"{round(fs_pairs[0] / max(fs_pairs[1], 1), 1)}× fewer). At "
+        "this absolute size wall-clock is dominated by fixed stages "
+        "either way — the honest reading is the PAIR-VOLUME bound: "
+        "unstriped pairs grow ~quadratically on these fixed-"
+        "cardinality blocking keys (~100× per 10× of corpus) and "
+        "overtake everything at the next scale-up, while the striped "
+        "volume grows linearly. The work stays distributed in both "
+        "spellings (blocked equi-joins, map-side scoring); the cap "
+        "trades cross-stripe recall inside oversized blocks.",
         "",
         f"Fixed-Δ probe scaling (r9): the SAME ~1% document Δ probing a "
         f"base-corpus signature store vs a 10×-corpus store = "
