@@ -750,3 +750,91 @@ def is_compaction(table_dir: str, version: int) -> bool:
         m.get("maintenance", {}).get("compaction")
         or m.get("meta", {}).get("compaction")
     )
+
+
+def snapshot_delete(
+    spark: SparkSession, table_dir: str, predicate: str
+) -> int:
+    """DELETE FROM the snapshot table: rows where ``predicate``
+    evaluates TRUE are removed (NULL keeps the row, SQL DELETE
+    semantics); the survivors commit as a new OVERWRITE snapshot.
+    Returns the new version.
+
+    The GDPR/right-to-erasure shape: the pre-delete version stays
+    readable until ``expire_snapshots`` retires it — run expire (and
+    ``snapshot_vacuum``) promptly after erasure deletes, since time
+    travel IS retention. Properties round-trip like merge/compaction:
+    ``meta`` and ``partition_by`` carry forward unchanged, and the
+    commit records a ``maintenance: {"delete": predicate}`` marker —
+    which also means CHECK constraints are NOT re-validated: a delete
+    can only remove rows, and a retroactive constraint that historic
+    rows violate must never block erasing exactly those rows.
+
+    Cost shape: rewrites the live row set (manifest granularity is the
+    version, not the file), like snapshot_merge — suited to
+    dimension/state tables; fact-scale deletes go through the dynamic
+    partition overwrite path where only matching partitions rewrite.
+    """
+    from pyspark.sql import functions as F
+
+    cur = current_version(table_dir)
+    if cur is None:
+        raise ValueError(f"no snapshot table at {table_dir}")
+    prev_manifest = _read_manifest(table_dir, cur)
+    layout = prev_manifest.get("partition_by", [])
+    kept = snapshot_read(spark, table_dir).filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    )
+    if layout:
+        kept = kept.repartition(*[F.col(c) for c in layout])
+    return snapshot_write(
+        kept,
+        table_dir,
+        mode="overwrite",
+        meta=prev_manifest.get("meta", {}),
+        partition_by=layout,
+        maintenance={"delete": predicate, "deleted_from": cur},
+    )
+
+
+def snapshot_vacuum(
+    table_dir: str, older_than_seconds: float = 86400.0
+) -> list[str]:
+    """Physically remove data dirs no retained manifest references —
+    the leftovers of crashed write attempts and CAS-losing writers
+    (which the commit protocol deliberately abandons as inert garbage)
+    plus anything an interrupted expire run orphaned. Returns the
+    removed dirs (table-relative).
+
+    ``older_than_seconds`` is the in-flight-writer guard (Delta's
+    VACUUM retention check): a concurrent writer's data dir exists
+    BEFORE its manifest publishes, so only dirs untouched for the
+    window are eligible. Never drop it below your longest plausible
+    write duration. Reads stay safe throughout: readers resolve a
+    manifest first and only list dirs it names, and vacuum never
+    touches a referenced dir.
+    """
+    import shutil
+
+    data_root = f"{table_dir}/data"
+    if not os.path.isdir(data_root):
+        return []
+    live: set[str] = set()
+    mdir = _manifest_dir(table_dir)
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                v = int(f[1:-5])
+                live.update(_read_manifest(table_dir, v)["dirs"])
+    cutoff = time.time() - older_than_seconds
+    removed = []
+    for d in sorted(os.listdir(data_root)):
+        rel = f"data/{d}"
+        full = f"{data_root}/{d}"
+        if rel in live or not os.path.isdir(full):
+            continue
+        if os.path.getmtime(full) > cutoff:
+            continue  # possibly an in-flight writer — retention guard
+        shutil.rmtree(full)
+        removed.append(rel)
+    return removed

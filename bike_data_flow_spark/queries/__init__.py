@@ -58,6 +58,8 @@ _CHECK_FIRST = (
     "fs_field_weights",
     "cluster_balanced_sample",
     "leakage_safe_split",
+    "kcenter_selection",
+    "gdpr_erasure_roundtrip",
     "foreachbatch_incremental_dedup",
     "foreachbatch_embedding_dedup",
     "compacted_vector_store_probe",

@@ -633,3 +633,47 @@ def expectation_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("orphans").cast("long").alias("n_violations"),
     )
     return checks.unionByName(pk_row).unionByName(fk_row)
+
+
+# Erasure roundtrip: commit the customer table as a snapshot (with a
+# CHECK constraint set, proving admission passes), DELETE a predicate
+# slice (snapshot_delete — properties preserved, constraints NOT
+# re-validated, old version retained until expiry), vacuum with the
+# retention guard (a no-op here: nothing orphaned), and read back. The
+# oracle is the survivors computed directly — NULL-predicate rows kept
+# per SQL DELETE semantics.
+@query(
+    "gdpr_erasure_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE NOT coalesce(c_acctbal < 0, FALSE)
+    """,
+)
+def gdpr_erasure_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        set_check_constraints,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "customer_erasure",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    set_check_constraints(table, {"key_set": "c_custkey IS NOT NULL"})
+    snapshot_write(cust, table, mode="overwrite")
+    snapshot_delete(spark, table, "acctbal < 0")
+    snapshot_vacuum(table)  # retention-guarded; nothing orphaned here
+    return snapshot_read(spark, table)

@@ -1,0 +1,107 @@
+"""snapshot_delete (predicate DELETE) and snapshot_vacuum (orphaned
+data-dir GC) — operators/snapshots.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bike_data_flow_spark.operators import snapshots as SN
+
+
+def _t(tmp_path, name="tbl"):
+    return os.path.join(str(tmp_path), name)
+
+
+def test_delete_removes_matches_and_time_travel_retains(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 7), (4, None)], "k long, v long"
+    )
+    SN.snapshot_write(df, t, mode="overwrite")
+    v = SN.snapshot_delete(spark, t, "v < 0")
+    assert v == 2
+    kept = {r["k"] for r in SN.snapshot_read(spark, t).collect()}
+    # NULL predicate keeps the row (SQL DELETE semantics)
+    assert kept == {1, 3, 4}
+    # the pre-delete version is still pinnable until expiry
+    old = {r["k"] for r in SN.snapshot_read(spark, t, version=1).collect()}
+    assert old == {1, 2, 3, 4}
+
+
+def test_delete_preserves_layout_meta_and_skips_constraints(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame(
+        [(1, -99, "a"), (2, 5, "a"), (3, 6, "b")], "k long, v long, p string"
+    )
+    SN.snapshot_write(
+        df, t, mode="overwrite", meta={"dial": 42}, partition_by=["p"]
+    )
+    # retroactive constraint the surviving historic rows violate:
+    # erasure must STILL succeed (deletes only remove rows)
+    SN.set_check_constraints(t, {"v_nonneg": "v >= 0"})
+    v = SN.snapshot_delete(spark, t, "k = 2")
+    assert SN.latest_meta(t) == {"dial": 42}
+    assert SN.table_layout(t) == ["p"]
+    assert {r["k"] for r in SN.snapshot_read(spark, t).collect()} == {1, 3}
+    # marker recorded as a maintenance sibling, not as compaction
+    assert not SN.is_compaction(t, v)
+    # partitioned append with the same layout still accepted after
+    with pytest.raises(SN.ConstraintViolation):
+        SN.snapshot_write(
+            spark.createDataFrame([(9, -1, "c")], "k long, v long, p string"),
+            t,
+            mode="append",
+            partition_by=["p"],
+        )
+
+
+def test_delete_on_missing_table_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no snapshot table"):
+        SN.snapshot_delete(spark, _t(tmp_path, "nope"), "1 = 1")
+
+
+def test_vacuum_removes_only_unreachable_old_dirs(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    SN.snapshot_write(df, t, mode="overwrite")
+    SN.snapshot_write(df, t, mode="append")
+
+    # simulate a crashed/CAS-losing attempt: a data dir no manifest
+    # references
+    orphan = os.path.join(t, "data", "v9-deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").close()
+
+    # inside the retention window: protected (could be in-flight)
+    assert SN.snapshot_vacuum(t, older_than_seconds=3600) == []
+    assert os.path.isdir(orphan)
+
+    # outside the window: collected; live dirs untouched, reads intact
+    removed = SN.snapshot_vacuum(t, older_than_seconds=0)
+    assert removed == ["data/v9-deadbeef"]
+    assert not os.path.isdir(orphan)
+    assert SN.snapshot_read(spark, t).count() == 2
+    assert SN.snapshot_read(spark, t, version=1).count() == 1
+
+
+def test_vacuum_after_expire_is_a_noop_and_tolerates_empty(tmp_path, spark):
+    t = _t(tmp_path)
+    assert SN.snapshot_vacuum(t) == []  # no table yet
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    for _ in range(3):
+        SN.snapshot_write(df, t, mode="overwrite")
+    SN.expire_snapshots(t, keep_last=1)
+    # expire already deleted the dirs its expired manifests referenced
+    assert SN.snapshot_vacuum(t, older_than_seconds=0) == []
+    assert SN.snapshot_read(spark, t).count() == 1
+
+
+def test_delete_surfaces_in_cdf(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame([(1, 10), (2, -5)], "k long, v long")
+    SN.snapshot_write(df, t, mode="overwrite")
+    SN.snapshot_delete(spark, t, "v < 0")
+    changes = SN.snapshot_changes(spark, t, from_version=1).collect()
+    assert [(r["k"], r["_change_type"]) for r in changes] == [(2, "delete")]
