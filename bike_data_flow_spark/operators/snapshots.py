@@ -838,3 +838,42 @@ def snapshot_vacuum(
         shutil.rmtree(full)
         removed.append(rel)
     return removed
+
+
+def snapshot_restore(table_dir: str, version: int) -> int:
+    """RESTORE the table to a retained earlier ``version`` — as a NEW
+    commit, so the mistake being rolled back stays in history and CDF
+    shows the rollback as ordinary changes. Returns the new version.
+
+    METADATA-ONLY: the new manifest simply references the restored
+    version's existing data dirs (plus its schema/meta/layout) — no
+    data file is read, copied, or written, which is the payoff of
+    manifests naming immutable dirs. expire_snapshots keeps those dirs
+    alive for as long as EITHER referencing manifest is retained, so a
+    restore never races retention. Requires the target manifest to
+    still be retained (expired versions are gone by design)."""
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    prev = _recover_orphan_manifests(table_dir, current_version(table_dir))
+    if prev is None:
+        raise ValueError(f"no snapshot table at {table_dir}")
+    try:
+        target = _read_manifest(table_dir, version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"cannot restore {table_dir} to v{version}: manifest not "
+            "retained (expired or never committed)"
+        ) from None
+    new_version = prev + 1
+    manifest = {
+        "version": new_version,
+        "mode": "overwrite",
+        "dirs": target["dirs"],
+        "committed_at_unix": int(time.time()),
+        "schema": target["schema"],
+        "meta": target.get("meta", {}),
+        "partition_by": target.get("partition_by", []),
+        "maintenance": {"restore_of": version},
+    }
+    _publish_manifest(table_dir, new_version, manifest)
+    _write_pointer(table_dir, new_version)
+    return new_version

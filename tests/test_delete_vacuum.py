@@ -105,3 +105,67 @@ def test_delete_surfaces_in_cdf(spark, tmp_path):
     SN.snapshot_delete(spark, t, "v < 0")
     changes = SN.snapshot_changes(spark, t, from_version=1).collect()
     assert [(r["k"], r["_change_type"]) for r in changes] == [(2, "delete")]
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    from bike_data_flow_spark.operators.snapshots import snapshot_restore
+
+    t = _t(tmp_path)
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    SN.snapshot_write(v1, t, mode="overwrite", meta={"dial": 7})
+    SN.snapshot_write(
+        spark.createDataFrame([(3, "junk")], "k long, v string"),
+        t,
+        mode="append",
+    )
+    n_dirs_before = len(os.listdir(os.path.join(t, "data")))
+    v = snapshot_restore(t, 1)
+    assert v == 3
+    # no data write happened — dir count unchanged
+    assert len(os.listdir(os.path.join(t, "data"))) == n_dirs_before
+    assert {r["k"] for r in SN.snapshot_read(spark, t).collect()} == {1, 2}
+    assert SN.latest_meta(t) == {"dial": 7}
+    # the rolled-back version remains pinnable history
+    assert SN.snapshot_read(spark, t, version=2).count() == 3
+    # CDF over the restore shows the junk row leaving
+    changes = SN.snapshot_changes(spark, t, from_version=2).collect()
+    assert [(r["k"], r["_change_type"]) for r in changes] == [(3, "delete")]
+
+
+def test_restore_survives_expiry_of_the_bad_version(spark, tmp_path):
+    """expire keeps data dirs alive while ANY retained manifest
+    references them — restoring then expiring the mistake must not
+    delete the restored version's data."""
+    from bike_data_flow_spark.operators.snapshots import snapshot_restore
+
+    t = _t(tmp_path)
+    SN.snapshot_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        t,
+        mode="overwrite",
+    )
+    SN.snapshot_write(
+        spark.createDataFrame([(2, "junk")], "k long, v string"),
+        t,
+        mode="overwrite",
+    )
+    snapshot_restore(t, 1)
+    SN.expire_snapshots(t, keep_last=1)  # drops v1 and v2 manifests
+    assert {r["k"] for r in SN.snapshot_read(spark, t).collect()} == {1}
+
+
+def test_restore_refuses_expired_or_missing_target(spark, tmp_path):
+    from bike_data_flow_spark.operators.snapshots import snapshot_restore
+
+    t = _t(tmp_path)
+    with pytest.raises(ValueError, match="no snapshot table"):
+        snapshot_restore(t, 1)
+    for i in range(3):
+        SN.snapshot_write(
+            spark.createDataFrame([(i, "x")], "k long, v string"),
+            t,
+            mode="overwrite",
+        )
+    SN.expire_snapshots(t, keep_last=1)
+    with pytest.raises(ValueError, match="not retained"):
+        snapshot_restore(t, 1)
