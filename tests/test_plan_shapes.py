@@ -320,3 +320,56 @@ def test_sweep_single_join(spark):
 
     plan = _plan(in_flight_lineitems_peak(spark, SF_DIR))
     assert _count(plan, r"\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)") == 1, plan
+
+
+def test_fs_linkage_u_row_broadcast_no_global_sort(spark):
+    """The one-row u frame must ride into scoring as a BROADCAST cross
+    join (never a shuffled join), and nothing in the plan globally
+    sorts or windows the pair set."""
+    from bike_data_flow_spark.queries.linkage_q import fs_linkage_scores
+
+    plan = _plan(fs_linkage_scores(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert _count(plan, r"\(\d+\) Window") == 0, plan
+    assert _count(plan, r"\(\d+\) Sort ") == 0 or "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cluster_balanced_sample_no_window_broadcast_sizes(spark):
+    """Per-cluster rates come from a BROADCAST of the k-row size agg
+    onto the assignment — no Window, no global sort, no shuffled join
+    keyed on the (skewed, k-valued) cluster column."""
+    from bike_data_flow_spark.queries.vectors import cluster_balanced_sample
+
+    plan = _plan(cluster_balanced_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _count(plan, r"\(\d+\) Window") == 0, plan
+
+
+def test_kcenter_rounds_take_ordered_no_shuffle_join(spark):
+    """Each greedy round is a literal-fold map pass + TakeOrdered(1):
+    the selection plan must show TakeOrderedAndProject and zero joins
+    (centroids are plan literals, never a joined side)."""
+    from bike_data_flow_spark.operators.similarity import kcenter_greedy
+    from bike_data_flow_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    base = emb.select("vec_id", emb["embedding"].alias("_v"))
+    from pyspark.sql import functions as F
+
+    from bike_data_flow_spark.operators.similarity import _d
+
+    lit = F.array(*[F.lit(0.0)] * len(emb.select("embedding").first()[0]))
+    probe = base.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda x, y: (_d(x) - y) * (_d(x) - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_dmin"),
+    ).orderBy(F.desc("_dmin"), F.asc("vec_id")).limit(1)
+    plan = _plan(probe)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert _count(plan, r"\(\d+\) Exchange") == 0, plan

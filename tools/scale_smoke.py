@@ -250,6 +250,7 @@ def main() -> None:
 
     fs_fixed = timed(spark, registry["fs_linkage_scores"].fn, TENX)
     print(("fs_linkage_scores@10x, UNSTRIPED", fs_fixed), flush=True)
+    fs_dialed = next(r[2] for r in rows if r[0] == "fs_linkage_scores")
 
     # candidate-pair volume is the quantity the stripe cap actually
     # bounds (wall-clock at this SF is dominated by fixed stages)
@@ -312,7 +313,9 @@ def main() -> None:
         "",
         f"Generator: `tools/scale_smoke.py` — facts ×{COPIES} "
         "(id-shifted decorrelated copies: word-suffixed documents, "
-        "rolled embeddings, offset keys), dims verbatim; data under "
+        "rolled embeddings, offset keys; part copies keep every "
+        "attribute verbatim — the fixed-cardinality blocking regime "
+        "the FS row tests), dims verbatim; data under "
         f"`{TENX}` (not committed). Timings: warm best-of-2, noop sink, "
         "clearCache+GC between queries, local[32].",
         "",
@@ -358,17 +361,17 @@ def main() -> None:
         "(compute-bound exact verify), the cost the τ dial trades away.",
         "",
         f"Fixed-dial control: fs_linkage_scores at 10× UNSTRIPED = "
-        f"{fs_fixed} s, candidate pairs {fs_pairs[0]:,} vs "
-        f"{fs_pairs[1]:,} striped (cap=100, "
-        f"{round(fs_pairs[0] / max(fs_pairs[1], 1), 1)}× fewer). At "
-        "this absolute size wall-clock is dominated by fixed stages "
-        "either way — the honest reading is the PAIR-VOLUME bound: "
-        "unstriped pairs grow ~quadratically on these fixed-"
-        "cardinality blocking keys (~100× per 10× of corpus) and "
-        "overtake everything at the next scale-up, while the striped "
-        "volume grows linearly. The work stays distributed in both "
-        "spellings (blocked equi-joins, map-side scoring); the cap "
-        "trades cross-stripe recall inside oversized blocks.",
+        f"{fs_fixed} s vs {fs_dialed} s dialed "
+        f"({round(fs_fixed / max(fs_dialed, 1e-9), 1)}× slower); "
+        f"candidate pairs {fs_pairs[0]:,} unstriped vs {fs_pairs[1]:,} "
+        f"striped (cap=100, "
+        f"{round(fs_pairs[0] / max(fs_pairs[1], 1), 1)}× fewer). Exact "
+        "pairs grow ~quadratically on these fixed-cardinality blocking "
+        "keys (~100× per 10× of corpus) while the striped volume grows "
+        "~linearly — the recall/cost dial a bounded-key deployment "
+        "turns. Both spellings stay distributed (blocked equi-joins, "
+        "map-side scoring); the cap trades cross-stripe recall inside "
+        "oversized blocks.",
         "",
         f"Fixed-Δ probe scaling (r9): the SAME ~1% document Δ probing a "
         f"base-corpus signature store vs a 10×-corpus store = "
