@@ -351,3 +351,174 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(run, RESIZED_DDL)
+
+
+# --- perceptual (average-hash) image dedup ----------------------------------
+
+AHASH_GRID = 8  # 8x8 luma cells -> 64-bit signature
+AHASH_BLOCKS = 8  # 8 bands of 8 bits: pigeonhole-exact for hamming <= 7
+AHASH_MAX_HAMMING = 7
+
+
+def _netpbm_pixels(blob: bytes):
+    """Netpbm (P5/P6, maxval <= 255) -> (h, w, luma ndarray float64).
+    Same header grammar as _decode_ppm, but returns the full Rec.601
+    luma plane instead of its mean (the perceptual hash needs spatial
+    structure, not just brightness)."""
+    import numpy as np
+
+    gray = blob[:2] == b"P5"
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary Netpbm image")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval > 255:
+        raise ValueError("unsupported Netpbm image")
+    pos += 1
+    n = w * h
+    want = n * (1 if gray else 3)
+    px = np.frombuffer(blob, dtype=np.uint8, count=want, offset=pos)
+    if px.size < want:
+        raise ValueError("truncated Netpbm pixel data")
+    if gray:
+        luma = px.astype(np.float64).reshape(h, w)
+    else:
+        rgb = px.astype(np.float64).reshape(h, w, 3)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return h, w, luma
+
+
+def _ahash64(blob: bytes, grid: int = AHASH_GRID) -> int | None:
+    """Classic average hash: average-pool the luma plane into a
+    grid×grid cell matrix, set bit i when cell i >= the mean of all
+    cells, pack row-major into a SIGNED 64-bit int (two's complement —
+    Spark LongType). None for non-Netpbm payloads (no codec libraries
+    in this container; compressed formats would slot in here)."""
+    import numpy as np
+
+    try:
+        h, w, luma = _netpbm_pixels(blob)
+    except ValueError:
+        return None
+    if h < 1 or w < 1:
+        return None
+    # O(pixels) pooling that tolerates non-divisible sizes: each pixel
+    # row/col maps to cell floor(i*grid/dim)
+    r_idx = (np.arange(h) * grid) // h
+    c_idx = (np.arange(w) * grid) // w
+    sums = np.zeros((grid, grid))
+    counts = np.zeros((grid, grid))
+    np.add.at(sums, (r_idx[:, None], c_idx[None, :]), luma)
+    np.add.at(counts, (r_idx[:, None], c_idx[None, :]), 1.0)
+    empty = counts == 0
+    if empty.any():
+        # image smaller than the grid in some dimension: empty cells
+        # take the nearest pixel (upsample), matching the resize
+        # semantics classic aHash gets from its interpolating scaler
+        rr = (np.arange(grid) * h) // grid
+        cc = (np.arange(grid) * w) // grid
+        nearest = luma[rr[:, None], cc[None, :]]
+        sums[empty] = nearest[empty]
+        counts[empty] = 1.0
+    cells = (sums / counts).ravel()
+    bits = cells >= cells.mean()
+    packed = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            packed |= np.uint64(1) << np.uint64(i)
+    return int(packed.astype(np.int64))
+
+
+def perceptual_hashes(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, ahash) per decodable image via Arrow-batched mapInPandas —
+    map-only, no shuffle; undecodable payloads yield NULL and are
+    dropped (they cannot perceptually collide)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ahash": [
+                        _ahash64(bytes(b)) if b is not None else None
+                        for b in pdf[content_col]
+                    ],
+                }
+            ).astype({"ahash": "Int64"})
+
+    out_schema = f"{id_col} string, ahash long"
+    return df.select(id_col, content_col).mapInPandas(run, out_schema).filter(
+        F.col("ahash").isNotNull()
+    )
+
+
+def perceptual_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = AHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over the 64-bit
+    average hash — the SimHash band-join shape (dedup.simhash_near_pairs)
+    at 64 bits: 8 blocks of 8 bits, so two signatures within hamming d
+    ≤ 7 share at least one block (pigeonhole) and candidate generation
+    is an equi-join on (block, value) — linear in data, quadratic only
+    within a perceptual bucket. Exact bit_count verify after."""
+    if max_hamming >= AHASH_BLOCKS:
+        raise ValueError(
+            f"max_hamming {max_hamming} needs > {max_hamming} blocks "
+            f"(pigeonhole); AHASH_BLOCKS is {AHASH_BLOCKS}"
+        )
+    width = 64 // AHASH_BLOCKS
+    mask = (1 << width) - 1
+    structs = [
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftright(F.col("ahash"), b * width)
+            .bitwiseAND(mask)
+            .alias("blk_val"),
+        )
+        for b in range(AHASH_BLOCKS)
+    ]
+    keyed = (
+        hashes.select(
+            F.col(id_col), F.col("ahash"), F.explode(F.array(*structs)).alias("bk")
+        )
+        .select(
+            id_col,
+            "ahash",
+            F.col("bk.blk").alias("blk"),
+            F.col("bk.blk_val").alias("blk_val"),
+        )
+        .cache()
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("ahash").alias("sig_a"), "blk", "blk_val"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("ahash").alias("sig_b"), "blk", "blk_val"
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
