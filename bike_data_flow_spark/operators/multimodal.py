@@ -522,3 +522,78 @@ def perceptual_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _audio_fingerprint64(blob: bytes, frames: int = 64) -> int | None:
+    """64-bit energy-contour fingerprint for PCM WAV: mix to mono,
+    split the sample stream into 64 equal time frames, set bit i when
+    frame i's RMS energy >= the mean frame energy — the audio analogue
+    of the image average hash (robust to volume scaling by construction
+    of the mean threshold, and to small edits by frame granularity).
+    None for non-WAV payloads, same contract as _ahash64."""
+    import numpy as np
+
+    try:
+        rate, n_ch, _n_frames, _rms = _decode_wav(blob)
+    except ValueError:
+        return None
+    import struct
+
+    # re-walk to the data chunk (decoder validated structure already)
+    pos, data = 12, b""
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"data":
+            data = blob[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    n = (len(data) // 2) // n_ch * n_ch
+    if n == 0:
+        return None
+    s = np.frombuffer(data, dtype="<i2", count=n).astype(np.float64)
+    mono = s.reshape(-1, n_ch).mean(axis=1) / 32768.0
+    idx = (np.arange(mono.size) * frames) // mono.size
+    energy = np.zeros(frames)
+    counts = np.zeros(frames)
+    np.add.at(energy, idx, mono * mono)
+    np.add.at(counts, idx, 1.0)
+    counts[counts == 0] = 1.0  # clips shorter than 64 samples
+    cells = energy / counts
+    bits = cells >= cells.mean()
+    packed = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            packed |= np.uint64(1) << np.uint64(i)
+    return int(packed.astype(np.int64))
+
+
+def audio_fingerprints(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, ahash) per decodable WAV clip — same column name and
+    64-bit contract as perceptual_hashes, so perceptual_near_pairs
+    dedups audio unchanged (banded Hamming join, pigeonhole-exact
+    within AHASH_MAX_HAMMING)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ahash": [
+                        _audio_fingerprint64(bytes(b))
+                        if b is not None
+                        else None
+                        for b in pdf[content_col]
+                    ],
+                }
+            ).astype({"ahash": "Int64"})
+
+    out_schema = f"{id_col} string, ahash long"
+    return df.select(id_col, content_col).mapInPandas(run, out_schema).filter(
+        F.col("ahash").isNotNull()
+    )

@@ -101,3 +101,56 @@ def test_ahash_pools_non_divisible_sizes():
     assert h is not None
     # tiny image (smaller than the grid) still hashes
     assert _ahash64(_ppm(2, 2, [(0, 0, 0), (255, 255, 255)] * 2)) is not None
+
+
+def _wav(samples: list[int], rate=8000, n_ch=1) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_audio_fingerprint_matches_scaled_copy_not_different():
+    from bike_data_flow_spark.operators.multimodal import (
+        _audio_fingerprint64,
+    )
+
+    rng = random.Random(13)
+    base = [rng.randrange(-8000, 8000) for _ in range(2048)]
+    half_volume = [s // 2 for s in base]
+    different = [rng.randrange(-8000, 8000) for _ in range(2048)]
+
+    h_base = _audio_fingerprint64(_wav(base))
+    h_half = _audio_fingerprint64(_wav(half_volume))
+    h_diff = _audio_fingerprint64(_wav(different))
+    assert h_base is not None
+    # energy contour thresholds on its own mean: volume-invariant
+    assert bin(h_base ^ h_half).count("1") <= 2
+    assert bin(h_base ^ h_diff).count("1") > AHASH_MAX_HAMMING
+    # non-audio payloads
+    assert _audio_fingerprint64(b"P6 not audio") is None
+
+
+def test_audio_dedup_reuses_near_pairs(spark):
+    from bike_data_flow_spark.operators.multimodal import audio_fingerprints
+
+    rng = random.Random(17)
+    base = [rng.randrange(-8000, 8000) for _ in range(2048)]
+    rows = [
+        ("clip", _wav(base)),
+        ("clip_louder", _wav([min(32767, s * 2) for s in base])),
+        ("other", _wav([rng.randrange(-8000, 8000) for _ in range(2048)])),
+        ("noise", b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    hashes = audio_fingerprints(df)
+    ids = {r["media_id"] for r in hashes.collect()}
+    assert ids == {"clip", "clip_louder", "other"}
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in perceptual_near_pairs(hashes).collect()
+    }
+    assert ("clip", "clip_louder") in pairs
+    assert not any("other" in p for p in pairs)
