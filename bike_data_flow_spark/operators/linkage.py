@@ -60,12 +60,16 @@ def field_u_long(records: DataFrame, fields: list[str]) -> DataFrame:
     counts = stacked.groupBy("field", "value").agg(
         F.count(F.lit(1)).alias("c")
     )
-    return counts.groupBy("field").agg(
-        (
-            (F.sum(F.col("c") * F.col("c")) - F.sum("c"))
-            / (F.sum("c") * F.sum("c") - F.sum("c"))
-        ).alias("u")
-    )
+    # decimal(20,0) intermediates: sum(c)² and sum(c*c) overflow BIGINT
+    # once N or a value count passes ~3e9 — routine at the target scale
+    # (ANSI mode would kill the job; legacy mode would wrap silently).
+    # Decimal sums stay exact to 1e38, and both engines convert the
+    # exact integers to double only at the final division (DuckDB's
+    # HUGEINT `/` does the same), so gate-scale parity is unchanged.
+    cd = F.col("c").cast("decimal(20,0)")
+    num = (F.sum(cd * cd) - F.sum(cd)).cast("double")
+    den = (F.sum(cd) * F.sum(cd) - F.sum(cd)).cast("double")
+    return counts.groupBy("field").agg((num / den).alias("u"))
 
 
 def field_u_probabilities(records: DataFrame, fields: list[str]) -> DataFrame:

@@ -48,12 +48,13 @@ IMAGE_FEATURES_DDL = (
 )
 
 
-def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
-    """REAL decoder for binary PPM/PGM (P6/P5, maxval ≤ 255) — the
-    uncompressed Netpbm format needs no codec library, just the header
-    grammar (magic, whitespace/#-comment separated width height maxval,
-    single whitespace byte, then raw samples). Luma is Rec.601
-    (0.299 R + 0.587 G + 0.114 B), averaged over all pixels."""
+def _netpbm_header(blob: bytes) -> tuple[bool, int, int, int, int]:
+    """Parse the binary Netpbm header ONCE for every consumer (mean
+    luma, pixel grids, resize): magic, whitespace/#-comment separated
+    width height maxval, single whitespace byte. Returns
+    (gray, w, h, maxval, pixel_offset)."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary Netpbm image")
     gray = blob[:2] == b"P5"
     pos = 2
     fields: list[int] = []
@@ -74,6 +75,15 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
     if maxval > 255:
         raise ValueError("16-bit Netpbm not supported")
     pos += 1  # exactly one whitespace byte after maxval
+    return gray, w, h, maxval, pos
+
+
+def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
+    """REAL decoder for binary PPM/PGM (P6/P5, maxval ≤ 255) — the
+    uncompressed Netpbm format needs no codec library, just the header
+    grammar (see _netpbm_header). Luma is Rec.601
+    (0.299 R + 0.587 G + 0.114 B), averaged over all pixels."""
+    gray, w, h, _maxval, pos = _netpbm_header(blob)
     n = w * h
     px = blob[pos : pos + n * (1 if gray else 3)]
     if len(px) < n * (1 if gray else 3):
@@ -201,10 +211,12 @@ AUDIO_FEATURES_DDL = (
 )
 
 
-def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
-    """REAL decoder for PCM 16-bit WAV (RIFF little-endian): walks the
-    chunk list for fmt / data, returns (sample_rate, n_channels,
-    n_frames, rms) with RMS over all samples normalized to [-1, 1]."""
+def _wav_chunks(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Walk the RIFF chunk list ONCE for every consumer: returns
+    (sample_rate, n_channels, bits, data_bytes) with the LAST fmt/data
+    chunk winning (consumers must agree on WHICH bytes are the audio —
+    a split walk that stopped at the first data chunk would fingerprint
+    different samples than the decoder validated)."""
     import struct
 
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -227,6 +239,14 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
         raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
     if n_ch == 0 or rate == 0:
         raise ValueError("zero channels/sample-rate")
+    return rate, n_ch, bits, data
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
+    """REAL decoder for PCM 16-bit WAV (RIFF little-endian): walks the
+    chunk list for fmt / data, returns (sample_rate, n_channels,
+    n_frames, rms) with RMS over all samples normalized to [-1, 1]."""
+    rate, n_ch, _bits, data = _wav_chunks(blob)
     n_samples = len(data) // 2
     if n_samples == 0:
         raise ValueError("empty data chunk")
@@ -285,22 +305,9 @@ RESIZED_DDL = "media_id string, content binary, width int, height int, resized b
 def _resize_netpbm(blob: bytes, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resize for P5/P6, re-emitting a valid payload
     with the same magic and maxval 255."""
-    w, h, _ = _decode_ppm(blob)  # validates header
-    gray = blob[:2] == b"P5"
+    gray, w, h, _maxval, pos = _netpbm_header(blob)
+    _decode_ppm(blob)  # validates pixel-data length too
     ch = 1 if gray else 3
-    # locate pixel data: re-walk the header exactly like _decode_ppm
-    pos, fields = 2, 0
-    while fields < 3:
-        while blob[pos : pos + 1].isspace():
-            pos += 1
-        if blob[pos : pos + 1] == b"#":
-            while pos < len(blob) and blob[pos] not in (10, 13):
-                pos += 1
-            continue
-        while not blob[pos : pos + 1].isspace():
-            pos += 1
-        fields += 1
-    pos += 1
     px = blob[pos:]
     out = bytearray()
     for y in range(out_h):
@@ -367,26 +374,7 @@ def _netpbm_pixels(blob: bytes):
     structure, not just brightness)."""
     import numpy as np
 
-    gray = blob[:2] == b"P5"
-    if blob[:2] not in (b"P5", b"P6"):
-        raise ValueError("not a binary Netpbm image")
-    pos = 2
-    fields: list[int] = []
-    while len(fields) < 3:
-        while pos < len(blob) and blob[pos : pos + 1].isspace():
-            pos += 1
-        if blob[pos : pos + 1] == b"#":
-            while pos < len(blob) and blob[pos] not in (10, 13):
-                pos += 1
-            continue
-        start = pos
-        while pos < len(blob) and not blob[pos : pos + 1].isspace():
-            pos += 1
-        fields.append(int(blob[start:pos]))
-    w, h, maxval = fields
-    if w <= 0 or h <= 0 or maxval > 255:
-        raise ValueError("unsupported Netpbm image")
-    pos += 1
+    gray, w, h, _maxval, pos = _netpbm_header(blob)
     n = w * h
     want = n * (1 if gray else 3)
     px = np.frombuffer(blob, dtype=np.uint8, count=want, offset=pos)
@@ -433,7 +421,14 @@ def _ahash64(blob: bytes, grid: int = AHASH_GRID) -> int | None:
         sums[empty] = nearest[empty]
         counts[empty] = 1.0
     cells = (sums / counts).ravel()
-    bits = cells >= cells.mean()
+    return _pack_bits64(cells >= cells.mean())
+
+
+def _pack_bits64(bits) -> int:
+    """Pack ≤64 booleans row-major into a SIGNED 64-bit int (two's
+    complement — Spark LongType), bit i = bits[i]."""
+    import numpy as np
+
     packed = np.uint64(0)
     for i, b in enumerate(bits):
         if b:
@@ -441,12 +436,12 @@ def _ahash64(blob: bytes, grid: int = AHASH_GRID) -> int | None:
     return int(packed.astype(np.int64))
 
 
-def perceptual_hashes(
-    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
-) -> DataFrame:
-    """(id, ahash) per decodable image via Arrow-batched mapInPandas —
-    map-only, no shuffle; undecodable payloads yield NULL and are
-    dropped (they cannot perceptually collide)."""
+def _media_hashes(df: DataFrame, hash_fn, id_col: str, content_col: str) -> DataFrame:
+    """Shared mapInPandas pipeline for every 64-bit perceptual
+    signature: map-only, no shuffle; payloads ``hash_fn`` returns None
+    for yield NULL and are dropped (they cannot perceptually collide).
+    The output column is named ``ahash`` regardless of modality so
+    perceptual_near_pairs consumes any of them unchanged."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -457,7 +452,7 @@ def perceptual_hashes(
                 {
                     id_col: pdf[id_col],
                     "ahash": [
-                        _ahash64(bytes(b)) if b is not None else None
+                        hash_fn(bytes(b)) if b is not None else None
                         for b in pdf[content_col]
                     ],
                 }
@@ -467,6 +462,13 @@ def perceptual_hashes(
     return df.select(id_col, content_col).mapInPandas(run, out_schema).filter(
         F.col("ahash").isNotNull()
     )
+
+
+def perceptual_hashes(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, ahash) per decodable image — see _media_hashes."""
+    return _media_hashes(df, _ahash64, id_col, content_col)
 
 
 def perceptual_near_pairs(
@@ -534,20 +536,9 @@ def _audio_fingerprint64(blob: bytes, frames: int = 64) -> int | None:
     import numpy as np
 
     try:
-        rate, n_ch, _n_frames, _rms = _decode_wav(blob)
+        _rate, n_ch, _bits, data = _wav_chunks(blob)
     except ValueError:
         return None
-    import struct
-
-    # re-walk to the data chunk (decoder validated structure already)
-    pos, data = 12, b""
-    while pos + 8 <= len(blob):
-        cid = blob[pos : pos + 4]
-        size = struct.unpack_from("<I", blob, pos + 4)[0]
-        if cid == b"data":
-            data = blob[pos + 8 : pos + 8 + size]
-            break
-        pos += 8 + size + (size & 1)
     n = (len(data) // 2) // n_ch * n_ch
     if n == 0:
         return None
@@ -560,12 +551,7 @@ def _audio_fingerprint64(blob: bytes, frames: int = 64) -> int | None:
     np.add.at(counts, idx, 1.0)
     counts[counts == 0] = 1.0  # clips shorter than 64 samples
     cells = energy / counts
-    bits = cells >= cells.mean()
-    packed = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            packed |= np.uint64(1) << np.uint64(i)
-    return int(packed.astype(np.int64))
+    return _pack_bits64(cells >= cells.mean())
 
 
 def audio_fingerprints(
@@ -574,26 +560,5 @@ def audio_fingerprints(
     """(id, ahash) per decodable WAV clip — same column name and
     64-bit contract as perceptual_hashes, so perceptual_near_pairs
     dedups audio unchanged (banded Hamming join, pigeonhole-exact
-    within AHASH_MAX_HAMMING)."""
-    import pandas as pd
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "ahash": [
-                        _audio_fingerprint64(bytes(b))
-                        if b is not None
-                        else None
-                        for b in pdf[content_col]
-                    ],
-                }
-            ).astype({"ahash": "Int64"})
-
-    out_schema = f"{id_col} string, ahash long"
-    return df.select(id_col, content_col).mapInPandas(run, out_schema).filter(
-        F.col("ahash").isNotNull()
-    )
+    within AHASH_MAX_HAMMING). See _media_hashes."""
+    return _media_hashes(df, _audio_fingerprint64, id_col, content_col)

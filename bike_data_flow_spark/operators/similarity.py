@@ -1433,14 +1433,31 @@ def kcenter_greedy(
             lambda acc, x: acc + x,
         )
 
-    seed = base.orderBy(F.asc("_id")).limit(1).collect()[0]
+    seed_rows = base.orderBy(F.asc("_id")).limit(1).collect()
+    schema = StructType(
+        [
+            StructField("sel_rank", LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("d", DoubleType()),
+        ]
+    )
+    if not seed_rows:  # empty corpus -> empty selection, same schema
+        return spark.createDataFrame([], schema)
+    seed = seed_rows[0]
     picks = [(1, seed["_id"], 0.0)]
+    chosen = {seed["_id"]}
     cur = base.select(
         "_id", "_v", sqd([float(x) for x in seed["_v"]]).alias("_dmin")
     )
     for r in range(2, k + 1):
         far = cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()[0]
+        if far["_id"] in chosen:
+            # k exceeds the number of distinct points: every remaining
+            # row is already selected (d=0 argmax falls back to the
+            # min id) — stop instead of emitting duplicate picks
+            break
         picks.append((r, far["_id"], float(far["_dmin"])))
+        chosen.add(far["_id"])
         cur = cur.select(
             "_id",
             "_v",
@@ -1448,14 +1465,5 @@ def kcenter_greedy(
                 F.col("_dmin"), sqd([float(x) for x in far["_v"]])
             ).alias("_dmin"),
         )
-    out = spark.createDataFrame(
-        picks,
-        StructType(
-            [
-                StructField("sel_rank", LongType()),
-                StructField(id_col, df.schema[id_col].dataType),
-                StructField("d", DoubleType()),
-            ]
-        ),
-    )
+    out = spark.createDataFrame(picks, schema)
     return out.select("sel_rank", id_col, F.round("d", 6).alias("d"))

@@ -58,9 +58,13 @@ _U_SQL = (
     + ")"
 )
 
+# (1-m) is emitted as the EXACT repr of the double Spark computes at
+# plan time (F.lit(1.0) - F.lit(m), e.g. 0.050000000000000044) — a
+# rounded decimal literal like 0.05 differs by 1 ulp and would break
+# bit-for-bit parity on scores near a round(,4) boundary.
 _W_SQL = " + ".join(
-    f"CASE WHEN {f}_l = {f}_r THEN log2({m} / u_{f}) "
-    f"ELSE log2({1.0 - m:.2f} / (1 - u_{f})) END"
+    f"CASE WHEN {f}_l = {f}_r THEN log2({m!r} / u_{f}) "
+    f"ELSE log2({(1.0 - m)!r} / (1 - u_{f})) END"
     for f, m in _FS_M.items()
 )
 

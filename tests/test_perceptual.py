@@ -154,3 +154,47 @@ def test_audio_dedup_reuses_near_pairs(spark):
     }
     assert ("clip", "clip_louder") in pairs
     assert not any("other" in p for p in pairs)
+
+
+def test_wav_multiple_data_chunks_consistent_decode_and_fingerprint():
+    """Decoder and fingerprint must agree on WHICH bytes are the audio
+    (last data chunk wins in both); a zero-length leading data chunk
+    must not make the fingerprint drop a clip the decoder accepts."""
+    import struct
+
+    from bike_data_flow_spark.operators.multimodal import (
+        _audio_fingerprint64,
+        _decode_wav,
+    )
+
+    rng = random.Random(23)
+    samples = [rng.randrange(-8000, 8000) for _ in range(1024)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 0)  # empty decoy first
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    rate, n_ch, n_frames, rms = _decode_wav(blob)
+    assert (rate, n_ch, n_frames) == (8000, 1, 1024)
+    h = _audio_fingerprint64(blob)
+    assert h is not None
+    assert h == _audio_fingerprint64(_wav(samples))
+
+
+def test_kcenter_empty_and_k_exceeding_corpus(spark):
+    from bike_data_flow_spark.operators.similarity import kcenter_greedy
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = kcenter_greedy(empty, k=3)
+    assert out.columns == ["sel_rank", "vec_id", "d"]
+    assert out.count() == 0
+
+    three = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    picks = kcenter_greedy(three, k=5).collect()
+    ids = [r["vec_id"] for r in picks]
+    assert len(ids) == len(set(ids)) == 3  # no duplicate picks

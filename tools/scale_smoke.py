@@ -96,9 +96,19 @@ PPJOIN_DIAL = {"prefix_filter_jaccard_pairs": 0.8}
 FS_DIAL = {"fs_linkage_scores": 100}
 
 
+# bump whenever the generated LAYOUT changes (v2: part scales as a
+# fact) — a stale marker from an older layout must force regeneration,
+# or the new rows would silently measure old-layout data
+GEN_VERSION = 2
+
+
 def generate(spark) -> None:
-    if os.path.exists(f"{TENX}/_DONE"):
+    import shutil
+
+    marker = f"{TENX}/_DONE_v{GEN_VERSION}"
+    if os.path.exists(marker):
         return
+    shutil.rmtree(TENX, ignore_errors=True)  # stale/partial/old-layout
     os.makedirs(TENX, exist_ok=True)
     for name in DIMS:
         spark.read.parquet(f"{BASE}/{name}.parquet").write.mode(
@@ -194,7 +204,7 @@ def generate(spark) -> None:
         c = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * o_off))
         out = c if out is None else out.unionByName(c)
     out.write.mode("overwrite").parquet(f"{TENX}/orders.parquet")
-    open(f"{TENX}/_DONE", "w").close()
+    open(marker, "w").close()
 
 
 def timed(spark, fn, sf_dir, reps=2) -> float:
