@@ -877,3 +877,111 @@ def snapshot_restore(table_dir: str, version: int) -> int:
     _publish_manifest(table_dir, new_version, manifest)
     _write_pointer(table_dir, new_version)
     return new_version
+
+
+def maintenance_plan(
+    table_dir: str,
+    max_dirs: int = 8,
+    keep_last: int = 5,
+    vacuum_after_seconds: float = 86400.0,
+) -> dict:
+    """Inspect the table's manifests (METADATA ONLY — no Spark job, no
+    data read) and recommend maintenance actions, the decision half of
+    a daily OPTIMIZE job:
+
+    - ``compact``: the latest manifest references more than
+      ``max_dirs`` data dirs (every append adds one; snapshot_read
+      unions one scan per dir until a compaction collapses them).
+    - ``expire``: more than ``keep_last`` manifests retained.
+    - ``vacuum``: unreachable data dirs older than the retention
+      window exist (crashed/CAS-losing attempts).
+
+    Returns {"compact": bool, "n_dirs": int, "expire": bool,
+    "n_versions": int, "vacuum": [dirs], "reasons": [str]} — feed to
+    ``auto_optimize`` or act manually. At 100 TB this stays O(#versions
+    + #data dirs) driver-side metadata work."""
+    reasons: list[str] = []
+    plan = {
+        "compact": False,
+        "n_dirs": 0,
+        "expire": False,
+        "n_versions": 0,
+        "vacuum": [],
+        "reasons": reasons,
+    }
+    cur = current_version(table_dir)
+    if cur is None:
+        return plan
+    mdir = _manifest_dir(table_dir)
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    plan["n_versions"] = len(versions)
+    n_dirs = len(_read_manifest(table_dir, cur)["dirs"])
+    plan["n_dirs"] = n_dirs
+    if n_dirs > max_dirs:
+        plan["compact"] = True
+        reasons.append(
+            f"latest version reads {n_dirs} dirs (> {max_dirs}): compact"
+        )
+    if len(versions) > keep_last:
+        plan["expire"] = True
+        reasons.append(
+            f"{len(versions)} manifests retained (> {keep_last}): expire"
+        )
+    live: set[str] = set()
+    for v in versions:
+        live.update(_read_manifest(table_dir, v)["dirs"])
+    data_root = f"{table_dir}/data"
+    cutoff = time.time() - vacuum_after_seconds
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            rel = f"data/{d}"
+            full = f"{data_root}/{d}"
+            if (
+                rel not in live
+                and os.path.isdir(full)
+                and os.path.getmtime(full) <= cutoff
+            ):
+                plan["vacuum"].append(rel)
+    if plan["vacuum"]:
+        reasons.append(
+            f"{len(plan['vacuum'])} orphaned data dir(s) past retention: vacuum"
+        )
+    return plan
+
+
+def auto_optimize(
+    spark: SparkSession,
+    table_dir: str,
+    max_dirs: int = 8,
+    keep_last: int = 5,
+    vacuum_after_seconds: float = 86400.0,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """Execute maintenance_plan's recommendations in the safe order:
+    compact FIRST (a compaction commit adds a version, so expiring
+    first could drop history a failed compaction would want), then
+    expire, then vacuum. Returns the plan annotated with what ran.
+    The single entry point a scheduled daily maintenance job calls."""
+    plan = maintenance_plan(
+        table_dir,
+        max_dirs=max_dirs,
+        keep_last=keep_last,
+        vacuum_after_seconds=vacuum_after_seconds,
+    )
+    if plan["compact"]:
+        plan["compacted_version"] = snapshot_compact(
+            spark, table_dir, zorder_by=zorder_by
+        )
+    if plan["expire"]:
+        plan["expired_versions"] = expire_snapshots(
+            table_dir, keep_last=keep_last
+        )
+    if plan["vacuum"]:
+        plan["vacuumed"] = snapshot_vacuum(
+            table_dir, older_than_seconds=vacuum_after_seconds
+        )
+    return plan

@@ -169,3 +169,48 @@ def test_restore_refuses_expired_or_missing_target(spark, tmp_path):
     SN.expire_snapshots(t, keep_last=1)
     with pytest.raises(ValueError, match="not retained"):
         snapshot_restore(t, 1)
+
+
+def test_maintenance_plan_flags_and_auto_optimize_executes(spark, tmp_path):
+    from bike_data_flow_spark.operators.snapshots import (
+        auto_optimize,
+        maintenance_plan,
+    )
+
+    t = _t(tmp_path)
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    for _ in range(7):  # 7 appends -> 7 dirs, 7 manifests
+        SN.snapshot_write(df, t, mode="append")
+    orphan = os.path.join(t, "data", "v99-orphan")
+    os.makedirs(orphan)
+
+    plan = maintenance_plan(t, max_dirs=4, keep_last=3, vacuum_after_seconds=0)
+    assert plan["compact"] and plan["n_dirs"] == 7
+    assert plan["expire"] and plan["n_versions"] == 7
+    assert plan["vacuum"] == ["data/v99-orphan"]
+    assert len(plan["reasons"]) == 3
+
+    result = auto_optimize(
+        spark, t, max_dirs=4, keep_last=3, vacuum_after_seconds=0
+    )
+    assert result["compacted_version"] == 8
+    assert result["expired_versions"]  # old versions gone
+    assert result["vacuumed"] == ["data/v99-orphan"]
+    # table intact, latest version reads ONE compacted dir
+    assert SN.snapshot_read(spark, t).count() == 7
+    assert len(SN._read_manifest(t, SN.current_version(t))["dirs"]) == 1
+    # converged: a second pass recommends nothing
+    again = maintenance_plan(t, max_dirs=4, keep_last=3, vacuum_after_seconds=0)
+    assert not (again["compact"] or again["expire"] or again["vacuum"])
+
+
+def test_maintenance_plan_quiet_table_recommends_nothing(spark, tmp_path):
+    from bike_data_flow_spark.operators.snapshots import maintenance_plan
+
+    t = _t(tmp_path)
+    assert maintenance_plan(t)["reasons"] == []  # no table yet
+    SN.snapshot_write(
+        spark.createDataFrame([(1, 1)], "k long, v long"), t, mode="overwrite"
+    )
+    plan = maintenance_plan(t)
+    assert not (plan["compact"] or plan["expire"] or plan["vacuum"])
