@@ -60,6 +60,8 @@ _CHECK_FIRST = (
     "leakage_safe_split",
     "kcenter_selection",
     "gdpr_erasure_roundtrip",
+    "fs_linkage_clusters",
+    "kcenter_assignment",
     "foreachbatch_incremental_dedup",
     "foreachbatch_embedding_dedup",
     "compacted_vector_store_probe",

@@ -172,3 +172,65 @@ def fs_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2((F.lit(1.0) - m) / (F.lit(1.0) - F.col("u"))), 4
         ).alias("w_disagree"),
     )
+
+
+# Entity resolution END of the FS pipeline: 'match'-decided pairs
+# collapse into canonical entities by connected components ((a,b),(b,c)
+# merge without an (a,c) comparison), emitting one row per resolved
+# multi-record entity with its size. Nodes are only pair endpoints —
+# the CC residue is bounded by matches, never the record count — and
+# the oracle closes the same edge set with a recursive CTE.
+@query(
+    "fs_linkage_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_B_SQL}, {_U_SQL}, {_CAND_SQL},
+    m AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round({_W_SQL}, 4) AS score FROM cand, u
+      ) WHERE score >= {_FS_MATCH_T}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM m
+      UNION ALL
+      SELECT id_b, id_a FROM m
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk AS (
+      SELECT id, id AS label FROM nodes
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+    SELECT cluster_id, count(*) AS n_members
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def fs_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    part = load(spark, sf_dir, "part")
+    records = part.select(
+        "p_partkey",
+        *_FS_FIELDS,
+        F.element_at(F.split("p_name", " "), -1).alias("tok"),
+    )
+    u_row = L.field_u_probabilities(records, _FS_FIELDS)
+    pairs = L.blocked_pairs(
+        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
+    )
+    matches = L.fs_score(
+        pairs,
+        u_row,
+        _FS_M,
+        match_threshold=_FS_MATCH_T,
+        possible_threshold=_FS_MATCH_T,  # matches only
+    ).select("id_a", "id_b")
+    nodes = (
+        matches.select(F.col("id_a").alias("nid"))
+        .unionByName(matches.select(F.col("id_b").alias("nid")))
+        .distinct()
+    )
+    comp = connected_components(matches, nodes, id_col="nid")
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

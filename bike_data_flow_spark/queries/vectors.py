@@ -1621,3 +1621,74 @@ def kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversal (k=5). See operators/similarity.kcenter_greedy for the
     per-round map-only + TakeOrdered(1) scale shape."""
     return S.kcenter_greedy(load(spark, sf_dir, "embeddings"), k=5)
+
+
+# Coverage half of the k-center story: assign EVERY point to its
+# nearest selected center (ties -> smallest center id) and report the
+# per-center population + coverage radius (max distance) — the
+# quantity greedy k-center 2-approximates. Spark: the k selected
+# vectors come back as plan literals (k-bounded collect, same contract
+# as the selection), so assignment is ONE map pass + a k-row partial
+# agg; the oracle extends the selection CTE chain with a QUALIFY
+# argmin over the centers.
+@query(
+    "kcenter_assignment",
+    oracle="""
+    WITH kv AS MATERIALIZED (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    s1 AS (SELECT vec_id, v FROM kv ORDER BY vec_id ASC LIMIT 1),
+    d1 AS (SELECT p.vec_id, p.v, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))]) AS d FROM kv p, s1 s),
+    s2 AS (SELECT vec_id, v, d FROM d1 QUALIFY row_number() OVER (ORDER BY d DESC, vec_id ASC) = 1),
+    d2 AS (SELECT p.vec_id, p.v, least(p.d, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))])) AS d FROM d1 p, s2 s),
+    s3 AS (SELECT vec_id, v, d FROM d2 QUALIFY row_number() OVER (ORDER BY d DESC, vec_id ASC) = 1),
+    d3 AS (SELECT p.vec_id, p.v, least(p.d, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))])) AS d FROM d2 p, s3 s),
+    s4 AS (SELECT vec_id, v, d FROM d3 QUALIFY row_number() OVER (ORDER BY d DESC, vec_id ASC) = 1),
+    d4 AS (SELECT p.vec_id, p.v, least(p.d, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))])) AS d FROM d3 p, s4 s),
+    s5 AS (SELECT vec_id, v, d FROM d4 QUALIFY row_number() OVER (ORDER BY d DESC, vec_id ASC) = 1),
+    centers AS (SELECT vec_id AS cid, v FROM s1 UNION ALL SELECT vec_id AS cid, v FROM s2 UNION ALL SELECT vec_id AS cid, v FROM s3 UNION ALL SELECT vec_id AS cid, v FROM s4 UNION ALL SELECT vec_id AS cid, v FROM s5),
+    asg AS (SELECT p.vec_id, s.cid, list_sum([(p.v[i] - s.v[i]) * (p.v[i] - s.v[i]) FOR i IN generate_series(1, len(p.v))]) AS d FROM kv p CROSS JOIN centers s QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY d ASC, s.cid ASC) = 1)
+    SELECT cid AS center_id, count(*) AS n_assigned, round(max(d), 6) AS radius FROM asg GROUP BY cid
+    """,
+)
+def kcenter_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sel = S.kcenter_greedy(emb, k=5)
+    centers = (
+        emb.join(F.broadcast(sel.select("vec_id")), "vec_id")
+        .select("vec_id", "embedding")
+        .collect()  # k rows by construction — coreset-sized
+    )
+    centers.sort(key=lambda r: r["vec_id"])
+
+    def sqd(vals):
+        lit = F.array(*[F.lit(float(x)) for x in vals])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                lit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = [(r["vec_id"], sqd(r["embedding"])) for r in centers]
+    staged = emb.select(
+        "vec_id",
+        *[d.alias(f"_d{i}") for i, (_, d) in enumerate(dists)],
+    )
+    dmin = F.least(*[F.col(f"_d{i}") for i in range(len(dists))])
+    cid = None
+    for i, (cvid, _) in enumerate(dists):  # ascending center id: ties
+        cond = F.col(f"_d{i}") == F.col("_dmin")
+        cid = (
+            F.when(cond, F.lit(cvid))
+            if cid is None
+            else cid.when(cond, F.lit(cvid))
+        )
+    asg = staged.withColumn("_dmin", dmin).select(
+        "vec_id", cid.alias("center_id"), F.col("_dmin").alias("d")
+    )
+    return asg.groupBy("center_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.max("d"), 6).alias("radius"),
+    )

@@ -144,3 +144,31 @@ def test_kcenter_greedy_first_pick_is_min_id_and_d_monotone_coverage(spark):
     # greedy picks have non-increasing selection distances after rank 2
     ds = [r["d"] for r in out[1:]]
     assert all(a >= b for a, b in zip(ds, ds[1:]))
+
+
+def test_fs_linkage_clusters_properties(spark):
+    """Every resolved entity has >= 2 members, and the member total is
+    bounded by twice the match-pair count (each pair contributes at
+    most two new nodes)."""
+    q = load_all()["fs_linkage_clusters"].fn
+    rows = q(spark, SF).collect()
+    assert rows, "expected at least one resolved entity at sf0.001"
+    assert all(r["n_members"] >= 2 for r in rows)
+    pairs = load_all()["fs_linkage_scores"].fn(spark, SF)
+    n_matches = pairs.filter(F.col("decision") == "match").count()
+    assert sum(r["n_members"] for r in rows) <= 2 * n_matches
+
+
+def test_kcenter_assignment_partitions_corpus(spark):
+    """Assignment is a PARTITION of the corpus: counts sum to the
+    corpus size, centers are exactly the selected ids, and the
+    reported radius is the max assigned distance (>= 0)."""
+    from bike_data_flow_spark.operators.similarity import kcenter_greedy
+    from bike_data_flow_spark.tables import load
+
+    emb = load(spark, SF, "embeddings")
+    asg = load_all()["kcenter_assignment"].fn(spark, SF).collect()
+    assert sum(r["n_assigned"] for r in asg) == emb.count()
+    sel = {r["vec_id"] for r in kcenter_greedy(emb, k=5).collect()}
+    assert {r["center_id"] for r in asg} == sel
+    assert all(r["radius"] >= 0.0 for r in asg)
