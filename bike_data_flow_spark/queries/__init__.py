@@ -62,6 +62,8 @@ _CHECK_FIRST = (
     "gdpr_erasure_roundtrip",
     "fs_linkage_clusters",
     "kcenter_assignment",
+    "fs_review_queue",
+    "leakage_split_census",
     "foreachbatch_incremental_dedup",
     "foreachbatch_embedding_dedup",
     "compacted_vector_store_probe",

@@ -234,3 +234,52 @@ def fs_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# The FS framework's third band is OPERATIONAL, not just a label: the
+# [possible, match) scores form the clerical-review queue, and a
+# reviewer needs to see WHICH fields disagreed to adjudicate. One more
+# projection over the same scored pairs — per-field agreement flags
+# ride along as booleans.
+@query(
+    "fs_review_queue",
+    oracle=f"""
+    WITH {_B_SQL}, {_U_SQL}, {_CAND_SQL}
+    SELECT * FROM (
+      SELECT id_a, id_b, round({_W_SQL}, 4) AS score,
+             p_name_l = p_name_r AS g_name,
+             p_brand_l = p_brand_r AS g_brand,
+             p_type_l = p_type_r AS g_type,
+             p_size_l = p_size_r AS g_size
+      FROM cand, u
+    ) WHERE score >= {_FS_POSSIBLE_T} AND score < {_FS_MATCH_T}
+    """,
+)
+def fs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    records = part.select(
+        "p_partkey",
+        *_FS_FIELDS,
+        F.element_at(F.split("p_name", " "), -1).alias("tok"),
+    )
+    u_row = L.field_u_probabilities(records, _FS_FIELDS)
+    pairs = L.blocked_pairs(
+        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
+    )
+    scored = pairs.crossJoin(F.broadcast(u_row))
+    total = None
+    for f, m in _FS_M.items():
+        w = L.fs_weight(F.col(f"{f}_a") == F.col(f"{f}_b"), m, F.col(f))
+        total = w if total is None else total + w
+    out = scored.select(
+        "id_a",
+        "id_b",
+        F.round(total, 4).alias("score"),
+        *[
+            (F.col(f"{f}_a") == F.col(f"{f}_b")).alias(f"g_{f[2:]}")
+            for f in _FS_FIELDS
+        ],
+    )
+    return out.filter(
+        (F.col("score") >= _FS_POSSIBLE_T) & (F.col("score") < _FS_MATCH_T)
+    )

@@ -193,3 +193,57 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.expr(_LSP_HASH_S)
     split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+# Census over the leakage-safe split: the per-(lang, split) doc and
+# token counts that verify the CLUSTER-hash split didn't skew any
+# stratum — the same audit stratified_split_counts provides for the
+# per-doc hash split, over the dedup-aware assignment instead. Adds
+# one broadcast-sized join (cluster assignment ⋈ documents) and one
+# grouped agg on top of the clustering it reuses.
+@query(
+    "leakage_split_census",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({{minhash_pairs}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM walk GROUP BY id),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN {_LSP_HASH_D} < 80 THEN 'train'
+                  WHEN {_LSP_HASH_D} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clusters
+    )
+    SELECT d.lang, a.split, count(*) AS n_docs,
+           CAST(sum({_N_TOK}) AS BIGINT) AS n_tokens
+    FROM documents d JOIN assigned a USING (doc_id)
+    GROUP BY 1, 2
+    """.replace("{minhash_pairs}", _minhash_oracle().strip()),
+)
+def leakage_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs)
+    clusters = D.connected_components(pairs, docs.select("doc_id"))
+    h = F.expr(_LSP_HASH_S)
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    assigned = clusters.select("doc_id", split.alias("split"))
+    return (
+        docs.join(assigned, "doc_id")
+        .groupBy(F.col("lang"), F.col("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
+        )
+    )
