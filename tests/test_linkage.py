@@ -146,3 +146,54 @@ def test_blocked_pairs_module_dial_is_picked_up(spark):
         L.BLOCK_STRIPE_CAP = None
     assert before == 12 * 11 // 2
     assert dialed < before
+
+
+def test_fs_model_properties_hypothesis(spark):
+    """Model invariants over randomized records: u lands in (0, 1],
+    all-field agreement scores strictly above all-field disagreement,
+    and every pair's score is bounded by the sum of per-field extreme
+    weights."""
+    import math
+    import random
+
+    rng = random.Random(0)
+    for trial in range(3):
+        n = rng.randrange(6, 14)
+        rows = [
+            (
+                i,
+                rng.choice(["a", "b", "c"]),
+                rng.choice(["x", "y"]),
+                rng.randrange(3),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "rid long, f1 string, f2 string, f3 long")
+        us = {
+            r["field"]: r["u"]
+            for r in L.field_u_long(df, ["f1", "f2", "f3"]).collect()
+        }
+        assert all(0.0 < u <= 1.0 for u in us.values()), us
+
+        m = {"f1": 0.9, "f2": 0.8, "f3": 0.7}
+
+        def weights(f):
+            agree = math.log2(m[f] / us[f])
+            if us[f] >= 1.0:  # disagreement impossible: only agree
+                return (agree, agree)
+            return (agree, math.log2((1 - m[f]) / (1 - us[f])))
+
+        hi = sum(max(weights(f)) for f in m)
+        lo = sum(min(weights(f)) for f in m)
+        assert hi >= lo
+        pairs = L.blocked_pairs(
+            df.withColumn("blk", F.lit(1)), "rid", [["blk"]],
+            carry=["f1", "f2", "f3"],
+        )
+        u_row = L.field_u_probabilities(df, ["f1", "f2", "f3"])
+        scored = L.fs_score(
+            pairs, u_row, m, match_threshold=hi, possible_threshold=-1e9
+        ).collect()
+        assert len(scored) == n * (n - 1) // 2
+        eps = 1e-4
+        assert all(lo - eps <= r["score"] <= hi + eps for r in scored)
