@@ -64,6 +64,8 @@ _CHECK_FIRST = (
     "kcenter_assignment",
     "fs_review_queue",
     "leakage_split_census",
+    "fs_canonical_records",
+    "split_contamination_audit",
     "foreachbatch_incremental_dedup",
     "foreachbatch_embedding_dedup",
     "compacted_vector_store_probe",

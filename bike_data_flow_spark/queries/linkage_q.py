@@ -283,3 +283,114 @@ def fs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         (F.col("score") >= _FS_POSSIBLE_T) & (F.col("score") < _FS_MATCH_T)
     )
+
+
+# Survivorship — the last step of master-data entity resolution: each
+# resolved entity gets ONE canonical value per field by plurality vote
+# over its members (ties → smallest value), the rule that picks the
+# clean majority spelling over the odd one out. Per-field mode =
+# count per (cluster, value) + a cluster-partitioned rank window —
+# both bounded by entity sizes, never corpus-quadratic.
+@query(
+    "fs_canonical_records",
+    oracle=f"""
+    WITH RECURSIVE {_B_SQL}, {_U_SQL}, {_CAND_SQL},
+    m AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round({_W_SQL}, 4) AS score FROM cand, u
+      ) WHERE score >= {_FS_MATCH_T}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM m
+      UNION ALL
+      SELECT id_b, id_a FROM m
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk AS (
+      SELECT id, id AS label FROM nodes
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+    mem AS (
+      SELECT c.cluster_id, b.p_name, b.p_brand, b.p_type, b.p_size
+      FROM comp c JOIN b ON b.p_partkey = c.id
+    ),
+    mode_name AS (
+      SELECT cluster_id, p_name AS canonical_name FROM (
+        SELECT cluster_id, p_name, count(*) AS n FROM mem GROUP BY 1, 2)
+      QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n DESC, p_name ASC) = 1
+    ),
+    mode_brand AS (
+      SELECT cluster_id, p_brand AS canonical_brand FROM (
+        SELECT cluster_id, p_brand, count(*) AS n FROM mem GROUP BY 1, 2)
+      QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n DESC, p_brand ASC) = 1
+    ),
+    mode_type AS (
+      SELECT cluster_id, p_type AS canonical_type FROM (
+        SELECT cluster_id, p_type, count(*) AS n FROM mem GROUP BY 1, 2)
+      QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n DESC, p_type ASC) = 1
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_members
+              FROM mem GROUP BY cluster_id)
+    SELECT s.cluster_id, s.n_members, mn.canonical_name,
+           mb.canonical_brand, mt.canonical_type
+    FROM sizes s
+    JOIN mode_name mn USING (cluster_id)
+    JOIN mode_brand mb USING (cluster_id)
+    JOIN mode_type mt USING (cluster_id)
+    """,
+)
+def fs_canonical_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import connected_components
+
+    part = load(spark, sf_dir, "part")
+    records = part.select(
+        "p_partkey",
+        *_FS_FIELDS,
+        F.element_at(F.split("p_name", " "), -1).alias("tok"),
+    )
+    u_row = L.field_u_probabilities(records, _FS_FIELDS)
+    pairs = L.blocked_pairs(
+        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
+    )
+    matches = L.fs_score(
+        pairs, u_row, _FS_M,
+        match_threshold=_FS_MATCH_T, possible_threshold=_FS_MATCH_T,
+    ).select("id_a", "id_b")
+    nodes = (
+        matches.select(F.col("id_a").alias("nid"))
+        .unionByName(matches.select(F.col("id_b").alias("nid")))
+        .distinct()
+    )
+    comp = connected_components(matches, nodes, id_col="nid")
+    mem = comp.join(
+        records.withColumnRenamed("p_partkey", "nid"), "nid"
+    ).cache()
+
+    def mode(field: str, out: str) -> DataFrame:
+        cnt = mem.groupBy("cluster_id", field).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("_n"), F.asc(field)
+        )
+        return (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cluster_id", F.col(field).alias(out))
+        )
+
+    sizes = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        sizes.join(mode("p_name", "canonical_name"), "cluster_id")
+        .join(mode("p_brand", "canonical_brand"), "cluster_id")
+        .join(mode("p_type", "canonical_type"), "cluster_id")
+    )

@@ -25,7 +25,7 @@ from ..operators import text as T
 from ..tables import load
 from . import query
 from .textops import _NORM, _minhash_oracle
-from .textops2 import _MIX_TAU, _N_TOK
+from .textops2 import _MIX_TAU, _N_TOK, _SHINGLES3
 
 _BUDGET_TOKENS = 1_000_000
 
@@ -246,4 +246,85 @@ def leakage_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
         )
+    )
+
+
+# Residual-contamination audit for the leakage-safe split: the cluster
+# hash guarantees no LSH CANDIDATE pair straddles splits, but LSH is
+# probabilistic — weaker overlaps (a shared phrase below the collision
+# threshold) can still cross. This measures that residue directly:
+# distinct 3-gram shingles present in BOTH splits of each pair. NO
+# pair join — one groupBy(shingle) with boolean split flags, then a
+# single-row conditional sum (vocab-bounded shuffle, the same
+# asymptotics as the decontamination pass).
+@query(
+    "split_contamination_audit",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({{minhash_pairs}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM walk GROUP BY id),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN {_LSP_HASH_D} < 80 THEN 'train'
+                  WHEN {_LSP_HASH_D} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clusters
+    ),
+    sh AS ({{shingles3}}),
+    flags AS (
+      SELECT sh.shingle,
+             max(CASE WHEN a.split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             max(CASE WHEN a.split = 'val' THEN 1 ELSE 0 END) AS in_val,
+             max(CASE WHEN a.split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM sh JOIN assigned a USING (doc_id)
+      GROUP BY sh.shingle
+    )
+    SELECT count(*) AS n_shingles,
+           CAST(sum(in_train * in_test) AS BIGINT) AS train_test,
+           CAST(sum(in_train * in_val) AS BIGINT) AS train_val,
+           CAST(sum(in_val * in_test) AS BIGINT) AS val_test
+    FROM flags
+    """.replace("{minhash_pairs}", _minhash_oracle().strip())
+    .replace("{shingles3}", _SHINGLES3.strip()),
+)
+def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs)
+    clusters = D.connected_components(pairs, docs.select("doc_id"))
+    h = F.expr(_LSP_HASH_S)
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    assigned = clusters.select("doc_id", split.alias("split"))
+    sh = D.doc_shingles(docs, n=3)
+    flags = (
+        sh.join(assigned, "doc_id")
+        .groupBy("shingle")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "in_train"
+            ),
+            F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+                "in_val"
+            ),
+            F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+                "in_test"
+            ),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("in_train") * F.col("in_test")).alias("train_test"),
+        F.sum(F.col("in_train") * F.col("in_val")).alias("train_val"),
+        F.sum(F.col("in_val") * F.col("in_test")).alias("val_test"),
     )
