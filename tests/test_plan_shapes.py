@@ -373,3 +373,41 @@ def test_kcenter_rounds_take_ordered_no_shuffle_join(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert _count(plan, r"\(\d+\) Exchange") == 0, plan
+
+
+def test_split_contamination_no_pair_join(spark):
+    """The audit must stay vocab-bounded: shingles join the split
+    assignment once (doc_id key), then aggregate — never a
+    shingle-shingle self-join and never a cartesian."""
+    from bike_data_flow_spark.queries.textops4 import (
+        split_contamination_audit,
+    )
+
+    plan = _plan(split_contamination_audit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # joins: doc_id (shingle->split) + whatever the CC residue pipeline
+    # needs; the pair-free claim is "no join keyed on shingle=shingle"
+    assert "shingle#" not in _join_keys(plan), plan
+
+
+def _join_keys(plan: str) -> str:
+    import re
+
+    return " ".join(
+        m.group(0)
+        for m in re.finditer(r"(?:Left keys|Right keys|Join condition).*", plan)
+    )
+
+
+def test_fs_canonical_windows_are_cluster_partitioned(spark):
+    """Survivorship's rank windows must be PARTITIONED (by cluster) —
+    an unpartitioned window would single-task the corpus."""
+    from bike_data_flow_spark.queries.linkage_q import fs_canonical_records
+
+    plan = _plan(fs_canonical_records(spark, SF_DIR))
+    import re
+
+    windows = list(re.finditer(r"\(\d+\) Window\n(?:.*\n){1,4}", plan))
+    assert windows, plan  # the three mode ranks must plan as windows
+    for m in windows:
+        assert "cluster_id" in m.group(0), m.group(0)
