@@ -218,13 +218,16 @@ def fs_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = L.blocked_pairs(
         records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
     )
+    # the match residue feeds THREE consumers (CC's symmetrized edge
+    # materialization, node derivation, membership join) — pin it so
+    # the blocked-join + scoring pipeline runs once, not per consumer
     matches = L.fs_score(
         pairs,
         u_row,
         _FS_M,
         match_threshold=_FS_MATCH_T,
         possible_threshold=_FS_MATCH_T,  # matches only
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").cache()
     nodes = (
         matches.select(F.col("id_a").alias("nid"))
         .unionByName(matches.select(F.col("id_b").alias("nid")))
@@ -362,7 +365,7 @@ def fs_canonical_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = L.fs_score(
         pairs, u_row, _FS_M,
         match_threshold=_FS_MATCH_T, possible_threshold=_FS_MATCH_T,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").cache()  # three consumers, one compute
     nodes = (
         matches.select(F.col("id_a").alias("nid"))
         .unionByName(matches.select(F.col("id_b").alias("nid")))
