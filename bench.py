@@ -139,18 +139,26 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "jvm_counters": counters,
-                "sf": float(sf),
-            }
-        )
+    # Counters go to a sibling artifact, NOT the stdout contract line:
+    # the driver captures only the last 2000 bytes of stdout, and the
+    # counters dict alone is ~3 KB — inlining it truncated the JSON and
+    # left BENCH_r08/r09 unparseable. The final line must stay slim
+    # (tests/test_bench_counters.py pins the budget).
+    counters_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_COUNTERS.json"
     )
+    with open(counters_path, "w") as fh:
+        json.dump({"sf": float(sf), "jvm_counters": counters}, fh, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
+    )
+    print(line)
     spark.stop()
 
 

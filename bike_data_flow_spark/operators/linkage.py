@@ -57,8 +57,16 @@ def field_u_long(records: DataFrame, fields: list[str]) -> DataFrame:
     stacked = records.select(
         F.expr(f"stack({len(fields)}, {stack_args}) as (field, value)")
     )
-    counts = stacked.groupBy("field", "value").agg(
-        F.count(F.lit(1)).alias("c")
+    # NULL values are excluded from the histogram: a NULL field can
+    # never AGREE with anything (fs_score's equality comparator yields
+    # disagreement for NULL-vs-anything, including NULL-vs-NULL), so
+    # counting the NULL group as one giant agreeing value would inflate
+    # u on sparse fields. u_f is therefore P(two distinct records with
+    # f PRESENT agree on f) — consistent with the score stage.
+    counts = (
+        stacked.filter(F.col("value").isNotNull())
+        .groupBy("field", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     # decimal(20,0) intermediates: sum(c)² and sum(c*c) overflow BIGINT
     # once N or a value count passes ~3e9 — routine at the target scale
@@ -155,13 +163,30 @@ def blocked_pairs(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+# Degenerate-u guard: a constant compared field gives u = 1.0, making
+# w_disagree log2(x/0) = NULL in non-ANSI mode, which NULLs the whole
+# pair score and silently drops EVERY pair at the threshold filter; a
+# unique-per-record field gives u → 0 and an infinite agree weight.
+# Clamping u into [ε, 1-ε] turns both into large-but-finite evidence.
+# For any u strictly inside the clamp range, greatest/least pass the
+# exact double through, so oracle parity on non-degenerate data is
+# bit-identical.
+_U_EPS = 1e-12
+
+
 def fs_weight(
     agree: Column, m: float, u: Column
 ) -> Column:
-    """Field contribution to the FS match weight."""
+    """Field contribution to the FS match weight. ``u`` is clamped to
+    [_U_EPS, 1 - _U_EPS] so degenerate fields (constant → u = 1,
+    near-unique → u ≈ 0) score as strong finite evidence instead of
+    NULLing the pair score (see _U_EPS)."""
+    uc = F.greatest(
+        F.least(u, F.lit(1.0) - F.lit(_U_EPS)), F.lit(_U_EPS)
+    )
     return F.when(
-        agree, F.log2(F.lit(m) / u)
-    ).otherwise(F.log2((F.lit(1.0) - F.lit(m)) / (F.lit(1.0) - u)))
+        agree, F.log2(F.lit(m) / uc)
+    ).otherwise(F.log2((F.lit(1.0) - F.lit(m)) / (F.lit(1.0) - uc)))
 
 
 def fs_score(
@@ -178,6 +203,11 @@ def fs_score(
     Output: (id_a, id_b, score, decision) for pairs at or above
     ``possible_threshold`` (below it the pair is a non-match and a
     100 TB run must not materialize it).
+
+    NULL comparisons (either side, including NULL-vs-NULL) score as
+    DISAGREEMENT — a missing value is never evidence for a match —
+    matching field_u_long's NULL-free histogram, so both model stages
+    treat NULL identically.
     """
     scored = pairs.crossJoin(F.broadcast(u_row))
     total = None

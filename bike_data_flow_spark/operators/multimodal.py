@@ -481,7 +481,14 @@ def perceptual_near_pairs(
     at 64 bits: 8 blocks of 8 bits, so two signatures within hamming d
     ≤ 7 share at least one block (pigeonhole) and candidate generation
     is an equi-join on (block, value) — linear in data, quadratic only
-    within a perceptual bucket. Exact bit_count verify after."""
+    within a perceptual bucket. Exact bit_count verify after.
+
+    Caches the INPUT hash frame (1× rows, not the 8×-exploded keyed
+    frame) so an upstream mapInPandas decode runs once, not once per
+    join side. The cache is session-lifetime — it is NOT unpersisted
+    here because the result is returned lazily; callers looping over
+    many corpora should ``hashes.unpersist()`` after materializing, or
+    rely on storage-level LRU eviction (MEMORY_AND_DISK)."""
     if max_hamming >= AHASH_BLOCKS:
         raise ValueError(
             f"max_hamming {max_hamming} needs > {max_hamming} blocks "
@@ -498,17 +505,14 @@ def perceptual_near_pairs(
         )
         for b in range(AHASH_BLOCKS)
     ]
-    keyed = (
-        hashes.select(
-            F.col(id_col), F.col("ahash"), F.explode(F.array(*structs)).alias("bk")
-        )
-        .select(
-            id_col,
-            "ahash",
-            F.col("bk.blk").alias("blk"),
-            F.col("bk.blk_val").alias("blk_val"),
-        )
-        .cache()
+    hashes = hashes.cache()
+    keyed = hashes.select(
+        F.col(id_col), F.col("ahash"), F.explode(F.array(*structs)).alias("bk")
+    ).select(
+        id_col,
+        "ahash",
+        F.col("bk.blk").alias("blk"),
+        F.col("bk.blk_val").alias("blk_val"),
     )
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("ahash").alias("sig_a"), "blk", "blk_val"

@@ -179,7 +179,16 @@ def _validate_constraints(df: DataFrame, table_dir: str) -> None:
     extra evaluation of ``df`` — cache upstream if it is expensive.
     At 100 TB this is the same single-scan admission audit shape as
     quality.validate, and it runs BEFORE any data file is written, so
-    a refused batch leaves no garbage to collect."""
+    a refused batch leaves no garbage to collect.
+
+    DETERMINISM REQUIREMENT: this pass and the write re-evaluate ``df``
+    as two separate jobs, so a nondeterministic plan (rand(), uuid(),
+    current_timestamp(), non-idempotent source reads) can pass the
+    audit here yet commit DIFFERENT rows — i.e. write-time CHECK
+    enforcement is silently bypassed. Callers with nondeterministic
+    inputs must ``.cache()`` or ``.localCheckpoint()`` the frame before
+    snapshot_write (same contract as Delta's CHECK + retry
+    semantics)."""
     from pyspark.sql import functions as F
 
     cons = check_constraints(table_dir)
@@ -797,6 +806,31 @@ def snapshot_delete(
     )
 
 
+def _dir_in_flight(path: str, cutoff: float) -> bool:
+    """True if ``path`` may belong to a still-running writer: a
+    ``_temporary`` staging subdir exists (Spark's FileOutputCommitter
+    stages there without touching the top dir's mtime), or ANY entry in
+    the tree was modified after ``cutoff``. A long partitioned write
+    only bumps mtimes deep in partition subdirs, so the top-level mtime
+    alone under-detects in-flight writers (ADVICE r9)."""
+    newest = 0.0
+    for root, dirs, files in os.walk(path):
+        if "_temporary" in dirs or "_temporary" in files:
+            return True
+        for name in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            except OSError:
+                return True  # vanished mid-walk: a writer is active
+        if newest > cutoff:
+            return True
+    try:
+        newest = max(newest, os.path.getmtime(path))
+    except OSError:
+        return True
+    return newest > cutoff
+
+
 def snapshot_vacuum(
     table_dir: str, older_than_seconds: float = 86400.0
 ) -> list[str]:
@@ -808,8 +842,10 @@ def snapshot_vacuum(
 
     ``older_than_seconds`` is the in-flight-writer guard (Delta's
     VACUUM retention check): a concurrent writer's data dir exists
-    BEFORE its manifest publishes, so only dirs untouched for the
-    window are eligible. Never drop it below your longest plausible
+    BEFORE its manifest publishes, so only dirs whose WHOLE TREE is
+    untouched for the window — and that contain no ``_temporary``
+    staging subdir — are eligible (a long partitioned write bumps
+    mtimes only deep inside partition subdirs). Never drop it below your longest plausible
     write duration. Reads stay safe throughout: readers resolve a
     manifest first and only list dirs it names, and vacuum never
     touches a referenced dir.
@@ -833,7 +869,7 @@ def snapshot_vacuum(
         full = f"{data_root}/{d}"
         if rel in live or not os.path.isdir(full):
             continue
-        if os.path.getmtime(full) > cutoff:
+        if _dir_in_flight(full, cutoff):
             continue  # possibly an in-flight writer — retention guard
         shutil.rmtree(full)
         removed.append(rel)
@@ -943,7 +979,7 @@ def maintenance_plan(
             if (
                 rel not in live
                 and os.path.isdir(full)
-                and os.path.getmtime(full) <= cutoff
+                and not _dir_in_flight(full, cutoff)
             ):
                 plan["vacuum"].append(rel)
     if plan["vacuum"]:

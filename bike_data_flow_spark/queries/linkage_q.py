@@ -45,9 +45,12 @@ _B_SQL = """
                string_split(p_name, ' ')[-1] AS tok FROM part)
 """
 
+# WHERE {field} IS NOT NULL mirrors field_u_long's NULL-free histogram
+# (no-op on part's non-null columns; documents the model contract).
 _U_ONE = (
     "(SELECT (sum(c*c) - sum(c)) / (sum(c)*sum(c) - sum(c)) "
-    "FROM (SELECT count(*) AS c FROM b GROUP BY {field}))"
+    "FROM (SELECT count(*) AS c FROM b WHERE {field} IS NOT NULL "
+    "GROUP BY {field}))"
 )
 
 _U_SQL = (
@@ -108,6 +111,7 @@ _CAND_SQL = """
                 ELSE 'possible' END AS decision
     FROM scored WHERE score >= {_FS_POSSIBLE_T}
     """,
+    bench=True,
 )
 def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter pair scores + decisions over multi-pass blocked

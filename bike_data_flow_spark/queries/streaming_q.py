@@ -777,7 +777,11 @@ def streamed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b")
 
 
-@query("foreachbatch_incremental_dedup", oracle=_streamed_probe_oracle())
+@query(
+    "foreachbatch_incremental_dedup",
+    oracle=_streamed_probe_oracle(),
+    bench=True,
+)
 def foreachbatch_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HIGH-FREQUENCY spelling of the streamed store probe
     (VERDICT r9 ask #3): each micro-batch probes the persisted store

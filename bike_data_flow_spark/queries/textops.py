@@ -278,6 +278,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "incremental_dedup_pairs",
     oracle=_minhash_oracle(delta_pred="{id} % 4 = 0"),
+    bench=True,
 )
 def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

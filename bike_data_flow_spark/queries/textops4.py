@@ -183,6 +183,7 @@ _LSP_HASH_S = (
                 ELSE 'test' END AS split
     FROM clusters
     """.replace("{minhash_pairs}", _minhash_oracle().strip()),
+    bench=True,
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D

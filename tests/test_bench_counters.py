@@ -38,6 +38,34 @@ def test_peak_heap_resets_and_reads(spark):
     assert _peak_heap_mb(spark) > 0.0
 
 
+def test_contract_line_fits_driver_capture_window():
+    """The driver keeps only the LAST 2000 bytes of bench stdout; the
+    final JSON line must fit with headroom or the round's official perf
+    number silently becomes parsed:null (the r8/r9 regression). Budget
+    the line at worst-case timing widths for the CURRENT bench set so
+    adding queries past the window fails loudly here first."""
+    import json
+
+    from bike_data_flow_spark.queries import load_all
+
+    names = [q.name for q in load_all().values() if q.bench]
+    assert names, "bench set is empty"
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 99999.999 for n in names},
+            "sf": 0.1,
+        }
+    )
+    assert len(line.encode()) < 1900, (
+        f"bench contract line is {len(line.encode())} bytes for "
+        f"{len(names)} queries — trim the bench set or shorten names "
+        "(driver capture window = 2000 bytes)"
+    )
+
+
 def test_spill_reader_returns_real_total(spark):
     # the AppStatusStore path must resolve (not the -1.0 sentinel): a
     # moved internal API would silently break attribution
