@@ -53,6 +53,8 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # regardless.  streamed_event_type_counts / streamed_distinct_users are
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
+    # -- new in round 10 (never driver-checked) --
+    "curation_v2",
     # -- new in round 9 (never driver-checked) --
     "fs_linkage_scores",
     "fs_field_weights",

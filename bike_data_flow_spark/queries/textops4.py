@@ -24,8 +24,16 @@ from ..operators.dedup import normalized_text
 from ..operators import text as T
 from ..tables import load
 from . import query
-from .textops import _NORM, _minhash_oracle
+from .textops import (
+    _MAX_TOKENS,
+    _MIN_ALPHA,
+    _MIN_TOKENS,
+    _NORM,
+    _TOKS,
+    _minhash_oracle,
+)
 from .textops2 import _MIX_TAU, _N_TOK, _SHINGLES3
+from .textops3 import _SPAN_W
 
 _BUDGET_TOKENS = 1_000_000
 
@@ -328,4 +336,211 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("in_train") * F.col("in_test")).alias("train_test"),
         F.sum(F.col("in_train") * F.col("in_val")).alias("train_val"),
         F.sum(F.col("in_val") * F.col("in_test")).alias("val_test"),
+    )
+
+
+# --- the full curation pipeline, composed end-to-end ------------------------
+
+# curation_v2 chains EVERY curation family through one plan (VERDICT r9
+# ask #5): quality gate → exact dedup → MinHash-LSH near-dup drop →
+# cross-doc substring-span scrub → cluster-hash leakage-safe split →
+# per-split temperature mixture plan. curated_documents proves the
+# first three compose; this proves the whole funnel composes — each
+# stage's OUTPUT is the next stage's INPUT, so a semantics drift in any
+# one operator corrupts the final integer plan the oracle checks.
+#
+# 100 TB shape (the composition adds nothing beyond its stages'
+# individual shapes, which is the point):
+# - quality/exact/LSH: one corpus scan cached, md5-groupBy, banded
+#   candidate join — all individually gate-proven and benched.
+# - span scrub runs on the SURVIVOR corpus (post-dedup, the smaller
+#   side); its shuffle is bounded by survivor token count.
+# - connected components runs on the candidate-pair residue only.
+# - split + mixture are a map-side hash and a |splits × sources|-row
+#   window aggregate — free at any scale.
+# Caches pin the two multiply-consumed frames (kept_docs feeds the LSH
+# join and the survivor anti-join; pairs feeds the drop AND the CC);
+# at 100 TB both swap for parquet checkpoints.
+@query(
+    "curation_v2",
+    oracle=f"""
+    WITH RECURSIVE quality AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+               round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                     / len(lower(text)), 4) AS alpha_ratio
+        FROM documents
+      ) WHERE n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+          AND alpha_ratio >= {_MIN_ALPHA}
+    ),
+    exact_kept AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM quality)
+      GROUP BY md5({_NORM})
+    ),
+    all_pairs AS ({{minhash_pairs}}),
+    near_pairs AS (
+      SELECT id_a, id_b FROM all_pairs
+      WHERE id_a IN (SELECT doc_id FROM exact_kept)
+        AND id_b IN (SELECT doc_id FROM exact_kept)
+    ),
+    survivors AS (
+      SELECT doc_id FROM exact_kept
+      WHERE doc_id NOT IN (SELECT id_b FROM near_pairs)
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM near_pairs
+    ),
+    walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM exact_kept
+      UNION
+      SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM walk GROUP BY id),
+    st AS (
+      SELECT d.doc_id, d.source, {_TOKS} AS toks
+      FROM documents d JOIN survivors USING (doc_id)
+    ),
+    sw AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i + {_SPAN_W - 1}], ' ')) AS fp
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_SPAN_W - 1})) AS i
+        FROM st
+      )
+    ),
+    dupw AS (
+      SELECT doc_id, pos FROM sw
+      WHERE fp IN (SELECT fp FROM sw GROUP BY fp HAVING count(*) >= 2)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_W}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dupw
+      )
+    ),
+    cut AS (
+      SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS cut_tokens FROM (
+        SELECT doc_id, max(pos) + {_SPAN_W} - min(pos) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+      ) GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT st.doc_id, st.source,
+             len(st.toks) - COALESCE(c.cut_tokens, 0) AS n_tok,
+             CASE WHEN {_LSP_HASH_D} < 80 THEN 'train'
+                  WHEN {_LSP_HASH_D} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM st
+      JOIN clusters USING (doc_id)
+      LEFT JOIN cut c USING (doc_id)
+    ),
+    strata AS (
+      SELECT split, source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT split, source, n_docs, n_tokens,
+             n_tokens / CAST(sum(n_tokens) OVER (PARTITION BY split)
+                             AS DOUBLE) AS share
+      FROM strata
+    ),
+    t AS (
+      SELECT split, source, n_docs, n_tokens,
+             CAST(round(pow(share, {_MIX_TAU})
+                        / sum(pow(share, {_MIX_TAU}))
+                            OVER (PARTITION BY split)
+                        * {_BUDGET_TOKENS}) AS BIGINT) AS target_tokens
+      FROM p WHERE n_tokens > 0
+    )
+    SELECT split, source, n_docs, n_tokens, target_tokens,
+           target_tokens // n_tokens AS full_epochs,
+           round(CAST(target_tokens % n_tokens AS DOUBLE) / n_tokens, 6)
+             AS oversample_frac
+    FROM t
+    """.replace("{minhash_pairs}", _minhash_oracle().strip()),
+    bench=True,
+)
+def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    staged = docs.select("doc_id", "source", c, T.tokens(c).alias("_toks"))
+    quality = (
+        staged.filter(
+            F.size("_toks").between(_MIN_TOKENS, _MAX_TOKENS)
+            & (T.alpha_ratio(c) >= _MIN_ALPHA)
+        )
+        .select("doc_id", "source", "text")
+        .cache()
+    )
+    exact_kept = (
+        quality.groupBy(F.md5(normalized_text(F.col("text"))).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept_docs = quality.join(exact_kept, "doc_id", "left_semi").cache()
+    pairs = D.minhash_lsh_candidates(kept_docs).cache()
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = kept_docs.join(dropped, "doc_id", "left_anti").cache()
+    clusters = D.connected_components(pairs, kept_docs.select("doc_id"))
+    clean = D.drop_duplicate_spans(
+        survivors.select("doc_id", "text"), window=_SPAN_W
+    )
+    clean_tok = clean.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tok")
+    )
+    h = F.expr(_LSP_HASH_S)
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    per_doc = (
+        survivors.select("doc_id", "source")
+        .join(clean_tok, "doc_id")
+        .join(clusters, "doc_id")
+        .select("source", "n_tok", split.alias("split"))
+    )
+    strata = per_doc.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    w = Window.partitionBy("split")
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    p = strata.select(
+        "split", "source", "n_docs", "n_tokens", share.alias("share")
+    )
+    z = F.sum(F.pow(F.col("share"), _MIX_TAU)).over(w)
+    target = (
+        F.round(F.pow(F.col("share"), _MIX_TAU) / z * _BUDGET_TOKENS)
+        .cast("long")
+    )
+    t = p.filter(F.col("n_tokens") > 0).select(
+        "split", "source", "n_docs", "n_tokens",
+        target.alias("target_tokens"),
+    )
+    return t.select(
+        "split",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        (F.col("target_tokens") / F.col("n_tokens")).cast("long").alias(
+            "full_epochs"
+        ),
+        F.round(
+            (F.col("target_tokens") % F.col("n_tokens")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("oversample_frac"),
     )

@@ -1,0 +1,62 @@
+"""End-to-end invariants of the composed curation funnel (curation_v2):
+the DuckDB oracle pins exact values at three SFs; these pin the
+structural contracts a refactor of any single stage could silently
+break while still producing *plausible* numbers."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bike_data_flow_spark.queries.textops4 import (  # noqa: E402
+    _BUDGET_TOKENS,
+    curation_v2,
+)
+from bike_data_flow_spark.tables import load  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curation_v2_funnel_invariants(spark):
+    rows = curation_v2(spark, SF_DIR).collect()
+    assert rows, "curation funnel produced no strata"
+
+    # split labels are the closed three-way partition
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+    # every stratum is non-degenerate and the epoch algebra is exact:
+    # full_epochs/oversample_frac must re-derive from the integers
+    for r in rows:
+        assert r["n_docs"] > 0 and r["n_tokens"] > 0
+        assert r["full_epochs"] == r["target_tokens"] // r["n_tokens"]
+        frac = (r["target_tokens"] % r["n_tokens"]) / r["n_tokens"]
+        assert abs(r["oversample_frac"] - round(frac, 6)) < 1e-12
+
+    # per split, the temperature mixture allocates the whole budget
+    # (integer rounding leaves at most |sources|/2 tokens of drift)
+    by_split: dict[str, int] = {}
+    n_sources: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["target_tokens"]
+        n_sources[r["split"]] = n_sources.get(r["split"], 0) + 1
+    for split, total in by_split.items():
+        assert abs(total - _BUDGET_TOKENS) <= n_sources[split], (
+            split,
+            total,
+        )
+
+    # the funnel only ever REMOVES: curated token mass is bounded by the
+    # corpus total, and curated docs by the corpus count
+    docs = load(spark, SF_DIR, "documents")
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+"))).alias("tok"),
+    ).first()
+    assert sum(r["n_docs"] for r in rows) <= corpus["n"]
+    assert sum(r["n_tokens"] for r in rows) <= corpus["tok"]

@@ -169,6 +169,27 @@ def main() -> None:
         "  + inflated wall + no code delta = **host noise in the r8",
         "  regeneration run; acquitted.**",
         "",
+        "## r10 attribution: the r9 watch items (counters protocol)",
+        "",
+        "- **prefix_filter_jaccard_pairs peak-heap 2.7 → 3.8 GB (r8→r9",
+        "  driver tails, no code change).** Re-measured at HEAD with the",
+        "  now-parseable artifact plumbing: bench.py sf0.1 run records",
+        "  **peak_heap 2.50 GB, gc 83 ms, spill 0.0**; the 10×-smoke base",
+        "  leg reads 3.17 GB on the same code. The wobble is measurement",
+        "  semantics, not a leak: `peak_heap_mb` sums per-pool G1 peaks of",
+        "  *used* bytes — which include not-yet-collected garbage — over a",
+        "  16 GiB heap that is never pressured (zero spill, double-digit-ms",
+        "  GC). Where the collector happens to sit when the reps run moves",
+        "  the reading by gigabytes with zero performance signal; the",
+        "  pressure indicators to act on are gc_ms and spill_mb, both flat.",
+        "  **Acquitted: G1 lazy-collection noise in an unpressured heap.**",
+        "- **knn_graph_refined 3.48× 10×-smoke ratio** — re-measured with",
+        "  per-leg counters (SCALE_SMOKE.md, r10): 3.04× with spill 0 → 0",
+        "  and peak heap 1.20 → 1.97 GB (sub-2× for 10× data). Memory",
+        "  pressure ruled out; the growth is the refine stage's exact",
+        "  re-scoring of the linearly larger candidate set on 32 fixed",
+        "  cores — the planes dial bounds it to ~linear, as designed.",
+        "",
         f"sf dir: `{sf_dir}` · warm = best of {repeat} after one warmup run · "
         f"cold = that first run (empty JIT/codegen/file-index caches) · Spark "
         f"local (noop sink) vs DuckDB {duckdb.__version__} (fetchall). DuckDB "

@@ -37,6 +37,10 @@ SNAP_DIR = os.path.join(
 _STRIP = [
     (re.compile(r"#\d+L?"), "#x"),          # expression ids
     (re.compile(r"\(\d+\)"), ""),           # operator numbers
+    # runtime AQE statistics on materialized query stages (cached-plan
+    # dumps embed them): sizeInBytes varies run-to-run with broadcast
+    # relation packing — volatile, not a plan-shape signal
+    (re.compile(r", Statistics\([^)]*\)"), ""),
     (re.compile(r"\[plan_id=\d+\]"), ""),
     (re.compile(r"\[id=#?x?\d*\]"), ""),
     (re.compile(r"file:[^\s,\]]+"), "PATH"),
@@ -72,6 +76,13 @@ def canonicalize(plan: str) -> str:
 
 
 def current_plan(spark, q, sf_dir: str = SF_DIR) -> str:
+    # Deterministic cache state: queries that EXECUTE during plan
+    # construction (connected components' convergence probe) leave
+    # their .cache() subtrees materialized, and explain dumps the
+    # embedded AQE final plans — whose exchange-reuse shape depends on
+    # whatever the session cached before. Clearing first makes the
+    # materialization history identical in the generator and the test.
+    spark.catalog.clearCache()
     df = q.fn(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
