@@ -738,6 +738,7 @@ def _pagerank_rounds() -> str:
            CAST(ps AS DOUBLE) / CAST({_PR_SCALE} AS DOUBLE) AS pagerank
     FROM p{_PR_ITERS}
     """,
+    bench=True,
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the symmetric co-purchase graph — which products

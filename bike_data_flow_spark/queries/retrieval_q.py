@@ -105,6 +105,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_TOPK}
     """,
+    bench=True,
 )
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical

@@ -280,6 +280,7 @@ def approx_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM x JOIN days ON win_day = days.day
     GROUP BY 1
     """,
+    bench=True,
 )
 def rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

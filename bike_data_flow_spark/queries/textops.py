@@ -250,6 +250,7 @@ def _minhash_oracle(
            octet_length(encode(text)) = 0 AS is_empty
     FROM documents
     """,
+    bench=True,
 )
 def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
