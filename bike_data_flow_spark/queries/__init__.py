@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None, bench: bool = False):
 _CHECK_FIRST = (
     # -- new in round 10 (never driver-checked) --
     "curation_v2",
+    "embedding_curation",
     # -- new in round 9 (never driver-checked) --
     "fs_linkage_scores",
     "fs_field_weights",

@@ -378,6 +378,7 @@ def _kmeans_ctes(
     train_pct: int | None = None,
     vec_expr: str = "[CAST(x AS DOUBLE) FOR x IN embedding]",
     prefix: str = "",
+    src_rel: str = "embeddings",
 ) -> list[str]:
     """Lloyd's k-means unrolled into CTEs — SQL-expressible because the
     iteration count is FIXED (deterministic init from the k smallest
@@ -398,8 +399,10 @@ def _kmeans_ctes(
     )
     ctes = [
         # embeddings cast to double once, like the Spark plan's staging
+        # (``src_rel`` lets a composed oracle cluster an upstream CTE,
+        # e.g. embedding_curation's post-dedup survivor set)
         f"{p}v AS MATERIALIZED (SELECT vec_id, "
-        f"{vec_expr} AS v FROM embeddings)",
+        f"{vec_expr} AS v FROM {src_rel})",
     ]
     if train_pct is not None:
         ctes.append(
@@ -1691,4 +1694,142 @@ def kcenter_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.groupBy("center_id").agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.round(F.max("d"), 6).alias("radius"),
+    )
+
+
+# --- the embedding-side curation funnel, composed end-to-end ----------------
+
+# The vector twin of textops4.curation_v2: every embedding-curation
+# family chained through one oracle-checked plan — coordinate-
+# concentration quality gate → exact dedup on the int8 quantization
+# code → SemDedup over the survivors → density-equalized (1/sqrt)
+# cluster-balanced sample → cluster-hash leakage-safe split — so each
+# stage's OUTPUT is the next stage's INPUT and a drift in any one
+# corrupts the final integer census the oracle hashes.
+#
+# 100 TB shape (again: the composition is exactly the union of its
+# stages' shapes): the gate and the quantization code are map-side
+# array folds over one cached scan; exact dedup is a hash groupBy on
+# md5 codes; SemDedup clusters FIRST so near-dup candidates are
+# within-cluster only (Σ n_c², k grows with corpus); the balanced
+# sample is a k-row size agg broadcast into a map-side hash filter;
+# split is a map-side hash on the cluster label. No stage adds a
+# corpus-squared term or a corpus-sized driver structure.
+_EC_MAX_ABS = 0.37  # drop the ~15% most-peaked (degenerate) unit vectors
+_EC_HASH_S = (
+    "pmod(conv(substring(md5(concat('spl|', cast(cluster as string))), "
+    "1, 8), 16, 10), 100)"
+)
+_EC_HASH_D = (
+    "CAST(('0x' || substr(md5('spl|' || CAST(cluster AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+def _embedding_curation_oracle() -> str:
+    ctes = [
+        "ve AS MATERIALIZED (SELECT vec_id, label, embedding, "
+        "[CAST(x AS DOUBLE) FOR x IN embedding] AS vd FROM embeddings)",
+        "qual AS (SELECT * FROM ve "
+        f"WHERE list_max([abs(x) FOR x IN vd]) <= {_EC_MAX_ABS})",
+        "qd AS (SELECT vec_id, vd, list_min(vd) AS mn, "
+        "list_max(vd) - list_min(vd) AS scale FROM qual)",
+        "codes AS (SELECT vec_id, md5(array_to_string("
+        "CASE WHEN scale = 0 THEN ['0' FOR x IN vd] "
+        "ELSE [CAST(CAST(floor((x - mn) / scale * 255) AS BIGINT) AS VARCHAR) "
+        "FOR x IN vd] END, ',')) AS code FROM qd)",
+        "exact_kept AS (SELECT min(vec_id) AS vec_id FROM codes GROUP BY code)",
+        "surv AS (SELECT q.vec_id, q.embedding, q.label FROM qual q "
+        "JOIN exact_kept USING (vec_id))",
+    ]
+    ctes += _kmeans_ctes(_SEM_K, _SEM_ITER, src_rel="surv")
+    final = f"a{_SEM_ITER + 1}"
+    ctes += [
+        f"asg AS (SELECT vec_id, cluster FROM {final})",
+        "ee AS (SELECT asg.vec_id, asg.cluster, s.embedding "
+        "FROM asg JOIN surv s USING (vec_id))",
+        "drops AS (SELECT DISTINCT b.vec_id "
+        "FROM ee a JOIN ee b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        f"WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 6) >= {_SEM_TAU})",
+        "sem AS (SELECT vec_id, cluster FROM asg "
+        "WHERE vec_id NOT IN (SELECT vec_id FROM drops))",
+        "sizes AS (SELECT cluster, count(*) AS cluster_n FROM sem "
+        "GROUP BY cluster)",
+        "samp AS (SELECT sem.vec_id, sem.cluster FROM sem "
+        "JOIN sizes USING (cluster) "
+        f"WHERE {_CBS_HASH_D} < "
+        f"least(10000, floor({_CBS_NUM} / sqrt(cluster_n))))",
+        "fin AS (SELECT vec_id, cluster, "
+        f"CASE WHEN {_EC_HASH_D} < 80 THEN 'train' "
+        f"WHEN {_EC_HASH_D} < 90 THEN 'val' "
+        "ELSE 'test' END AS split FROM samp)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT f.split, s.label, count(*) AS n_vecs, "
+        "count(DISTINCT f.cluster) AS n_clusters "
+        "FROM fin f JOIN surv s USING (vec_id) GROUP BY 1, 2"
+    )
+
+
+@query("embedding_curation", oracle=_embedding_curation_oracle(), bench=True)
+def embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed embedding-curation funnel — see the module comment
+    above for stages and the 100 TB shape. Output is the per-(split,
+    label) census of the curated set: all-integer columns, so the
+    cross-engine hash rests on exact arithmetic end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    vd_expr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = emb.select("vec_id", "label", "embedding", vd_expr.alias("_vd"))
+    vd = F.col("_vd")
+    max_abs = F.array_max(F.transform(vd, F.abs))
+    # quality feeds the code groupBy AND the survivor semi-join AND the
+    # SemDedup input — cache the gated projection, scan parquet once
+    quality = staged.filter(max_abs <= F.lit(_EC_MAX_ABS)).cache()
+    mn = F.array_min(vd)
+    scale = F.array_max(vd) - mn
+    q_codes = F.when(
+        scale == F.lit(0.0),
+        F.transform(vd, lambda x: F.lit("0")),
+    ).otherwise(
+        F.transform(
+            vd,
+            lambda x: F.floor((x - mn) / scale * 255)
+            .cast("bigint")
+            .cast("string"),
+        )
+    )
+    code = F.md5(F.concat_ws(",", q_codes))
+    exact_kept = (
+        quality.select("vec_id", code.alias("_code"))
+        .groupBy("_code")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id")
+    )
+    kept = (
+        quality.select("vec_id", "label", "embedding")
+        .join(exact_kept, "vec_id", "left_semi")
+        .cache()
+    )
+    sem = S.semdedup(kept, k=_SEM_K, n_iter=_SEM_ITER, tau=_SEM_TAU)
+    sizes = sem.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_n"))
+    keep_bp = F.least(
+        F.lit(10000).cast("double"),
+        F.floor(F.lit(_CBS_NUM) / F.sqrt(F.col("cluster_n"))).cast("double"),
+    )
+    samp = (
+        sem.join(F.broadcast(sizes), "cluster")
+        .filter(F.expr(_CBS_HASH_S) < keep_bp)
+        .select("vec_id", "cluster")
+    )
+    h = F.expr(_EC_HASH_S)
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    fin = samp.select("vec_id", "cluster", split.alias("split"))
+    return (
+        fin.join(kept.select("vec_id", "label"), "vec_id")
+        .groupBy("split", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
     )

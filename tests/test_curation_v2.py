@@ -60,3 +60,28 @@ def test_curation_v2_funnel_invariants(spark):
     ).first()
     assert sum(r["n_docs"] for r in rows) <= corpus["n"]
     assert sum(r["n_tokens"] for r in rows) <= corpus["tok"]
+
+
+def test_embedding_curation_funnel_invariants(spark):
+    from bike_data_flow_spark.queries.vectors import (
+        _EC_MAX_ABS,
+        _SEM_K,
+        embedding_curation,
+    )
+
+    rows = embedding_curation(spark, SF_DIR).collect()
+    assert rows, "embedding funnel produced no strata"
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        assert r["n_vecs"] > 0
+        assert 1 <= r["n_clusters"] <= _SEM_K
+
+    # removal-only: the curated census never exceeds the quality-gated
+    # population (the funnel's widest stage)
+    emb = load(spark, SF_DIR, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    gated = emb.filter(
+        F.array_max(F.transform(vd, F.abs)) <= F.lit(_EC_MAX_ABS)
+    ).count()
+    kept = sum(r["n_vecs"] for r in rows)
+    assert 0 < kept <= gated < emb.count(), (kept, gated)

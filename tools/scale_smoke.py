@@ -59,6 +59,9 @@ QUERIES = [
     # → CC → split → mixture): its scale shape is the max of its
     # stages', so the smoke proves composition adds no super-linear term
     "curation_v2",
+    # the embedding-side composed funnel (gate → exact code dedup →
+    # SemDedup → balanced sample → split); undialed like semdedup
+    "embedding_curation",
     "fs_linkage_scores",
     # incremental stores: timed rows INCLUDE the one-time corpus
     # bootstrap (store init rebuilds per call at gate scale); the
