@@ -214,3 +214,67 @@ def test_maintenance_plan_quiet_table_recommends_nothing(spark, tmp_path):
     )
     plan = maintenance_plan(t)
     assert not (plan["compact"] or plan["expire"] or plan["vacuum"])
+
+
+def _set_tree_mtime(root, when):
+    for cur, dirs, files in os.walk(root, topdown=False):
+        for name in files:
+            os.utime(os.path.join(cur, name), (when, when))
+        os.utime(cur, (when, when))
+
+
+def test_vacuum_protects_deep_writer_activity(spark, tmp_path):
+    """A long partitioned write bumps mtimes only DEEP inside partition
+    subdirs (FileOutputCommitter never touches the top data dir), so
+    the in-flight guard must walk the whole tree, not read one mtime
+    (ADVICE r9)."""
+    import time
+
+    t = _t(tmp_path)
+    SN.snapshot_write(
+        spark.createDataFrame([(1, 1)], "k long, v long"), t, mode="overwrite"
+    )
+    orphan = os.path.join(t, "data", "v9-inflight")
+    deep = os.path.join(orphan, "dt=2026-01-01")
+    os.makedirs(deep)
+    deep_file = os.path.join(deep, "part-0.parquet")
+    open(deep_file, "wb").close()
+
+    # top-level dir looks ancient, but a file deep inside is FRESH —
+    # exactly the mid-write signature the old top-mtime guard missed
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(deep, (old, old))
+    assert SN.snapshot_vacuum(t, older_than_seconds=3600) == []
+    assert os.path.isdir(orphan)
+    plan = SN.maintenance_plan(t, vacuum_after_seconds=3600)
+    assert "data/v9-inflight" not in plan["vacuum"]
+
+    # once the WHOLE tree is older than the window it is collectable
+    _set_tree_mtime(orphan, old)
+    plan = SN.maintenance_plan(t, vacuum_after_seconds=3600)
+    assert "data/v9-inflight" in plan["vacuum"]
+    assert SN.snapshot_vacuum(t, older_than_seconds=3600) == [
+        "data/v9-inflight"
+    ]
+    assert not os.path.isdir(orphan)
+
+
+def test_vacuum_treats_temporary_staging_as_in_flight(spark, tmp_path):
+    """A _temporary subdir IS a writer's staging area — protected no
+    matter how old its mtimes look (clock skew, slow committers)."""
+    import time
+
+    t = _t(tmp_path)
+    SN.snapshot_write(
+        spark.createDataFrame([(1, 1)], "k long, v long"), t, mode="overwrite"
+    )
+    orphan = os.path.join(t, "data", "v9-staging")
+    os.makedirs(os.path.join(orphan, "_temporary", "0"))
+    _set_tree_mtime(orphan, time.time() - 7200)
+    assert SN.snapshot_vacuum(t, older_than_seconds=3600) == []
+    assert os.path.isdir(orphan)
+    assert (
+        "data/v9-staging"
+        not in SN.maintenance_plan(t, vacuum_after_seconds=3600)["vacuum"]
+    )

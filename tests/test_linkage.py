@@ -197,3 +197,55 @@ def test_fs_model_properties_hypothesis(spark):
         assert len(scored) == n * (n - 1) // 2
         eps = 1e-4
         assert all(lo - eps <= r["score"] <= hi + eps for r in scored)
+
+
+def test_fs_weight_clamps_degenerate_u(spark):
+    """A CONSTANT compared field has u = 1.0; before the clamp the
+    disagree weight was log2(x/0) = NULL, which NULLed every pair's
+    total score and silently emptied the output (ADVICE r9). With the
+    clamp, scores stay finite and pairs survive."""
+    rows = [
+        (1, "same", "red"),
+        (2, "same", "red"),
+        (3, "same", "blue"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, konst string, color string")
+    u_row = L.field_u_probabilities(df, ["konst", "color"])
+    u = u_row.first()
+    assert u["konst"] == 1.0  # the degenerate case is real on this data
+    pairs = L.blocked_pairs(
+        df, "rid", [["konst"]], carry=["konst", "color"]
+    )
+    scored = L.fs_score(
+        pairs,
+        u_row,
+        {"konst": 0.9, "color": 0.9},
+        match_threshold=100.0,      # nothing reaches 'match'
+        possible_threshold=-1000.0,  # nothing is dropped
+    ).collect()
+    assert len(scored) == 3  # all C(3,2) pairs survive
+    for r in scored:
+        assert r["score"] is not None and math.isfinite(r["score"])
+
+
+def test_field_u_excludes_nulls(spark):
+    """NULL can never AGREE in the score stage (equality is NULL →
+    disagreement), so the u histogram must not count the NULL group as
+    one giant agreeing value: u = agree-pairs among NON-NULL values /
+    C(n_nonnull, 2)."""
+    rows = [
+        (1, "a"),
+        (2, "a"),
+        (3, "b"),
+        (4, None),
+        (5, None),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "rid long, f string")
+    u = {
+        r["field"]: r["u"] for r in L.field_u_long(df, ["f"]).collect()
+    }["f"]
+    # non-null values: a,a,b → 1 agreeing pair of C(3,2)=3
+    assert u == 1 / 3
+    # counting the 3 NULLs as one value would have given (1+3)/C(6,2)
+    assert u != 4 / 15
