@@ -180,13 +180,36 @@ def fs_weight(
     """Field contribution to the FS match weight. ``u`` is clamped to
     [_U_EPS, 1 - _U_EPS] so degenerate fields (constant → u = 1,
     near-unique → u ≈ 0) score as strong finite evidence instead of
-    NULLing the pair score (see _U_EPS)."""
-    uc = F.greatest(
-        F.least(u, F.lit(1.0) - F.lit(_U_EPS)), F.lit(_U_EPS)
-    )
-    return F.when(
+    NULLing the pair score (see _U_EPS).
+
+    A NULL ``u`` — a compared field with NO observed values at all
+    (field_u_long's NULL-free histogram emits no row for it, and the
+    pivot yields NULL) — contributes ZERO evidence: Spark's
+    least/greatest skip NULLs, so without the explicit guard the clamp
+    would read such a field as uc = 1-ε and score every comparison
+    (NULL-vs-NULL agrees under the caller's null-safe spelling, or
+    disagrees under ``==``) as log2((1-m)/ε) ≈ +36 — enormous evidence
+    FOR a match from a field that carries no information, violating
+    fs_score's contract that a missing value is never evidence for a
+    match."""
+    uc = fs_clamped_u(u)
+    w = F.when(
         agree, F.log2(F.lit(m) / uc)
     ).otherwise(F.log2((F.lit(1.0) - F.lit(m)) / (F.lit(1.0) - uc)))
+    return F.when(u.isNull(), F.lit(0.0)).otherwise(w)
+
+
+def fs_clamped_u(u: Column) -> Column:
+    """u clamped into [_U_EPS, 1 - _U_EPS] — the shared boundary model
+    for fs_weight and the explainability table (fs_field_weights), so
+    the scoring path and the reviewer-facing weights can never diverge
+    on degenerate fields. NOT null-safe — Spark's least/greatest skip
+    NULLs, so a NULL u would read as 1-ε here; fs_weight guards NULL
+    BEFORE consulting the clamp (zero evidence), and field_u_long never
+    emits a NULL-u row, so no other caller can see one."""
+    return F.greatest(
+        F.least(u, F.lit(1.0) - F.lit(_U_EPS)), F.lit(_U_EPS)
+    )
 
 
 def fs_score(

@@ -65,9 +65,23 @@ _U_SQL = (
 # plan time (F.lit(1.0) - F.lit(m), e.g. 0.050000000000000044) — a
 # rounded decimal literal like 0.05 differs by 1 ulp and would break
 # bit-for-bit parity on scores near a round(,4) boundary.
+#
+# The oracle mirrors fs_weight's FULL boundary model, not just its
+# interior (ADVICE r10): u clamps into [ε, 1-ε] with the exact double
+# literals Spark folds at plan time (for u strictly inside the range
+# greatest/least pass the exact double through, so non-degenerate data
+# is bit-identical either way), and a NULL u — a field with no
+# observed values — contributes zero evidence. Without the mirror,
+# parity on the FS queries would be data-dependent: a constant or
+# near-unique compared field would score large-finite in Spark but
+# ±inf/NULL here, failing the hash check confusingly.
+_U_EPS_SQL = repr(L._U_EPS)  # '1e-12'
+_U_HI_SQL = repr(1.0 - L._U_EPS)  # exact repr of Spark's 1.0 - ε fold
+_UC_SQL = "greatest(least(u_{f}, " + _U_HI_SQL + "), " + _U_EPS_SQL + ")"
 _W_SQL = " + ".join(
-    f"CASE WHEN {f}_l = {f}_r THEN log2({m!r} / u_{f}) "
-    f"ELSE log2({(1.0 - m)!r} / (1 - u_{f})) END"
+    f"CASE WHEN u_{f} IS NULL THEN 0.0 "
+    f"WHEN {f}_l = {f}_r THEN log2({m!r} / {_UC_SQL.format(f=f)}) "
+    f"ELSE log2({(1.0 - m)!r} / (1.0 - {_UC_SQL.format(f=f)})) END"
     for f, m in _FS_M.items()
 )
 
@@ -152,8 +166,11 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       )}
     )
     SELECT field, round(u, 6) AS u_agree,
-           round(log2(m / u), 4) AS w_agree,
-           round(log2((1 - m) / (1 - u)), 4) AS w_disagree
+           round(log2(m / greatest(least(u, {_U_HI_SQL}), {_U_EPS_SQL})), 4)
+             AS w_agree,
+           round(log2((1 - m)
+                      / (1.0 - greatest(least(u, {_U_HI_SQL}), {_U_EPS_SQL}))),
+                 4) AS w_disagree
     FROM s
     """,
 )
@@ -168,12 +185,13 @@ def fs_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             if m is None
             else m.when(F.col("field") == f, F.lit(mv))
         )
+    uc = L.fs_clamped_u(F.col("u"))
     return u.select(
         "field",
         F.round("u", 6).alias("u_agree"),
-        F.round(F.log2(m / F.col("u")), 4).alias("w_agree"),
+        F.round(F.log2(m / uc), 4).alias("w_agree"),
         F.round(
-            F.log2((F.lit(1.0) - m) / (F.lit(1.0) - F.col("u"))), 4
+            F.log2((F.lit(1.0) - m) / (F.lit(1.0) - uc)), 4
         ).alias("w_disagree"),
     )
 

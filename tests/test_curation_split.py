@@ -172,3 +172,61 @@ def test_kcenter_assignment_partitions_corpus(spark):
     sel = {r["vec_id"] for r in kcenter_greedy(emb, k=5).collect()}
     assert {r["center_id"] for r in asg} == sel
     assert all(r["radius"] >= 0.0 for r in asg)
+
+
+def test_kcenter_greedy_checkpoint_boundary_matches_brute_force(spark):
+    """k past _KCENTER_CHECKPOINT_EVERY crosses the lineage-truncation
+    boundary (VERDICT r10 #5) — picks and distances must be identical
+    to the Python greedy straight through it (localCheckpoint stores
+    the same doubles it replaces recomputation of)."""
+    import random
+
+    from bike_data_flow_spark.operators import similarity as S
+
+    assert S._KCENTER_CHECKPOINT_EVERY == 32
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(3)]) for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    sel0 = min(rows)[0]
+    vecs = dict(rows)
+    dmin = {i: sqd(v, vecs[sel0]) for i, v in rows}
+    expect = [(1, sel0, 0.0)]
+    for r in range(2, 41):
+        far = max(dmin.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        expect.append((r, far, round(dmin[far], 6)))
+        for i, v in rows:
+            dmin[i] = min(dmin[i], sqd(v, vecs[far]))
+    got = [
+        (r["sel_rank"], r["vec_id"], r["d"])
+        for r in S.kcenter_greedy(df, k=40).orderBy("sel_rank").collect()
+    ]
+    assert got == expect
+
+
+def test_kmeans_train_sample_cap_raises_loudly(spark, monkeypatch):
+    """The sampled-training collect is bounded by a MECHANICAL cap, not
+    just the docstring contract (VERDICT r10 #2): past
+    KMEANS_MAX_TRAIN_SAMPLE the operator refuses instead of shipping a
+    corpus-fraction to the driver (and instead of silently truncating,
+    which would silently change the codebook)."""
+    import pytest as _pytest
+
+    from bike_data_flow_spark.operators import similarity as S
+    from bike_data_flow_spark.tables import load
+
+    emb = load(spark, SF, "embeddings")
+    monkeypatch.setattr(S, "KMEANS_MAX_TRAIN_SAMPLE", 10)
+    with _pytest.raises(ValueError, match="KMEANS_MAX_TRAIN_SAMPLE"):
+        S.kmeans_lloyd(emb, k=3, n_iter=1, train_pct=100)
+    # under the cap the operator runs exactly as before
+    monkeypatch.setattr(S, "KMEANS_MAX_TRAIN_SAMPLE", 100_000)
+    assert S.kmeans_lloyd(emb, k=3, n_iter=1, train_pct=100).count() > 0

@@ -249,3 +249,81 @@ def test_field_u_excludes_nulls(spark):
     assert u == 1 / 3
     # counting the 3 NULLs as one value would have given (1+3)/C(6,2)
     assert u != 4 / 15
+
+
+def test_fs_weight_null_u_contributes_zero_evidence(spark):
+    """An entirely-NULL compared field has NO u row (field_u_long's
+    NULL-free histogram), so the pivot hands fs_score a NULL u — which
+    must contribute ZERO evidence, not read as u≈1 through the
+    NULL-skipping least/greatest clamp (ADVICE r10: that scored every
+    comparison on the dead field as log2((1-m)/ε) ≈ +36, enormous
+    evidence FOR a match from a field with no information)."""
+    rows = [
+        (1, "acme", None),
+        (2, "acme", None),
+        (3, "zen", None),
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, dead string")
+    u_row = L.field_u_probabilities(df, ["name", "dead"])
+    assert u_row.first()["dead"] is None  # the degenerate case is real
+    pairs = L.blocked_pairs(
+        df.withColumn("blk", F.lit(1)), "rid", [["blk"]],
+        carry=["name", "dead"],
+    )
+    m = {"name": 0.9, "dead": 0.9}
+    scored = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in L.fs_score(
+            pairs, u_row, m,
+            match_threshold=100.0, possible_threshold=-1000.0,
+        ).collect()
+    }
+    # name-only model on the same pairs = the expected scores
+    expected = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in L.fs_score(
+            pairs, u_row, {"name": 0.9},
+            match_threshold=100.0, possible_threshold=-1000.0,
+        ).collect()
+    }
+    assert scored == expected  # the dead field moved nothing
+
+
+def test_fs_field_weights_oracle_mirrors_clamp_on_degenerate_u(spark):
+    """Engine/oracle parity on the FS weights must be data-INdependent
+    (ADVICE r10): on a constant field (u = 1) and a unique field
+    (u = 0) both engines must produce the same large-but-finite clamped
+    weights, not Spark-finite vs DuckDB ±inf/NULL."""
+    import duckdb
+
+    uc = L.fs_clamped_u(F.col("u"))
+    spark_w = {
+        r["field"]: (r["wa"], r["wd"])
+        for r in L.field_u_long(
+            spark.createDataFrame(
+                [(1, "k", "u1"), (2, "k", "u2"), (3, "k", "u3")],
+                "rid long, konst string, uniq string",
+            ),
+            ["konst", "uniq"],
+        )
+        .select(
+            "field",
+            F.round(F.log2(F.lit(0.9) / uc), 4).alias("wa"),
+            F.round(
+                F.log2((F.lit(1.0) - F.lit(0.9)) / (F.lit(1.0) - uc)), 4
+            ).alias("wd"),
+        )
+        .collect()
+    }
+    hi, lo = repr(1.0 - L._U_EPS), repr(L._U_EPS)
+    duck_w = {
+        f: duckdb.sql(
+            f"SELECT round(log2(0.9 / greatest(least({u}, {hi}), {lo})), 4),"
+            f" round(log2((1 - CAST(0.9 AS DOUBLE))"
+            f"            / (1.0 - greatest(least({u}, {hi}), {lo}))), 4)"
+        ).fetchone()
+        for f, u in (("konst", "1.0"), ("uniq", "0.0"))
+    }
+    for f in ("konst", "uniq"):
+        assert spark_w[f] == duck_w[f], (f, spark_w[f], duck_w[f])
+        assert all(math.isfinite(x) for x in spark_w[f])
