@@ -26,6 +26,38 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Queries that measure persistence/streaming machinery rather than
+# batch compute: SNAPSHOT_WRITERS commit parquet snapshots to a scratch
+# table per call (store init + probe append), and streamed_*/
+# foreachbatch_* boot a real Structured Streaming query per call. Both
+# classes are dominated by local disk I/O / engine boot, so their wall
+# time carries host noise (page-cache state, fsync latency) that batch
+# plans don't — bench.py reports their subtotal separately
+# (`value_materializing`) and tools/compare.py excludes them from its
+# Spark-vs-DuckDB total. ONE list so the two reports can never drift.
+SNAPSHOT_WRITERS = frozenset(
+    {
+        "snapshot_table_roundtrip",
+        "incremental_dedup_pairs",
+        "incremental_embedding_dedup",
+        "incremental_curation",
+        "compacted_signature_store_probe",
+        "compacted_vector_store_probe",
+    }
+)
+
+
+def is_materializing(name: str) -> bool:
+    """True for queries whose per-call cost is dominated by scratch
+    snapshot commits or Structured Streaming boot (see
+    SNAPSHOT_WRITERS) — the class both bench.py's headline split and
+    BENCH_COMPARE.md's exclusion table are defined by."""
+    return (
+        name.startswith("streamed_")
+        or name.startswith("foreachbatch_")
+        or name in SNAPSHOT_WRITERS
+    )
+
 
 def query(name: str, oracle: str | None, bench: bool = False):
     """Decorator registering a query + its DuckDB oracle SQL."""

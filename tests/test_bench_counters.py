@@ -55,6 +55,8 @@ def test_contract_line_fits_driver_capture_window():
             "metric": "headline_queries_total_runtime",
             "value": 99999.999,
             "unit": "sec",
+            "value_engine": 99999.999,
+            "value_materializing": 99999.999,
             "queries": {n: 99999.999 for n in names},
             "sf": 0.1,
         }
@@ -71,3 +73,48 @@ def test_spill_reader_returns_real_total(spark):
     # moved internal API would silently break attribution
     spark.range(10).selectExpr("sum(id)").collect()
     assert _spill_mb(spark) >= 0.0
+
+
+def test_host_state_fields_present_and_sane():
+    """The host-noise attribution snapshot (VERDICT r10 #3) must read
+    real values on this platform — buff/cache fill, load average, and
+    a timed disk-read probe — so a 'flat counters, inflated wall'
+    anomaly is attributable from BENCH_COUNTERS.json alone."""
+    from bench import _host_state
+
+    state = _host_state("/root/testdata/sf0.001")
+    assert state["buff_cache_gb"] >= 0.0
+    assert state["mem_available_gb"] > 0.0
+    assert state["loadavg_1m"] >= 0.0
+    assert 0.0 < state["read_probe_mb"] <= 64.0
+    assert state["read_probe_mb_s"] > 0.0
+
+
+def test_host_state_survives_bad_dir():
+    """Diagnostics never break the contract: a missing sf dir just
+    drops the probe fields (bench keeps timing and printing)."""
+    from bench import _host_state
+
+    state = _host_state("/nonexistent/sf_dir")
+    assert "read_probe_mb" not in state
+    assert "loadavg_1m" in state  # the host fields are independent
+
+
+def test_materializing_split_is_consistent_with_compare_exclusions():
+    """bench.py's value_materializing subtotal and BENCH_COMPARE.md's
+    'reported separately' table must be defined by the SAME classifier
+    (queries.is_materializing) — a drift would let an I/O-bound query
+    leak into one report's engine total but not the other's."""
+    from bike_data_flow_spark.queries import is_materializing, load_all
+
+    reg = load_all()
+    flagged = {n for n in reg if is_materializing(n)}
+    # every snapshot-writer and every streaming-boot query is flagged
+    assert "incremental_dedup_pairs" in flagged
+    assert "foreachbatch_incremental_dedup" in flagged
+    assert "streamed_windowed_counts" in flagged
+    assert "snapshot_table_roundtrip" in flagged
+    # batch compute paths are not
+    assert "curation_v2" not in flagged
+    assert "pricing_summary" not in flagged
+    assert "minhash_lsh_pairs" not in flagged

@@ -32,27 +32,15 @@ from bike_data_flow_spark.queries import load_all  # noqa: E402
 from bike_data_flow_spark.session import get_spark  # noqa: E402
 from bike_data_flow_spark.tables import TABLES  # noqa: E402
 
-# Reported separately: streamed_* boot a full Structured Streaming run
-# per call, and the snapshot-store queries commit parquet snapshots to
-# disk per call (store init + probe append) — persistence/streaming
-# gates, not batch compute paths.
-_SNAPSHOT_WRITERS = {
-    "snapshot_table_roundtrip",
-    "incremental_dedup_pairs",
-    "incremental_embedding_dedup",
-    "compacted_signature_store_probe",
-    "compacted_vector_store_probe",
-}
-
-
-def _pinned(name: str) -> bool:
-    # foreachbatch_* boot a real Structured Streaming query AND commit
-    # store snapshots per call — same pinned class as streamed_*
-    return (
-        name.startswith("streamed_")
-        or name.startswith("foreachbatch_")
-        or name in _SNAPSHOT_WRITERS
-    )
+# Reported separately: streamed_*/foreachbatch_* boot a full
+# Structured Streaming run per call, and the snapshot-store queries
+# commit parquet snapshots to disk per call (store init + probe
+# append) — persistence/streaming gates, not batch compute paths.
+# The classification lives in queries.is_materializing (shared with
+# bench.py's `value_materializing` headline split) so the two reports
+# can never drift.
+from bike_data_flow_spark.queries import SNAPSHOT_WRITERS  # noqa: E402
+from bike_data_flow_spark.queries import is_materializing as _pinned  # noqa: E402
 
 
 def main() -> None:
@@ -190,6 +178,24 @@ def main() -> None:
         "  re-scoring of the linearly larger candidate set on 32 fixed",
         "  cores — the planes dial bounds it to ~linear, as designed.",
         "",
+        "## Host-state protocol (r11)",
+        "",
+        "bench.py now snapshots HOST state at run start into",
+        "BENCH_COUNTERS.json (`host`: `buff_cache_gb`, `mem_available_gb`,",
+        "`loadavg_1m`, and a 64 MB timed read of the biggest input parquet",
+        "as `read_probe_mb`/`read_probe_mb_s`). Reading a timing anomaly is",
+        "now fully artifact-local: flat per-query JVM counters + inflated",
+        "wall + a LOW `buff_cache_gb` or disk-speed (~100 MB/s, vs GB/s",
+        "from page cache) `read_probe_mb_s` = cold-page-cache host noise —",
+        "the exact class the r10 judge-vs-driver gap (81.0 s vs 46.1 s,",
+        "concentrated in the two scratch-table queries after a 20-minute",
+        "test suite evicted the cache) needed a forensic `free -g` to",
+        "acquit. The headline JSON line also splits into `value_engine`",
+        "(batch compute) and `value_materializing` (the scratch-committing/",
+        "stream-booting set this file already reports separately, via the",
+        "same shared queries.is_materializing classifier), so the noisy",
+        "subtotal no longer hides engine regressions in `value`.",
+        "",
         f"sf dir: `{sf_dir}` · warm = best of {repeat} after one warmup run · "
         f"cold = that first run (empty JIT/codegen/file-index caches) · Spark "
         f"local (noop sink) vs DuckDB {duckdb.__version__} (fetchall). DuckDB "
@@ -221,7 +227,7 @@ def main() -> None:
         for name, s, d, c in pinned:
             note = (
                 "commits parquet snapshots to a scratch table per call"
-                if name in _SNAPSHOT_WRITERS
+                if name in SNAPSHOT_WRITERS
                 else "boots a real Structured Streaming query per call"
             )
             lines.append(f"| {name} | {s:.3f} | {c:.3f} | {d:.3f} | {note} |")
