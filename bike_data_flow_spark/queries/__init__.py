@@ -85,7 +85,9 @@ def query(name: str, oracle: str | None, bench: bool = False):
 # regardless.  streamed_event_type_counts / streamed_distinct_users are
 # omitted: they were green in the r3 driver run already.
 _CHECK_FIRST = (
-    # -- new in round 10 (never driver-checked) --
+    # -- new in round 11 (never driver-checked) --
+    "incremental_curation",
+    # -- new in round 10 (driver-checked green in r10) --
     "curation_v2",
     "embedding_curation",
     # -- new in round 9 (never driver-checked) --
@@ -284,6 +286,7 @@ def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY)."""
     from . import (  # noqa: F401
         bike_pipeline,
+        curation_inc,
         evalops,
         linkage_q,
         maintenance,

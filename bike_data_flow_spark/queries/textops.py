@@ -186,17 +186,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(
-    delta_pred: str | None = None, cross_only: bool = False
-) -> str:
-    """``delta_pred`` (a SQL predicate over a doc_id column name)
-    restricts the pair set to pairs TOUCHING the Δ partition — the
-    incremental-dedup contract (see operators/sigstore.py).
-    ``cross_only=True`` tightens it to pairs with EXACTLY one side in
-    Δ (Δ×store only, no Δ×Δ) — the streamed-probe contract, where
-    within-batch pairs belong to the admission loop, not the probe."""
-    # Mirror of dedup.minhash_signatures/minhash_band_keys: one md5 base
-    # hash mod p, k affine mins, base-31 Horner band keys.
+def _minhash_ctes() -> str:
+    """The sh → sig → bands CTE chain (exact mirror of
+    dedup.minhash_signatures/minhash_band_keys: one md5 base hash mod
+    p, k affine mins, base-31 Horner band keys), exposed separately so
+    composed oracles (curation_inc) can reuse the banding without the
+    pair select _minhash_oracle wraps around it."""
     k, bands, p = D.MINHASH_K, D.MINHASH_BANDS, D.MINHASH_PRIME
     rows = k // bands
     mins = ",\n             ".join(
@@ -214,8 +209,7 @@ def _minhash_oracle(
             f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH sh AS ({_SHINGLES}),
+    return f"""sh AS ({_SHINGLES}),
     sig AS (
       SELECT doc_id,
              {mins}
@@ -224,7 +218,20 @@ def _minhash_oracle(
     ),
     bands AS (
       {bands_sql}
-    )
+    )"""
+
+
+def _minhash_oracle(
+    delta_pred: str | None = None, cross_only: bool = False
+) -> str:
+    """``delta_pred`` (a SQL predicate over a doc_id column name)
+    restricts the pair set to pairs TOUCHING the Δ partition — the
+    incremental-dedup contract (see operators/sigstore.py).
+    ``cross_only=True`` tightens it to pairs with EXACTLY one side in
+    Δ (Δ×store only, no Δ×Δ) — the streamed-probe contract, where
+    within-batch pairs belong to the admission loop, not the probe."""
+    return f"""
+    WITH {_minhash_ctes()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.band_key = b.band_key

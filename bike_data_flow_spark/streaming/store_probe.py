@@ -174,6 +174,302 @@ def vector_probe_batch(
         )
 
 
+# The shared leakage-safe split hash (same 'lsp|' md5-bucket spelling
+# as queries/textops4's batch split — parity-proven against its DuckDB
+# twin there): cluster id → 0..99 bucket → train/val/test at 80/10/10.
+def _default_split_assign(cluster_id):
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lsp|"), cluster_id.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    return (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def curation_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    embeddings: DataFrame,
+    sig_dir: str,
+    vec_dir: str,
+    out_dir: str,
+    dim: int,
+    tau: float,
+    gate=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    app_id: str | None = None,
+    split_assign=None,
+    admit: bool = True,
+) -> None:
+    """ONE day of the incremental curation funnel, per micro-batch: the
+    composition VERDICT r10 #1 asked for — each stage's OUTPUT is the
+    next stage's INPUT, against YESTERDAY'S persisted stores instead of
+    a full-corpus rescan.
+
+      quality gate → within-batch exact dedup (keep min id)
+        → signature-store probe (text near-dup, operators/sigstore.py:
+          shard PartitionFilters + persisted bloom, O(|Δ| + collisions))
+        → vector-store probe (semantic near-dup, operators/vecstore.py:
+          shard PartitionFilters + Δ-bucket bloom + exact cosine ≥ tau)
+        → decision per document (first matching rule wins):
+            rejected_quality / rejected_exact
+            rejected_near_text  — collides with a STORED document's bands
+            rejected_near_vec   — cosine-matches a STORED vector
+            rejected_within_text/_vec — loses (greater id) a within-batch
+                                  collision to a smaller surviving id
+            admitted
+        → cluster-consistent split for the admitted set: connected
+          components over the within-batch collision graph (text ∪ vec
+          edges — two docs linked through a rejected middleman still
+          land together), split = hash of the component's min id
+        → FENCED admission of the admitted documents' band keys and
+          bucket rows into their stores (exactly-once per batch id per
+          store via the snapshot txn fence; a replayed batch re-emits
+          decisions — at-least-once, dedupe on doc_id — but cannot
+          double-admit).
+
+    Decision rows (id, decision, split, _batch_id) append to
+    ``out_dir`` for EVERY batch document, so the caller can assert the
+    admitted set; the stores' post-state is asserted by reading them
+    back (see queries/curation_inc.py, whose DuckDB oracle recomputes
+    all of it from first principles).
+
+    Per-batch scale shape: one minhash pass + one bucketing pass over
+    the PROBE SET only (each localCheckpointed and reused by probe,
+    within-join, and admission), both store probes pruned by the
+    persisted two-layer prune — per-day cost is O(|Δ| + matches),
+    independent of store size. The within-batch joins and the
+    components run on Δ-sized frames. The curation corpus is documents
+    WITH embeddings (both stores must be probeable for every corpus
+    document): batch ids missing from ``embeddings`` (matched on
+    vec_id) are outside the corpus and emit no decision row.
+    """
+    if batch_df.isEmpty():
+        return
+    from ..operators.dedup import normalized_text
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import cosine
+
+    spark = batch_df.sparkSession
+    # the curation corpus is documents WITH embeddings (both stores
+    # must be probeable for every batch document): ids missing from
+    # ``embeddings`` are outside the corpus and emit no decision row
+    raw = (
+        batch_df.select(id_col, text_col)
+        .join(
+            embeddings.select(F.col("vec_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        .localCheckpoint()
+    )
+    quality = gate(raw) if gate is not None else raw
+    keep_ids = (
+        quality.groupBy(
+            F.md5(normalized_text(F.col(text_col))).alias("_h")
+        )
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    probe_docs = quality.join(keep_ids, id_col, "left_semi").localCheckpoint()
+    probe_ids = probe_docs.select(id_col)
+
+    # ONE minhash pass and ONE bucketing pass for the whole funnel:
+    # probes, within-joins, and admissions all read these pinned frames
+    sig_delta = band_keys_for(probe_docs, id_col, text_col).localCheckpoint()
+    validate_store_dials(vec_dir, dim)
+    vecs = probe_docs.join(
+        embeddings.select("vec_id", vec_col),
+        probe_docs[id_col] == F.col("vec_id"),
+    ).select("vec_id", vec_col)
+    vec_delta = bucket_rows_for(vecs, dim, "vec_id", vec_col).localCheckpoint()
+
+    t_cross = probe_store_pairs(spark, sig_delta, sig_dir, id_col).distinct()
+    v_cross = probe_vector_pairs(
+        spark, vec_delta, vec_dir, tau, "vec_id", vec_col
+    )
+    a = sig_delta.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = sig_delta.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    t_within = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vec_delta.select(
+        F.col("vec_id").alias("id_a"), "bucket", F.col(vec_col).alias("_ea")
+    )
+    vb = vec_delta.select(
+        F.col("vec_id").alias("id_b"), "bucket", F.col(vec_col).alias("_eb")
+    )
+    v_within = (
+        va.join(vb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("_ea"), F.col("_eb")), 6) >= tau)
+        .select("id_a", "id_b")
+    )
+
+    def _mark(pairs: DataFrame, flag: str, cross: bool) -> DataFrame:
+        # Δ∩store = ∅ by the admission contract, so a CROSS pair has
+        # exactly ONE side in the batch — the semi-join picks it out;
+        # WITHIN pairs reject the GREATER id (id_b), the keep-min rule
+        # the batch funnel (curation_v2) uses.
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col)).unionByName(
+                pairs.select(F.col("id_b").alias(id_col))
+            )
+            if cross
+            else pairs.select(F.col("id_b").alias(id_col))
+        )
+        return (
+            ids.join(probe_ids, id_col, "left_semi")
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
+
+    edges = t_within.unionByName(v_within)
+    clusters = connected_components(edges, probe_ids, id_col=id_col)
+    assign = split_assign if split_assign is not None else _default_split_assign
+    dec = (
+        probe_ids.join(_mark(t_cross, "_tc", True), id_col, "left")
+        .join(_mark(v_cross, "_vc", True), id_col, "left")
+        .join(_mark(t_within, "_tw", False), id_col, "left")
+        .join(_mark(v_within, "_vw", False), id_col, "left")
+        .join(clusters, id_col)
+        .select(
+            id_col,
+            F.when(F.col("_tc"), F.lit("rejected_near_text"))
+            .when(F.col("_vc"), F.lit("rejected_near_vec"))
+            .when(F.col("_tw"), F.lit("rejected_within_text"))
+            .when(F.col("_vw"), F.lit("rejected_within_vec"))
+            .otherwise(F.lit("admitted"))
+            .alias("decision"),
+            F.col("cluster_id"),
+        )
+        .select(
+            id_col,
+            "decision",
+            F.when(
+                F.col("decision") == "admitted",
+                assign(F.col("cluster_id")),
+            ).alias("split"),
+        )
+        .localCheckpoint()  # consumed 3×: rows out, admission, and raw join
+    )
+    rows = (
+        raw.select(id_col)
+        .join(
+            quality.select(id_col).withColumn("_q", F.lit(True)),
+            id_col,
+            "left",
+        )
+        .join(dec, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_q").isNull(), F.lit("rejected_quality"))
+            .when(F.col("decision").isNull(), F.lit("rejected_exact"))
+            .otherwise(F.col("decision"))
+            .alias("decision"),
+            "split",
+            F.lit(batch_id).alias("_batch_id"),
+        )
+    )
+    rows.write.mode("append").parquet(out_dir)
+
+    if not admit:
+        # probe-only mode (the monitoring shape, and the smoke
+        # harness's repeatable-timing shape): decisions are computed
+        # and emitted, neither store is mutated
+        return
+    admitted = dec.filter(F.col("decision") == "admitted").select(id_col)
+    # each store fences independently on ITS OWN txn meta: a crash
+    # between the two admissions replays the batch, the already-
+    # admitted store skips, the other catches up — never double-admits
+    fence = {"txn_app_id": app_id, "txn_version": batch_id}
+    last = S.last_txn_version(sig_dir, app_id)
+    if last is None or batch_id > last:
+        admit_delta(
+            spark,
+            sig_delta.join(admitted, id_col, "left_semi"),
+            sig_dir,
+            extra_meta=fence,
+        )
+    last = S.last_txn_version(vec_dir, app_id)
+    if last is None or batch_id > last:
+        admit_vector_delta(
+            spark,
+            vec_delta.join(
+                admitted.withColumnRenamed(id_col, "vec_id"),
+                "vec_id",
+                "left_semi",
+            ),
+            vec_dir,
+            extra_meta=fence,
+        )
+
+
+def stream_curation(
+    docs_stream: DataFrame,
+    embeddings: DataFrame,
+    sig_dir: str,
+    vec_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    tau: float,
+    gate=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    split_assign=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the incremental curation funnel over a document stream:
+    every micro-batch runs ``curation_batch`` — quality → exact →
+    both store probes → decisions+split out → fenced admission of the
+    admitted set into BOTH stores — so each admitted batch becomes
+    store for the next."""
+    app = _app_id(checkpoint_dir)
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        curation_batch(
+            batch_df,
+            batch_id,
+            embeddings,
+            sig_dir,
+            vec_dir,
+            out_dir,
+            dim,
+            tau,
+            gate=gate,
+            id_col=id_col,
+            text_col=text_col,
+            vec_col=vec_col,
+            app_id=app,
+            split_assign=split_assign,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(_fb).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_vector_probe(
     vecs_stream: DataFrame,
     table_dir: str,

@@ -253,3 +253,244 @@ def test_vector_stream_equivalence(spark, dirs):
     }
     assert got == want and len(want) > 0
     assert current_version(dirs["store"]) == 1  # probe-only
+
+
+# --- the composed incremental curation funnel (curation_batch) ---------------
+
+_BASE_A = (
+    "the quick brown fox jumps over the lazy dog while the river "
+    "flows gently past the old stone mill near the quiet village green"
+)
+_BASE_D = (
+    "every morning the baker kneads fresh dough and the oven warms "
+    "the little shop before sunrise brings hungry customers inside"
+)
+_BASE_F = (
+    "seven sailors charted unknown waters guided by constellations "
+    "and patient winds that carried their vessel beyond familiar maps"
+)
+
+# Crafted corpus exercising EVERY decision class; the LSH collision map
+# of these texts is exactly {(2,3),(4,100),(6,7),(6,30),(20,22)} and
+# the one-hot embedding axes make cosine 1.0 within an axis, 0.0
+# across (τ = 0.4). Store docs: 100, 101. Batch 0: 1-22. Batch 1: 30-31.
+_CUR_TEXTS = {
+    100: _BASE_A + " first story ends here tonight",
+    101: "tall towers of glass reflect clouds drifting over the busy "
+         "harbor where cranes load heavy containers onto waiting ships",
+    1: "too short text here",                       # fails quality
+    2: "charlie unique tale about mountains and snow that melts in "
+       "spring feeding streams and lakes below the ridge line",
+    3: "charlie unique tale about mountains and snow that melts in "
+       "spring feeding streams and lakes below the ridge line",  # = 2
+    4: _BASE_A + " first story ends here today",    # ~ store 100
+    5: "winding trails cross misty forests where hikers pause beside "
+       "waterfalls to watch salmon leap against the current upstream",
+    6: _BASE_F + " chapter one opens calmly tonight",
+    7: _BASE_F + " chapter one opens calmly tonight okay",  # ~ 6
+    8: "quiet libraries hold forgotten letters between pages of dusty "
+       "books that nobody has opened since the war ended long ago",
+    9: "bright meadows bloom with wildflowers as bees hum lazily "
+       "between blossoms under the warm afternoon sun of late june",
+    20: _BASE_D + " second story begins quietly tonight",
+    21: "old lighthouses blink patiently through fog warning distant "
+        "fishermen about rocks hidden beneath the churning grey waves",
+    22: _BASE_D + " second story begins quietly today",  # ~ 20
+    30: _BASE_F + " chapter one opens calmly this very evening",  # ~ 6
+    31: "small workshops repair broken clocks whose gears and springs "
+        "scatter across wooden benches waiting for careful steady hands",
+}
+_CUR_DIM = 16
+_CUR_AXIS = {
+    100: 0, 101: 1, 1: 2, 2: 3, 3: 3, 4: 4,
+    5: 0,          # cosine 1.0 with STORE vector 100
+    6: 5, 7: 6,
+    8: 7, 9: 7,    # within-batch vec pair (8, 9)
+    20: 8,
+    21: 9, 22: 9,  # within-batch vec pair (21, 22)
+    30: 10,
+    31: 7,         # cosine 1.0 with batch-0 ADMITTED vector 8
+}
+
+
+def _cur_docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, _CUR_TEXTS[i]) for i in ids], "doc_id long, text string"
+    )
+
+
+def _cur_embs(spark, ids):
+    rows = [
+        (i, [1.0 if d == _CUR_AXIS[i] else 0.0 for d in range(_CUR_DIM)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture()
+def cur_dirs():
+    base = os.path.join(tempfile.gettempdir(), f"curation_batch_test_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    yield {
+        "sig": os.path.join(base, "sig"),
+        "vec": os.path.join(base, "vec"),
+        "out": os.path.join(base, "out"),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_curation_batch_every_decision_class_and_post_state(spark, cur_dirs):
+    """One crafted batch hits all seven decision classes; the admitted
+    set — and ONLY it — lands in both stores; two admitted docs linked
+    through a rejected middleman (20—22 text edge, 21—22 vec edge)
+    share a split; a replay admits nothing; the next batch sees batch
+    0's admissions live (both text and vec arms)."""
+    from bike_data_flow_spark.operators.dedup import MINHASH_BANDS
+    from bike_data_flow_spark.operators.vecstore import vector_store_init
+    from bike_data_flow_spark.queries.curation_inc import _quality_gate
+    from bike_data_flow_spark.streaming.store_probe import curation_batch
+
+    store_ids = [100, 101]
+    batch0 = [1, 2, 3, 4, 5, 6, 7, 8, 9, 20, 21, 22]
+    all_ids = store_ids + batch0 + [30, 31]
+    emb = _cur_embs(spark, all_ids)
+    G.signature_store_init(_cur_docs(spark, store_ids), cur_dirs["sig"])
+    vector_store_init(
+        _cur_embs(spark, store_ids), cur_dirs["vec"], dim=_CUR_DIM
+    )
+
+    curation_batch(
+        _cur_docs(spark, batch0), 0, emb,
+        cur_dirs["sig"], cur_dirs["vec"], cur_dirs["out"],
+        dim=_CUR_DIM, tau=0.4, gate=_quality_gate, app_id="test-app",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(cur_dirs["out"]).collect()
+    }
+    expected = {
+        1: "rejected_quality",
+        2: "admitted",
+        3: "rejected_exact",
+        4: "rejected_near_text",
+        5: "rejected_near_vec",
+        6: "admitted",
+        7: "rejected_within_text",
+        8: "admitted",
+        9: "rejected_within_vec",
+        20: "admitted",
+        21: "admitted",
+        22: "rejected_within_text",
+    }
+    assert {i: r["decision"] for i, r in rows.items()} == expected
+    # splits: present iff admitted; cluster-consistent through the
+    # rejected middleman 22 (component {20, 21, 22} hashes on 20)
+    for i, r in rows.items():
+        assert (r["split"] is not None) == (expected[i] == "admitted")
+    assert rows[20]["split"] == rows[21]["split"]
+
+    admitted = {i for i, d in expected.items() if d == "admitted"}
+    sig = snapshot_read(spark, cur_dirs["sig"])
+    by_doc = {
+        r["doc_id"]: r["n"]
+        for r in sig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_doc) == set(store_ids) | admitted
+    assert all(n == MINHASH_BANDS for n in by_doc.values())
+    vec = snapshot_read(spark, cur_dirs["vec"])
+    vby = {
+        r["vec_id"]: r["n"]
+        for r in vec.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert vby == {i: 1 for i in set(store_ids) | admitted}
+
+    # replay of batch 0: decisions re-append (at-least-once), but the
+    # txn fence blocks BOTH admissions — store versions unchanged
+    sv, vv = (
+        current_version(cur_dirs["sig"]),
+        current_version(cur_dirs["vec"]),
+    )
+    curation_batch(
+        _cur_docs(spark, batch0), 0, emb,
+        cur_dirs["sig"], cur_dirs["vec"], cur_dirs["out"],
+        dim=_CUR_DIM, tau=0.4, gate=_quality_gate, app_id="test-app",
+    )
+    assert current_version(cur_dirs["sig"]) == sv
+    assert current_version(cur_dirs["vec"]) == vv
+    assert spark.read.parquet(cur_dirs["out"]).count() == 2 * len(batch0)
+
+    # batch 1 probes the POST-batch-0 stores live: 30 text-collides
+    # with admitted 6, 31 cosine-matches admitted 8's vector
+    curation_batch(
+        _cur_docs(spark, [30, 31]), 1, emb,
+        cur_dirs["sig"], cur_dirs["vec"], cur_dirs["out"],
+        dim=_CUR_DIM, tau=0.4, gate=_quality_gate, app_id="test-app",
+    )
+    b1 = {
+        r["doc_id"]: r["decision"]
+        for r in spark.read.parquet(cur_dirs["out"])
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert b1 == {30: "rejected_near_text", 31: "rejected_near_vec"}
+
+
+def test_curation_batch_scopes_to_embedded_corpus(spark, cur_dirs):
+    """A batch document with no embedding is outside the curation
+    corpus: no decision row, no admission to either store."""
+    from bike_data_flow_spark.operators.vecstore import vector_store_init
+    from bike_data_flow_spark.queries.curation_inc import _quality_gate
+    from bike_data_flow_spark.streaming.store_probe import curation_batch
+
+    G.signature_store_init(_cur_docs(spark, [100, 101]), cur_dirs["sig"])
+    vector_store_init(
+        _cur_embs(spark, [100, 101]), cur_dirs["vec"], dim=_CUR_DIM
+    )
+    # 8 has an embedding; 9 is withheld from the embeddings side
+    curation_batch(
+        _cur_docs(spark, [8, 9]), 0, _cur_embs(spark, [100, 101, 8]),
+        cur_dirs["sig"], cur_dirs["vec"], cur_dirs["out"],
+        dim=_CUR_DIM, tau=0.4, gate=_quality_gate, app_id="test-app",
+    )
+    out = spark.read.parquet(cur_dirs["out"])
+    assert {r["doc_id"] for r in out.collect()} == {8}
+    sig_ids = {
+        r["doc_id"]
+        for r in snapshot_read(spark, cur_dirs["sig"]).select("doc_id").distinct().collect()
+    }
+    assert sig_ids == {100, 101, 8}
+
+
+def test_curation_batch_probe_only_mode_mutates_nothing(spark, cur_dirs):
+    """admit=False (the monitoring / smoke-timing shape) emits the same
+    decisions but leaves BOTH stores byte-identical — every rep of a
+    timing loop probes the same state."""
+    from bike_data_flow_spark.operators.vecstore import vector_store_init
+    from bike_data_flow_spark.queries.curation_inc import _quality_gate
+    from bike_data_flow_spark.streaming.store_probe import curation_batch
+
+    G.signature_store_init(_cur_docs(spark, [100, 101]), cur_dirs["sig"])
+    vector_store_init(
+        _cur_embs(spark, [100, 101]), cur_dirs["vec"], dim=_CUR_DIM
+    )
+    sv, vv = (
+        current_version(cur_dirs["sig"]),
+        current_version(cur_dirs["vec"]),
+    )
+    batch = [4, 5, 6]
+    curation_batch(
+        _cur_docs(spark, batch), 0, _cur_embs(spark, [100, 101, 4, 5, 6]),
+        cur_dirs["sig"], cur_dirs["vec"], cur_dirs["out"],
+        dim=_CUR_DIM, tau=0.4, gate=_quality_gate, admit=False,
+    )
+    assert current_version(cur_dirs["sig"]) == sv
+    assert current_version(cur_dirs["vec"]) == vv
+    got = {
+        r["doc_id"]: r["decision"]
+        for r in spark.read.parquet(cur_dirs["out"]).collect()
+    }
+    assert got == {
+        4: "rejected_near_text",
+        5: "rejected_near_vec",
+        6: "admitted",
+    }
