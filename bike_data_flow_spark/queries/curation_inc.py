@@ -238,13 +238,24 @@ def incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .filter(delta_flag)
-    )
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    if os.path.isdir(src):
+        # Spark-written table (the scale-smoke corpora): the table IS a
+        # directory of part files, so it can be the stream source dir
+        # directly — a leaf-name glob of "documents.parquet" would
+        # match zero part files and the stream would terminate with no
+        # batches (and no funnel run) instead of failing loudly
+        reader = spark.readStream.schema(schema).parquet(src)
+    else:
+        # single-file layout (the driver-generated testdata): stream
+        # the parent dir, glob-filtered to just this table's file
+        reader = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    stream = reader.filter(delta_flag)
     q = stream_curation(
         stream,
         emb,
