@@ -85,3 +85,44 @@ def test_embedding_curation_funnel_invariants(spark):
     ).count()
     kept = sum(r["n_vecs"] for r in rows)
     assert 0 < kept <= gated < emb.count(), (kept, gated)
+
+
+def test_incremental_curation_funnel_invariants(spark):
+    """Structural invariants of the INCREMENTAL funnel's gate output
+    (the oracle pins exact values; these pin the shape a reader
+    reasons with): one row per corpus doc; store rows keep their
+    pre-existing store state; every admitted doc is fully present in
+    both stores (MINHASH_BANDS band rows, 1 bucket row); every
+    rejected doc is absent from both; splits exist exactly for
+    admitted docs."""
+    from bike_data_flow_spark.operators.dedup import MINHASH_BANDS
+    from bike_data_flow_spark.queries import load_all
+
+    out = load_all()["incremental_curation"].fn(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    emb = load(spark, SF_DIR, "embeddings")
+    corpus_n = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    ).count()
+    assert len(out) == corpus_n
+    for r in out:
+        is_store = r["doc_id"] % 4 != 0
+        if is_store:
+            assert r["decision"] == "store"
+        else:
+            assert r["decision"] in {
+                "admitted", "rejected_quality", "rejected_exact",
+                "rejected_near_text", "rejected_near_vec",
+                "rejected_within_text", "rejected_within_vec",
+            }
+        member = is_store or r["decision"] == "admitted"
+        assert (r["split"] is not None) == (r["decision"] == "admitted")
+        if member:
+            assert r["vec_rows"] == 1
+            assert r["sig_rows"] in (0, MINHASH_BANDS)  # 0 = no shingles
+        else:
+            assert r["sig_rows"] == 0 and r["vec_rows"] == 0
+    # the funnel is non-trivial on the gate corpus: something admitted,
+    # something rejected by each store arm
+    decs = {r["decision"] for r in out}
+    assert {"admitted", "rejected_near_text", "rejected_near_vec"} <= decs
