@@ -41,6 +41,7 @@ SNAPSHOT_WRITERS = frozenset(
         "incremental_dedup_pairs",
         "incremental_embedding_dedup",
         "incremental_curation",
+        "incremental_curation_daily",
         "compacted_signature_store_probe",
         "compacted_vector_store_probe",
     }
@@ -87,6 +88,7 @@ def query(name: str, oracle: str | None, bench: bool = False):
 _CHECK_FIRST = (
     # -- new in round 11 (never driver-checked) --
     "incremental_curation",
+    "incremental_curation_daily",
     # -- new in round 10 (driver-checked green in r10) --
     "curation_v2",
     "embedding_curation",

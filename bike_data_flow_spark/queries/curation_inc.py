@@ -295,3 +295,241 @@ def incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_vec", F.lit(0)).alias("vec_rows"),
         )
     )
+
+
+def _day_ctes(t: str, delta_pred: str, store_rel: str) -> str:
+    """One day of the funnel as oracle CTEs (suffix ``t``): quality →
+    exact-kept probe set → cross pairs against ``store_rel`` (the
+    store AS OF that day — day 2's includes day 1's admissions) →
+    within-day pairs → components → decisions → admitted set. Reuses
+    the module-level bands/eb CTEs; the spellings are the single-day
+    oracle's, parameterized."""
+    return f"""quality{t} AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+           round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / len(lower(text)), 4) AS alpha_ratio
+    FROM documents
+    WHERE {delta_pred} AND doc_id {_IN_EMB}
+  ) WHERE n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+      AND alpha_ratio >= {_MIN_ALPHA}
+),
+probe{t} AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM quality{t})
+  GROUP BY md5({_NORM})
+),
+t_cross{t} AS (
+  SELECT DISTINCT p.doc_id
+  FROM bands p JOIN bands s ON p.band = s.band AND p.band_key = s.band_key
+  WHERE p.doc_id IN (SELECT doc_id FROM probe{t})
+    AND s.doc_id IN (SELECT doc_id FROM {store_rel})
+),
+t_within{t} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM probe{t})
+    AND b.doc_id IN (SELECT doc_id FROM probe{t})
+),
+v_cross{t} AS (
+  SELECT DISTINCT d.vec_id AS doc_id
+  FROM eb d JOIN eb s ON d.bucket = s.bucket
+  WHERE d.vec_id IN (SELECT doc_id FROM probe{t})
+    AND s.vec_id IN (SELECT doc_id FROM {store_rel})
+    AND round({_sql_cos("d.embedding", "s.embedding")}, 6) >= {_NEAR_DUP_TAU}
+),
+v_within{t} AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE a.vec_id IN (SELECT doc_id FROM probe{t})
+    AND b.vec_id IN (SELECT doc_id FROM probe{t})
+    AND round({_sql_cos("a.embedding", "b.embedding")}, 6) >= {_NEAR_DUP_TAU}
+),
+edges{t} AS (
+  SELECT id_a AS src, id_b AS dst FROM t_within{t}
+  UNION SELECT id_b, id_a FROM t_within{t}
+  UNION SELECT id_a, id_b FROM v_within{t}
+  UNION SELECT id_b, id_a FROM v_within{t}
+),
+walk{t} AS (
+  SELECT doc_id AS id, doc_id AS label FROM probe{t}
+  UNION
+  SELECT e.dst AS id, w.label FROM walk{t} w JOIN edges{t} e ON e.src = w.id
+),
+clusters{t} AS (SELECT id AS doc_id, min(label) AS cluster_id
+                FROM walk{t} GROUP BY id),
+dec{t} AS (
+  SELECT c.doc_id,
+         CASE WHEN c.doc_id NOT IN (SELECT doc_id FROM quality{t})
+                THEN 'rejected_quality'
+              WHEN c.doc_id NOT IN (SELECT doc_id FROM probe{t})
+                THEN 'rejected_exact'
+              WHEN c.doc_id IN (SELECT doc_id FROM t_cross{t})
+                THEN 'rejected_near_text'
+              WHEN c.doc_id IN (SELECT doc_id FROM v_cross{t})
+                THEN 'rejected_near_vec'
+              WHEN c.doc_id IN (SELECT id_b FROM t_within{t})
+                THEN 'rejected_within_text'
+              WHEN c.doc_id IN (SELECT id_b FROM v_within{t})
+                THEN 'rejected_within_vec'
+              ELSE 'admitted' END AS decision
+  FROM (SELECT doc_id FROM corpus WHERE {delta_pred}) c
+),
+admitted{t} AS (SELECT doc_id FROM dec{t} WHERE decision = 'admitted')"""
+
+
+# Two operating days against the SAME stores, with an OPTIMIZE
+# (snapshot compaction of both stores) between them: day 1's Δ is
+# doc_id % 8 = 0, day 2's is doc_id % 8 = 4, and day 2 probes the
+# store GROWN by day 1's fenced admissions — a day-2 document that
+# near-duplicates a day-1 ADMITTED document must be rejected by the
+# STORE arm (the cross-day dedup story), while day-1 rejects leave no
+# trace. Compaction sits between the days because that is where a
+# maintenance job runs in production; it must be invisible to day 2
+# (data- and property-preserving, including the persisted bloom).
+_DAILY_ORACLE = f"""
+WITH RECURSIVE {_minhash_ctes()},
+corpus AS (
+  SELECT d.doc_id FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+eb AS MATERIALIZED (
+  SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+  FROM embeddings
+),
+store0 AS (SELECT doc_id FROM corpus WHERE doc_id % 4 != 0),
+{_day_ctes("1", "doc_id % 8 = 0", "store0")},
+member1 AS (
+  SELECT doc_id FROM store0
+  UNION ALL
+  SELECT doc_id FROM admitted1
+),
+{_day_ctes("2", "doc_id % 8 = 4", "member1")},
+member AS (
+  SELECT doc_id FROM member1
+  UNION ALL
+  SELECT doc_id FROM admitted2
+),
+clusters_all AS (
+  SELECT doc_id, cluster_id FROM clusters1
+  UNION ALL
+  SELECT doc_id, cluster_id FROM clusters2
+),
+dec_all AS (
+  SELECT doc_id, 'store' AS decision FROM store0
+  UNION ALL SELECT doc_id, decision FROM dec1
+  UNION ALL SELECT doc_id, decision FROM dec2
+),
+sigc AS (
+  SELECT doc_id, count(*) AS c FROM bands
+  WHERE doc_id IN (SELECT doc_id FROM member) GROUP BY doc_id
+)
+SELECT dec_all.doc_id, dec_all.decision,
+       CASE WHEN dec_all.decision = 'admitted' THEN
+         CASE WHEN {_LSP_HASH_D} < 80 THEN 'train'
+              WHEN {_LSP_HASH_D} < 90 THEN 'val'
+              ELSE 'test' END
+       END AS split,
+       COALESCE(sigc.c, 0) AS sig_rows,
+       CASE WHEN dec_all.doc_id IN (SELECT doc_id FROM member)
+            THEN 1 ELSE 0 END AS vec_rows
+FROM dec_all
+LEFT JOIN clusters_all ON clusters_all.doc_id = dec_all.doc_id
+LEFT JOIN sigc ON sigc.doc_id = dec_all.doc_id
+"""
+
+
+# The multi-day maintenance contract, oracle-checked end-to-end (the
+# single-day query proves one batch; unit tests prove the loop; THIS
+# proves the loop's semantics against an independent engine): two
+# curation days drive the same persisted stores — day 2's probes see
+# day 1's admissions as store (the recomputing oracle has no notion of
+# "the store", only of what SHOULD be in it, so a stale/pinned store
+# read, a fence failure, or a compaction that dropped rows or
+# properties all fail the hash. Batch spelling of the day loop
+# (curation_batch driven directly, the tests' shape); the streaming
+# spelling is the single-day gate query.
+@query("incremental_curation_daily", oracle=_DAILY_ORACLE)
+def incremental_curation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sigstore import signature_store_init
+    from ..operators.snapshots import snapshot_compact, snapshot_read
+    from ..operators.vecstore import vector_store_init
+    from ..streaming.store_probe import curation_batch
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.getuid()}_{os.getpid()}",
+        "curation_daily",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    sig_dir = os.path.join(base, "sig_store")
+    vec_dir = os.path.join(base, "vec_store")
+    out_dir = os.path.join(base, "decisions")
+
+    store_part = corpus.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
+    signature_store_init(store_part, sig_dir)
+    vector_store_init(
+        emb.join(
+            store_part.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        ),
+        vec_dir,
+        dim=_DIM,
+    )
+    for batch_id, day_pred in enumerate((0, 4)):
+        curation_batch(
+            corpus.filter(F.pmod(F.col("doc_id"), F.lit(8)) == day_pred),
+            batch_id,
+            emb,
+            sig_dir,
+            vec_dir,
+            out_dir,
+            dim=_DIM,
+            tau=_NEAR_DUP_TAU,
+            gate=_quality_gate,
+            app_id="daily",
+        )
+        if batch_id == 0:
+            # the maintenance window between operating days: OPTIMIZE
+            # both stores; day 2 must see identical probe semantics
+            snapshot_compact(spark, sig_dir)
+            snapshot_compact(spark, vec_dir)
+
+    decisions = spark.read.parquet(out_dir).select(
+        "doc_id", "decision", "split"
+    )
+    sig_post = (
+        snapshot_read(spark, sig_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_sig"))
+    )
+    vec_post = (
+        snapshot_read(spark, vec_dir)
+        .groupBy(F.col("vec_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("_vec"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(decisions, "doc_id", "left")
+        .join(sig_post, "doc_id", "left")
+        .join(vec_post, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("decision", F.lit("store")).alias("decision"),
+            "split",
+            F.coalesce("_sig", F.lit(0)).alias("sig_rows"),
+            F.coalesce("_vec", F.lit(0)).alias("vec_rows"),
+        )
+    )
