@@ -36,6 +36,15 @@ def test_bench_plan_matches_snapshot(spark, q):
         want = fh.read()
     got = current_plan(spark, q, SF_DIR)
     if got != want:
+        # One re-capture before failing: queries that EXECUTE during
+        # plan construction (connected components, store probes) embed
+        # AQE final plans whose exchange-reuse shape can wobble with
+        # transient session state (observed once on curation_v2, r11) —
+        # a REAL plan regression reproduces identically on a fresh
+        # capture, a one-shot AQE wobble does not.
+        spark.sparkContext._jvm.System.gc()
+        got = current_plan(spark, q, SF_DIR)
+    if got != want:
         diff = "\n".join(
             difflib.unified_diff(
                 want.splitlines(), got.splitlines(),
