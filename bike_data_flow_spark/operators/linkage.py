@@ -231,13 +231,30 @@ def fs_score(
     DISAGREEMENT — a missing value is never evidence for a match —
     matching field_u_long's NULL-free histogram, so both model stages
     treat NULL identically.
+
+    Plan shape: the per-field agree/disagree weights are evaluated ON
+    THE ONE-ROW u FRAME (two fs_weight columns per field — log2,
+    clamp, and NULL guard all run once per field, not once per pair),
+    and the broadcast carries those scalars; the per-pair hot path is
+    then Σ CASE WHEN eq THEN w_agree ELSE w_disagree END — at 100 TB
+    pair volumes that removes ~2|fields| transcendental evaluations
+    per candidate pair for bit-identical doubles (same fs_weight
+    expressions over the same u values, just hoisted off the pair
+    cardinality).
     """
-    scored = pairs.crossJoin(F.broadcast(u_row))
+    w_row = u_row.select(
+        *[
+            fs_weight(F.lit(agree), m, F.col(f)).alias(f"_w_{f}_{tag}")
+            for f, m in m_probs.items()
+            for agree, tag in ((True, "a"), (False, "d"))
+        ]
+    )
+    scored = pairs.crossJoin(F.broadcast(w_row))
     total = None
-    for f, m in m_probs.items():
-        w = fs_weight(
-            F.col(f"{f}_a") == F.col(f"{f}_b"), m, F.col(f)
-        )
+    for f in m_probs:
+        w = F.when(
+            F.col(f"{f}_a") == F.col(f"{f}_b"), F.col(f"_w_{f}_a")
+        ).otherwise(F.col(f"_w_{f}_d"))
         total = w if total is None else total + w
     scored = scored.select(
         "id_a", "id_b", F.round(total, 4).alias("score")
