@@ -147,25 +147,40 @@ def test_graph_loops_release_superseded_round_caches(spark):
     def n_persistent():
         return sc._jsc.sc().getPersistentRDDs().size()
 
+    def settle():
+        # Spark's ContextCleaner unpersists asynchronously: in a long
+        # suite, RDDs from EARLIER tests can vanish from the registry
+        # mid-measurement, reading as negative "growth" and breaking
+        # the depth comparison (observed once: bfs@8 = -9). Force a GC
+        # and give the cleaner a beat so each baseline is quiescent;
+        # growth is additionally clamped at 0 below — cleaner noise
+        # can only UNDERSTATE growth, never fake a leak.
+        import time as _t
+
+        spark.catalog.clearCache()
+        sc._jvm.System.gc()
+        _t.sleep(0.5)
+
     grow = {}
     for depth in (8, 16):  # same bound at both depths ⇒ not O(rounds)
+        settle()
         base = n_persistent()
         G.pagerank(edges, iters=depth).collect()
-        grow[("pr", depth)] = n_persistent() - base
-        spark.catalog.clearCache()
+        grow[("pr", depth)] = max(0, n_persistent() - base)
 
+        settle()
         base = n_persistent()
         vis = G.bfs_hops(edges, src, max_hops=depth)
         assert vis.count() == depth + 1  # path graph: 0..depth reachable
-        grow[("bfs", depth)] = n_persistent() - base
-        spark.catalog.clearCache()
+        grow[("bfs", depth)] = max(0, n_persistent() - base)
 
         from bike_data_flow_spark.operators.graph import bellman_ford
 
+        settle()
         base = n_persistent()
         w = edges.withColumn("w", F.lit(1).cast("long"))
         bellman_ford(w, src, rounds=depth).collect()
-        grow[("bf", depth)] = n_persistent() - base
+        grow[("bf", depth)] = max(0, n_persistent() - base)
         spark.catalog.clearCache()
     assert all(g <= limit for g in grow.values()), grow
     # doubling the depth must not grow resident state
