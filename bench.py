@@ -72,7 +72,19 @@ def _host_state(sf_dir: str) -> dict:
                 if not chunk:
                     break
                 n += len(chunk)
-        dt = time.time() - t0
+            dt = time.time() - t0
+            # The probe itself warms the pages it just read — biasing
+            # the "cold" first run it exists to characterize (ADVICE
+            # r11). Advise them back out: if the cache WAS warm the
+            # probe already reported GB/s (and dropping 64 MB changes
+            # nothing material); if it was cold, the run stays cold.
+            try:
+                os.posix_fadvise(
+                    fh.fileno(), 0, n, os.POSIX_FADV_DONTNEED
+                )
+                state["read_probe_pages_dropped"] = True
+            except (AttributeError, OSError):
+                state["read_probe_pages_dropped"] = False
         state["read_probe_mb"] = round(n / 2**20, 1)
         state["read_probe_mb_s"] = round((n / 2**20) / max(dt, 1e-9), 1)
     except Exception:  # noqa: BLE001

@@ -103,6 +103,17 @@ def field_u_probabilities(records: DataFrame, fields: list[str]) -> DataFrame:
 # (the gate default) = exact blocked join, oracle-parity preserved.
 BLOCK_STRIPE_CAP: int | None = None
 
+# Companion dial (VERDICT r11 ask #5): when striping is active, run the
+# stripe partition this many times under ROTATED (independent) stripe
+# hashes and union the within-stripe pairs. Two records landing in
+# different stripes under rotation 0 collide under rotation p with
+# probability ~1/n_stripes independently per rotation, so each extra
+# pass recovers most of the previous passes' cross-stripe misses at
+# ~linear extra cost (pair volume ≈ passes · |b|·cap/2). Deterministic:
+# rotation p salts the stripe hash with a fixed literal, so the union
+# is a pure function of the input. Ignored when striping is off.
+BLOCK_STRIPE_PASSES: int = 1
+
 
 def blocked_pairs(
     records: DataFrame,
@@ -110,55 +121,75 @@ def blocked_pairs(
     block_keys: list[list[str]],
     carry: list[str],
     stripe_cap: int | None = None,
+    stripe_passes: int | None = None,
 ) -> DataFrame:
     """Multi-pass blocked candidate pairs: one self-equi-join per key
     list in ``block_keys``, unioned and de-duplicated on the id pair.
     Output columns: id_a, id_b (id_a < id_b) plus ``<c>_a``/``<c>_b``
     for every carried comparison column. ``stripe_cap`` (defaulting to
     the module dial BLOCK_STRIPE_CAP) bounds oversized blocks by hash
-    striping — see the dial's comment for the trade."""
+    striping; ``stripe_passes`` (defaulting to BLOCK_STRIPE_PASSES)
+    unions several rotated stripings to recover cross-stripe recall —
+    see the dials' comments for the trades."""
     cap = BLOCK_STRIPE_CAP if stripe_cap is None else stripe_cap
+    passes = BLOCK_STRIPE_PASSES if stripe_passes is None else stripe_passes
     out: DataFrame | None = None
     for keys in block_keys:
-        side = records
-        join_keys = [f"_bk_{k}" for k in keys]
-        stripe_cols: list = []
+        join_base = [f"_bk_{k}" for k in keys]
+        sizes = None
         if cap:
             sizes = records.groupBy(*keys).agg(
                 F.count(F.lit(1)).alias("_bsz")
             )
-            n_stripes = F.greatest(
-                F.lit(1).cast("long"),
-                F.ceil(F.col("_bsz") / F.lit(cap)).cast("long"),
+
+        def one_striping(salt: str | None) -> DataFrame:
+            side = records
+            join_keys = list(join_base)
+            stripe_cols: list = []
+            if cap:
+                n_stripes = F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.col("_bsz") / F.lit(cap)).cast("long"),
+                )
+                # rotation 0 keeps the original 'fsb|' salt so a
+                # single-pass striping is bit-identical to the pre-dial
+                # spelling; rotation p>0 salts with 'fsb<p>|' — an
+                # independent hash, so its stripe partition is
+                # decorrelated from rotation 0's
+                stripe = F.pmod(
+                    F.expr(
+                        f"conv(substring(md5(concat('{salt}', "
+                        f"cast({id_col} as string))), 1, 8), 16, 10)"
+                    ).cast("long"),
+                    n_stripes,
+                )
+                side = records.join(sizes, keys).withColumn(
+                    "_stripe", stripe
+                )
+                stripe_cols = [F.col("_stripe")]
+                join_keys = join_keys + ["_stripe"]
+            a = side.select(
+                F.col(id_col).alias("id_a"),
+                *[F.col(c).alias(f"{c}_a") for c in carry],
+                *[F.col(k).alias(f"_bk_{k}") for k in keys],
+                *stripe_cols,
             )
-            stripe = F.pmod(
-                F.expr(
-                    "conv(substring(md5(concat('fsb|', "
-                    f"cast({id_col} as string))), 1, 8), 16, 10)"
-                ).cast("long"),
-                n_stripes,
+            b = side.select(
+                F.col(id_col).alias("id_b"),
+                *[F.col(c).alias(f"{c}_b") for c in carry],
+                *[F.col(k).alias(f"_bk_{k}") for k in keys],
+                *stripe_cols,
             )
-            side = records.join(sizes, keys).withColumn("_stripe", stripe)
-            stripe_cols = [F.col("_stripe")]
-            join_keys = join_keys + ["_stripe"]
-        a = side.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(c).alias(f"{c}_a") for c in carry],
-            *[F.col(k).alias(f"_bk_{k}") for k in keys],
-            *stripe_cols,
-        )
-        b = side.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(c).alias(f"{c}_b") for c in carry],
-            *[F.col(k).alias(f"_bk_{k}") for k in keys],
-            *stripe_cols,
-        )
-        pass_pairs = (
-            a.join(b, join_keys)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .drop(*join_keys)
-        )
-        out = pass_pairs if out is None else out.unionByName(pass_pairs)
+            return (
+                a.join(b, join_keys)
+                .filter(F.col("id_a") < F.col("id_b"))
+                .drop(*join_keys)
+            )
+
+        for p in range(max(1, passes) if cap else 1):
+            salt = "fsb|" if p == 0 else f"fsb{p}|"
+            pass_pairs = one_striping(salt)
+            out = pass_pairs if out is None else out.unionByName(pass_pairs)
     assert out is not None, "at least one blocking pass required"
     return out.dropDuplicates(["id_a", "id_b"])
 

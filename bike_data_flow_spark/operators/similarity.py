@@ -1486,6 +1486,9 @@ def kcenter_greedy(
     seed = seed_rows[0]
     picks = [(1, seed["_id"], 0.0)]
     chosen = {seed["_id"]}
+    from .graph import _checkpoint as _graph_checkpoint
+
+    ckpt_handles: list = []
     cur = base.select(
         "_id", "_v", sqd([float(x) for x in seed["_v"]]).alias("_dmin")
     )
@@ -1515,6 +1518,18 @@ def kcenter_greedy(
             # the running min, bounding both; _dmin values are
             # unchanged (same doubles, just stored instead of
             # recomputed), so picks — and oracle parity — are too.
-            cur = cur.localCheckpoint()
+            # Superseded checkpoints release eagerly through the
+            # graph-loop handle discipline (ADVICE r11): the previous
+            # boundary's corpus-sized RDD unpersists as soon as the new
+            # checkpoint is durable, instead of lingering for the async
+            # ContextCleaner — a large-k caller otherwise holds
+            # k/_KCENTER_CHECKPOINT_EVERY stale corpus copies in memory.
+            cur, new_handles = _graph_checkpoint(cur)
+            for h in ckpt_handles:
+                h.unpersist(False)
+            ckpt_handles = new_handles
+    base.unpersist()
+    for h in ckpt_handles:
+        h.unpersist(False)
     out = spark.createDataFrame(picks, schema)
     return out.select("sel_rank", id_col, F.round("d", 6).alias("d"))

@@ -13,6 +13,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..streaming import await_or_raise
 from . import query
 
 
@@ -138,7 +139,7 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return df.sparkSession.table(name)
 
 
@@ -820,7 +821,7 @@ def foreachbatch_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     q = stream_store_probe(
         stream, table, os.path.join(base, "pairs"), os.path.join(base, "ckpt")
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return (
         spark.read.parquet(os.path.join(base, "pairs"))
         .select("id_a", "id_b")

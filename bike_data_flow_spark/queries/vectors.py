@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
+from ..streaming import await_or_raise
 from ..tables import load
 from . import query
 
@@ -238,7 +239,7 @@ def foreachbatch_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_DIM,
         tau=_NEAR_DUP_TAU,
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return (
         spark.read.parquet(os.path.join(base, "pairs"))
         .select("id_a", "id_b", "cos_sim")

@@ -25,13 +25,14 @@ r8 scale seam (SCALE.md) this operator closes:
    store EVERY batch, so admissions by a concurrent batch job (or by
    this stream's own ``admit=True`` loop) are picked up live.
 
-Output contract: candidate pairs append to ``pairs_out_dir`` tagged
-with the producing batch id. foreachBatch is at-least-once — a
-replayed batch re-appends its pairs, so consumers dedupe on
-(id_a, id_b) or filter on batch id (the admission path, by contrast,
-IS exactly-once via the txn fence). Pairs are the Δ×store arm only:
-within-batch duplicates belong to the admission loop, where each
-committed batch becomes store for the next.
+Output contract: candidate pairs land in ``pairs_out_dir``
+partitioned by the producing batch id, written with DYNAMIC partition
+overwrite — foreachBatch is at-least-once, but a replayed batch
+overwrites ITS OWN ``_batch_id=`` partition with identical rows
+instead of double-appending (VERDICT r11 ask #2), so the sink is
+idempotent end-to-end like the txn-fenced admission path. Pairs are
+the Δ×store arm only: within-batch duplicates belong to the admission
+loop, where each committed batch becomes store for the next.
 
 Reference parity: extends the reference's sensor→asset streaming loop
 (wrm_pipeline sensors poll + hand batches to assets) with the dedup
@@ -55,6 +56,46 @@ from ..operators.vecstore import (
 from .snapshot_sink import _app_id
 
 
+def _write_batch_partition(
+    df: DataFrame, batch_id: int, out_dir: str
+) -> None:
+    """Idempotent per-batch sink (VERDICT r11 ask #2): rows land under
+    ``out_dir/_batch_id=<id>/`` via DYNAMIC partition overwrite, so a
+    replayed micro-batch (foreachBatch is at-least-once) overwrites its
+    own partition with identical rows instead of double-appending —
+    exactly-once output without a consumer-side dedupe. The mode is set
+    per-write so the guarantee holds even under a session that didn't
+    configure ``partitionOverwriteMode=dynamic`` (session.py does)."""
+    (
+        df.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_dir)
+    )
+
+
+def _drop_batch_echo(pairs: DataFrame, batch_ids: DataFrame) -> DataFrame:
+    """Drop pairs whose BOTH endpoints are in the current batch. On a
+    batch's FIRST run Δ∩store = ∅ (the admission contract), so this is
+    a no-op; a REPLAYED batch that already admitted (the engine is
+    at-least-once, the fence makes admission exactly-once) sees its own
+    documents in the store, and without this filter the recomputed
+    Δ×store arm would include batch-internal echoes — replay output
+    would diverge from the first run's, defeating the idempotent sink.
+    ``batch_ids`` is one micro-batch's id column (bounded), so both
+    joins broadcast; map-side, no extra shuffle."""
+    ids = batch_ids.distinct()
+    a = F.broadcast(ids.toDF("id_a").withColumn("_a_in", F.lit(True)))
+    b = F.broadcast(ids.toDF("id_b").withColumn("_b_in", F.lit(True)))
+    return (
+        pairs.join(a, "id_a", "left")
+        .join(b, "id_b", "left")
+        .filter(F.col("_a_in").isNull() | F.col("_b_in").isNull())
+        .drop("_a_in", "_b_in")
+    )
+
+
 def probe_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -75,12 +116,11 @@ def probe_batch(
     # ONE minhash pass per batch: the probe and the admission both read
     # this pinned frame
     delta = band_keys_for(batch_df, id_col, text_col).localCheckpoint()
-    pairs = probe_store_pairs(spark, delta, table_dir, id_col).distinct()
-    (
-        pairs.withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("append")
-        .parquet(pairs_out_dir)
+    pairs = _drop_batch_echo(
+        probe_store_pairs(spark, delta, table_dir, id_col).distinct(),
+        delta.select(id_col),
     )
+    _write_batch_partition(pairs, batch_id, pairs_out_dir)
     if admit:
         # Delta-style txn fence (streaming/snapshot_sink.py): a
         # replayed batch (engine at-least-once) must not admit twice —
@@ -156,12 +196,11 @@ def vector_probe_batch(
     spark = batch_df.sparkSession
     validate_store_dials(table_dir, dim)
     delta = bucket_rows_for(batch_df, dim, id_col, vec_col).localCheckpoint()
-    pairs = probe_vector_pairs(spark, delta, table_dir, tau, id_col, vec_col)
-    (
-        pairs.withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("append")
-        .parquet(pairs_out_dir)
+    pairs = _drop_batch_echo(
+        probe_vector_pairs(spark, delta, table_dir, tau, id_col, vec_col),
+        delta.select(id_col),
     )
+    _write_batch_partition(pairs, batch_id, pairs_out_dir)
     if admit:
         last = S.last_txn_version(table_dir, app_id)
         if last is not None and batch_id <= last:
@@ -237,15 +276,16 @@ def curation_batch(
           land together), split = hash of the component's min id
         → FENCED admission of the admitted documents' band keys and
           bucket rows into their stores (exactly-once per batch id per
-          store via the snapshot txn fence; a replayed batch re-emits
-          decisions — at-least-once, dedupe on doc_id — but cannot
-          double-admit).
+          store via the snapshot txn fence; a replayed batch
+          OVERWRITES its own decisions partition with identical rows —
+          the idempotent sink — and cannot double-admit).
 
-    Decision rows (id, decision, split, _batch_id) append to
-    ``out_dir`` for EVERY batch document, so the caller can assert the
-    admitted set; the stores' post-state is asserted by reading them
-    back (see queries/curation_inc.py, whose DuckDB oracle recomputes
-    all of it from first principles).
+    Decision rows (id, decision, split) land under
+    ``out_dir/_batch_id=<id>/`` (dynamic partition overwrite — see
+    ``_write_batch_partition``) for EVERY batch document, so the caller
+    can assert the admitted set; the stores' post-state is asserted by
+    reading them back (see queries/curation_inc.py, whose DuckDB oracle
+    recomputes all of it from first principles).
 
     Per-batch scale shape: one minhash pass + one bucketing pass over
     the PROBE SET only (each localCheckpointed and reused by probe,
@@ -297,9 +337,17 @@ def curation_batch(
     ).select("vec_id", vec_col)
     vec_delta = bucket_rows_for(vecs, dim, "vec_id", vec_col).localCheckpoint()
 
-    t_cross = probe_store_pairs(spark, sig_delta, sig_dir, id_col).distinct()
-    v_cross = probe_vector_pairs(
-        spark, vec_delta, vec_dir, tau, "vec_id", vec_col
+    # _drop_batch_echo keeps replay output byte-identical: a replayed
+    # batch that already admitted would otherwise see its own documents
+    # in the stores and flip decisions (an admitted doc echoing itself,
+    # a within-batch loser re-labelled as a store collision)
+    t_cross = _drop_batch_echo(
+        probe_store_pairs(spark, sig_delta, sig_dir, id_col).distinct(),
+        probe_ids,
+    )
+    v_cross = _drop_batch_echo(
+        probe_vector_pairs(spark, vec_delta, vec_dir, tau, "vec_id", vec_col),
+        probe_ids,
     )
     a = sig_delta.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = sig_delta.select(F.col(id_col).alias("id_b"), "band", "band_key")
@@ -384,10 +432,9 @@ def curation_batch(
             .otherwise(F.col("decision"))
             .alias("decision"),
             "split",
-            F.lit(batch_id).alias("_batch_id"),
         )
     )
-    rows.write.mode("append").parquet(out_dir)
+    _write_batch_partition(rows, batch_id, out_dir)
 
     if not admit:
         # probe-only mode (the monitoring shape, and the smoke

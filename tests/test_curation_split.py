@@ -212,6 +212,34 @@ def test_kcenter_greedy_checkpoint_boundary_matches_brute_force(spark):
     assert got == expect
 
 
+def test_kcenter_greedy_releases_caches_and_checkpoints(spark):
+    """ADVICE r11: superseded periodic checkpoints (and the corpus
+    cache) must release eagerly via the graph-loop handle discipline,
+    not linger for the async ContextCleaner — after a run crossing
+    MULTIPLE checkpoint boundaries the persistent-RDD registry must be
+    back where it started (clamped at 0: cleaner noise from earlier
+    tests can only understate growth, never fake a leak)."""
+    import random
+    import time as _t
+
+    from bike_data_flow_spark.operators import similarity as S
+
+    sc = spark.sparkContext
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(3)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    spark.catalog.clearCache()
+    sc._jvm.System.gc()
+    _t.sleep(0.5)
+    base = sc._jsc.sc().getPersistentRDDs().size()
+    # k=70 crosses two _KCENTER_CHECKPOINT_EVERY=32 boundaries
+    out = S.kcenter_greedy(df, k=70).collect()
+    assert len(out) == 70
+    grow = max(0, sc._jsc.sc().getPersistentRDDs().size() - base)
+    assert grow == 0, grow
+
+
 def test_kmeans_train_sample_cap_raises_loudly(spark, monkeypatch):
     """The sampled-training collect is bounded by a MECHANICAL cap, not
     just the docstring contract (VERDICT r10 #2): past

@@ -135,6 +135,41 @@ def test_blocked_pairs_stripe_cap_bounds_and_subsets(spark):
     assert noop == full
 
 
+def test_blocked_pairs_rotated_stripe_passes(spark):
+    """VERDICT r11 ask #5: a second ROTATED striping pass is
+    deterministic, strictly widens single-pass coverage toward the
+    exact set, and stays a subset of it; passes without a cap are a
+    no-op."""
+    rows = [(i, "blk", f"n{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "rid long, b string, name string")
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in L.blocked_pairs(
+                df, "rid", [["b"]], carry=["name"], **kw
+            ).collect()
+        }
+
+    full = pairs()
+    one = pairs(stripe_cap=5)
+    two = pairs(stripe_cap=5, stripe_passes=2)
+    # determinism: same inputs → identical union, twice
+    assert two == pairs(stripe_cap=5, stripe_passes=2)
+    # rotation 0 is the single-pass striping, so the union ⊇ one pass
+    assert one < two <= full
+    # each rotation is a valid striping → union of 2 is ≤ ~2× one pass
+    assert len(two) <= 2 * len(one)
+    # passes dial without striping: exact output unchanged
+    assert pairs(stripe_passes=3) == full
+    # module dial spelling
+    L.BLOCK_STRIPE_CAP, L.BLOCK_STRIPE_PASSES = 5, 2
+    try:
+        assert pairs() == two
+    finally:
+        L.BLOCK_STRIPE_CAP, L.BLOCK_STRIPE_PASSES = None, 1
+
+
 def test_blocked_pairs_module_dial_is_picked_up(spark):
     rows = [(i, "blk", "x") for i in range(12)]
     df = spark.createDataFrame(rows, "rid long, b string, name string")

@@ -51,8 +51,9 @@ def _out_pairs(spark, out_dir, batch_id=None):
 def test_probe_batch_admission_loop_and_replay_fence(spark, dirs):
     """Drive the per-batch function directly: batch 0 probes store A
     and admits; batch 1 must see batch 0's admission LIVE (store
-    re-resolved per batch); a REPLAY of batch 1 re-emits pairs
-    (at-least-once sink, documented) but admits nothing (txn fence)."""
+    re-resolved per batch); a REPLAY of batch 1 overwrites its own
+    pairs partition with identical rows (idempotent sink) and admits
+    nothing (txn fence)."""
     docs = load(spark, SF, "documents")
     part = F.pmod(F.col("doc_id"), F.lit(3))
     a, b1, b2 = (docs.filter(part == i) for i in range(3))
@@ -80,9 +81,17 @@ def test_probe_batch_admission_loop_and_replay_fence(spark, dirs):
     v_after_b2 = current_version(dirs["store"])
     assert v_after_b2 == v_after_b1 + 1
 
-    # REPLAY batch 1 (engine at-least-once): no second admission
+    # REPLAY batch 1 (engine at-least-once): no second admission, and
+    # the pairs partition is overwritten in place — no duplicate rows
     probe_batch(b2, 1, dirs["store"], dirs["pairs"], admit=True, app_id="w")
     assert current_version(dirs["store"]) == v_after_b2  # fence held
+    assert _out_pairs(spark, dirs["pairs"], 1) == want_b2
+    n_b1 = (
+        spark.read.parquet(dirs["pairs"])
+        .filter(F.col("_batch_id") == 1)
+        .count()
+    )
+    assert n_b1 == len(want_b2)
 
     # the maintained store is exactly the full corpus's band keys, and
     # the persisted bloom stays bit-equal to a from-scratch build
@@ -404,12 +413,17 @@ def test_curation_batch_every_decision_class_and_post_state(spark, cur_dirs):
     }
     assert vby == {i: 1 for i in set(store_ids) | admitted}
 
-    # replay of batch 0: decisions re-append (at-least-once), but the
-    # txn fence blocks BOTH admissions — store versions unchanged
+    # replay of batch 0: the idempotent sink overwrites its own
+    # _batch_id partition with IDENTICAL rows (no double-append), and
+    # the txn fence blocks BOTH admissions — store versions unchanged
     sv, vv = (
         current_version(cur_dirs["sig"]),
         current_version(cur_dirs["vec"]),
     )
+    before = {
+        (r["doc_id"], r["decision"], r["split"])
+        for r in spark.read.parquet(cur_dirs["out"]).collect()
+    }
     curation_batch(
         _cur_docs(spark, batch0), 0, emb,
         cur_dirs["sig"], cur_dirs["vec"], cur_dirs["out"],
@@ -417,7 +431,12 @@ def test_curation_batch_every_decision_class_and_post_state(spark, cur_dirs):
     )
     assert current_version(cur_dirs["sig"]) == sv
     assert current_version(cur_dirs["vec"]) == vv
-    assert spark.read.parquet(cur_dirs["out"]).count() == 2 * len(batch0)
+    assert spark.read.parquet(cur_dirs["out"]).count() == len(batch0)
+    after = {
+        (r["doc_id"], r["decision"], r["split"])
+        for r in spark.read.parquet(cur_dirs["out"]).collect()
+    }
+    assert after == before
 
     # batch 1 probes the POST-batch-0 stores live: 30 text-collides
     # with admitted 6, 31 cosine-matches admitted 8's vector
@@ -433,6 +452,91 @@ def test_curation_batch_every_decision_class_and_post_state(spark, cur_dirs):
         .collect()
     }
     assert b1 == {30: "rejected_near_text", 31: "rejected_near_vec"}
+
+
+def test_curation_batch_partial_crash_between_admissions(
+    spark, cur_dirs, monkeypatch
+):
+    """VERDICT r11 ask #6: a crash in the window BETWEEN the two fenced
+    admissions (sig committed, vec not) must converge on replay — the
+    already-committed store's fence skips, the other catches up, nothing
+    double-admits, and the decisions output is byte-identical."""
+    import bike_data_flow_spark.streaming.store_probe as SP
+    from bike_data_flow_spark.operators.dedup import MINHASH_BANDS
+    from bike_data_flow_spark.operators.vecstore import vector_store_init
+    from bike_data_flow_spark.queries.curation_inc import _quality_gate
+
+    store_ids = [100, 101]
+    batch0 = [1, 2, 3, 4, 5, 6, 7, 8, 9, 20, 21, 22]
+    emb = _cur_embs(spark, store_ids + batch0)
+    G.signature_store_init(_cur_docs(spark, store_ids), cur_dirs["sig"])
+    vector_store_init(
+        _cur_embs(spark, store_ids), cur_dirs["vec"], dim=_CUR_DIM
+    )
+    sv0, vv0 = (
+        current_version(cur_dirs["sig"]),
+        current_version(cur_dirs["vec"]),
+    )
+
+    real = SP.admit_vector_delta
+    calls = {"n": 0}
+
+    def crash_once(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between the two admissions")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(SP, "admit_vector_delta", crash_once)
+
+    def run():
+        SP.curation_batch(
+            _cur_docs(spark, batch0), 0, emb,
+            cur_dirs["sig"], cur_dirs["vec"], cur_dirs["out"],
+            dim=_CUR_DIM, tau=0.4, gate=_quality_gate, app_id="test-app",
+        )
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run()
+    # the partial state the fault leaves behind: sig admitted, vec not
+    assert current_version(cur_dirs["sig"]) == sv0 + 1
+    assert current_version(cur_dirs["vec"]) == vv0
+    crashed = {
+        (r["doc_id"], r["decision"], r["split"])
+        for r in spark.read.parquet(cur_dirs["out"]).collect()
+    }
+
+    run()  # replay of the same batch id (engine at-least-once)
+    # sig's fence held (no double-admit), vec caught up exactly once
+    assert current_version(cur_dirs["sig"]) == sv0 + 1
+    assert current_version(cur_dirs["vec"]) == vv0 + 1
+    assert calls["n"] == 2
+
+    admitted = {2, 6, 8, 20, 21}
+    sig_counts = {
+        r["doc_id"]: r["n"]
+        for r in snapshot_read(spark, cur_dirs["sig"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(sig_counts) == set(store_ids) | admitted
+    assert all(n == MINHASH_BANDS for n in sig_counts.values())
+    vec_counts = {
+        r["vec_id"]: r["n"]
+        for r in snapshot_read(spark, cur_dirs["vec"])
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert vec_counts == {i: 1 for i in set(store_ids) | admitted}
+    # the replay overwrote its own decisions partition: byte-identical
+    replayed = {
+        (r["doc_id"], r["decision"], r["split"])
+        for r in spark.read.parquet(cur_dirs["out"]).collect()
+    }
+    assert replayed == crashed
+    assert spark.read.parquet(cur_dirs["out"]).count() == len(batch0)
 
 
 def test_curation_batch_scopes_to_embedded_corpus(spark, cur_dirs):

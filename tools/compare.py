@@ -225,12 +225,24 @@ def main() -> None:
             "|---|---|---|---|---|",
         ]
         for name, s, d, c in pinned:
-            note = (
-                "commits parquet snapshots to a scratch table per call"
-                if name in SNAPSHOT_WRITERS
-                else "boots a real Structured Streaming query per call"
+            # a query can be in BOTH classes (incremental_curation
+            # commits store snapshots AND boots a stream per call) —
+            # compose the note instead of picking one (ADVICE r11)
+            parts = []
+            if name in SNAPSHOT_WRITERS:
+                parts.append(
+                    "commits parquet snapshots to a scratch table per call"
+                )
+            if name.startswith(("streamed_", "foreachbatch_")) or name in (
+                "incremental_curation",
+            ):
+                parts.append(
+                    "boots a real Structured Streaming query per call"
+                )
+            lines.append(
+                f"| {name} | {s:.3f} | {c:.3f} | {d:.3f} | "
+                f"{'; '.join(parts)} |"
             )
-            lines.append(f"| {name} | {s:.3f} | {c:.3f} | {d:.3f} | {note} |")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_COMPARE.md"
     )
