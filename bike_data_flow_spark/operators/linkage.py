@@ -105,11 +105,15 @@ BLOCK_STRIPE_CAP: int | None = None
 
 # Companion dial (VERDICT r11 ask #5): when striping is active, run the
 # stripe partition this many times under ROTATED (independent) stripe
-# hashes and union the within-stripe pairs. Two records landing in
-# different stripes under rotation 0 collide under rotation p with
-# probability ~1/n_stripes independently per rotation, so each extra
-# pass recovers most of the previous passes' cross-stripe misses at
-# ~linear extra cost (pair volume ≈ passes · |b|·cap/2). Deterministic:
+# hashes and union the within-stripe pairs. Each rotation keeps an
+# independent ~1/n_stripes fraction of a block's pairs, so recall grows
+# ~LINEARLY in passes at ~linear cost (pair volume ≈ passes·|b|·cap/2;
+# SCALE_SMOKE r12 measures exactly this: matched-pair recall 0.16 at
+# one pass, 0.28 at two, increments ≈ the kept candidate fraction).
+# Full recall would need ~n_stripes passes = the exact quadratic cost —
+# the dial is a cost GOVERNOR that buys recall proportional to spend,
+# not a shortcut around the quadratic; when an oversized block's FULL
+# pair set matters, refine the blocking keys instead. Deterministic:
 # rotation p salts the stripe hash with a fixed literal, so the union
 # is a pure function of the input. Ignored when striping is off.
 BLOCK_STRIPE_PASSES: int = 1
