@@ -198,6 +198,147 @@ def blocked_pairs(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def global_sort_index(
+    records: DataFrame,
+    id_col: str,
+    sort_keys: list[str],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``records`` plus ``_snm_idx`` = the 1-based GLOBAL rank under
+    (sort_keys…, id) — computed WITHOUT a single-partition global sort
+    (the trap ``row_number() OVER (ORDER BY …)`` with no PARTITION BY
+    falls into: one task sorts the world). Instead: range-repartition
+    on the full key (partition p's keys all precede partition p+1's,
+    so ranks compose), rank WITHIN each partition, then shift each
+    partition's ranks by the row count of all earlier partitions.
+
+    The index is a pure function of (sort_keys, id): range bounds only
+    decide WHERE each rank is computed, never what it is — the id
+    tiebreak rides in the range key, so ties can't straddle a boundary
+    ambiguously. That invariance holds WITHIN one materialization, so
+    the ranked frame is localCheckpointed before fanning out: the
+    offsets aggregate and every downstream consumer must read the SAME
+    evaluation — RangePartitioner SAMPLES its bounds with a seed tied
+    to the materialization, so two evaluations of the subtree (when
+    exchange reuse doesn't kick in inside a larger plan) partition
+    differently, and offsets from one evaluation applied to ranks from
+    another corrupt the index. (Also what a 100 TB run wants anyway:
+    one range sort, not one per consumer.) The cumulative-offset frame
+    is one row per shuffle partition (its single-partition running-sum
+    window is over that bounded frame, not the data) and broadcasts
+    back."""
+    from pyspark.sql import Window
+
+    if n_parts is None:
+        n_parts = int(
+            records.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    keys = [F.col(k) for k in sort_keys] + [F.col(id_col)]
+    part = records.repartitionByRange(max(1, n_parts), *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    ).localCheckpoint()
+    counts = local.groupBy("_pid").agg(F.max("_rn").alias("_cnt"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn("_snm_idx", F.col("_rn") + F.col("_off"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    id_col: str,
+    sort_passes: list[list[str]],
+    window: int,
+    carry: list[str],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood candidate pairs (Hernández &
+    Stolfo's SNM, the classic linkage alternative to hash blocking):
+    per pass, records are globally ordered by (pass keys…, id) and
+    every pair whose ranks differ by less than ``window`` becomes a
+    candidate — n·(window−1) pairs per pass, LINEAR in n by
+    construction, with recall coming from sort-order ADJACENCY (near
+    records sort near) instead of key equality. This is the
+    "sharpen the blocking" answer to the stripe-cap recall finding
+    (SCALE_SMOKE r12): where an oversized equality block must either
+    pay |b|²/2 or stripe away recall proportionally, SNM never forms
+    the block at all — the window bounds pair volume a priori and the
+    sort key choice, not a random stripe hash, decides what is missed.
+
+    Output matches ``blocked_pairs``: (id_a, id_b) with id_a < id_b
+    plus ``<c>_a``/``<c>_b`` for every carried column, deduped across
+    passes. Scale shape: one range-shuffle + partition-local sort per
+    pass (no global single-partition sort — see global_sort_index),
+    then ONE equi-join on the window bucket ⌊rank/(window−1)⌋ (each
+    left row exploded to its own and the next bucket, so every
+    rank-distance < window pair shares a join key) — no theta-join,
+    no cartesian corner."""
+    if window < 2:
+        raise ValueError(f"window must be ≥ 2, got {window}")
+    u = window - 1
+    out: DataFrame | None = None
+    for keys in sort_passes:
+        idx = global_sort_index(records, id_col, keys, n_parts)
+        left = idx.select(
+            F.col(id_col).alias("_id_l"),
+            *[F.col(c).alias(f"_{c}_l") for c in carry],
+            F.col("_snm_idx").alias("_ix_l"),
+            F.explode(
+                F.array(
+                    F.floor((F.col("_snm_idx") - 1) / u),
+                    F.floor((F.col("_snm_idx") - 1) / u) + 1,
+                )
+            ).alias("_jb"),
+        )
+        right = idx.select(
+            F.col(id_col).alias("_id_r"),
+            *[F.col(c).alias(f"_{c}_r") for c in carry],
+            F.col("_snm_idx").alias("_ix_r"),
+            F.floor((F.col("_snm_idx") - 1) / u).alias("_jb"),
+        )
+        joined = left.join(right, "_jb").filter(
+            (F.col("_ix_r") - F.col("_ix_l") >= 1)
+            & (F.col("_ix_r") - F.col("_ix_l") <= u)
+        )
+        # canonical id order (sort-rank order ≠ id order); the carried
+        # columns swap with their ids so <c>_a always belongs to id_a
+        lt = F.col("_id_l") < F.col("_id_r")
+        pass_pairs = joined.select(
+            F.when(lt, F.col("_id_l")).otherwise(F.col("_id_r")).alias("id_a"),
+            F.when(lt, F.col("_id_r")).otherwise(F.col("_id_l")).alias("id_b"),
+            *[
+                F.when(lt, F.col(f"_{c}_l"))
+                .otherwise(F.col(f"_{c}_r"))
+                .alias(f"{c}_a")
+                for c in carry
+            ],
+            *[
+                F.when(lt, F.col(f"_{c}_r"))
+                .otherwise(F.col(f"_{c}_l"))
+                .alias(f"{c}_b")
+                for c in carry
+            ],
+        )
+        out = pass_pairs if out is None else out.unionByName(pass_pairs)
+    assert out is not None, "at least one sort pass required"
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 # Degenerate-u guard: a constant compared field gives u = 1.0, making
 # w_disagree log2(x/0) = NULL in non-ANSI mode, which NULLs the whole
 # pair score and silently drops EVERY pair at the threshold filter; a

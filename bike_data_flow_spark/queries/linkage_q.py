@@ -150,6 +150,96 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sorted-neighborhood candidates (window, sort passes): n·(window−1)
+# pairs per pass by construction — the LINEAR-volume alternative to
+# hash blocking whose recall comes from sort adjacency, not key
+# equality (the constructive answer to the stripe-cap recall finding,
+# SCALE_SMOKE r12: an oversized equality block must either pay |b|²/2
+# or stripe away recall proportionally; SNM never forms the block).
+# Pass 1 sorts by name (re-records sort adjacent); pass 2 by the
+# attribute triple (same-spec parts with DIFFERENT names adjacent, so
+# name disagreement is observable — the multi-pass principle _FS_BLOCKS
+# follows).
+_SNM_WINDOW = 12
+_SNM_PASSES = [["p_name"], ["p_brand", "p_type", "p_size"]]
+
+
+def _snm_rn_sql(name: str, keys: list[str]) -> str:
+    order = ", ".join([*keys, "p_partkey"])
+    return (
+        f"{name} AS (SELECT p_partkey, p_name, p_brand, p_type, p_size, "
+        f"ROW_NUMBER() OVER (ORDER BY {order}) AS rn FROM part)"
+    )
+
+
+def _snm_cand_sql(tbl: str) -> str:
+    # canonicalize each pair to id order so the two passes' UNION
+    # dedups on identical rows (fields are functions of the ids)
+    fields = ", ".join(
+        f"CASE WHEN a.p_partkey < c.p_partkey THEN a.{f} ELSE c.{f} END"
+        f" AS {f}_l, "
+        f"CASE WHEN a.p_partkey < c.p_partkey THEN c.{f} ELSE a.{f} END"
+        f" AS {f}_r"
+        for f in _FS_FIELDS
+    )
+    return (
+        f"SELECT least(a.p_partkey, c.p_partkey) AS id_a, "
+        f"greatest(a.p_partkey, c.p_partkey) AS id_b, {fields} "
+        f"FROM {tbl} a JOIN {tbl} c "
+        f"ON c.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW - 1}"
+    )
+
+
+# Rank parity note: both engines order by (sort keys…, p_partkey) —
+# a TOTAL order (id tiebreak) under binary string collation on both
+# sides — so the rank permutations, and therefore the pair sets, are
+# identical; Spark computes the rank distributed (range-repartition +
+# partition-local row_number + offset shift, no single-partition
+# global sort — operators/linkage.global_sort_index).
+@query(
+    "snm_linkage_scores",
+    oracle=f"""
+    WITH {_B_SQL}, {_U_SQL},
+    {_snm_rn_sql("rn1", _SNM_PASSES[0])},
+    {_snm_rn_sql("rn2", _SNM_PASSES[1])},
+    snmc AS (
+      {_snm_cand_sql("rn1")}
+      UNION
+      {_snm_cand_sql("rn2")}
+    ),
+    scored AS (
+      SELECT id_a, id_b, round({_W_SQL}, 4) AS score
+      FROM snmc, u
+    )
+    SELECT id_a, id_b, score,
+           CASE WHEN score >= {_FS_MATCH_T} THEN 'match'
+                ELSE 'possible' END AS decision
+    FROM scored WHERE score >= {_FS_POSSIBLE_T}
+    """,
+)
+def snm_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter scores over SORTED-NEIGHBORHOOD candidates
+    (Hernández & Stolfo): two sort passes × window {w}, n·(w−1) pairs
+    per pass by construction. Same model, u estimation, thresholds,
+    and score arithmetic as fs_linkage_scores — only the candidate
+    generator differs (operators/linkage.sorted_neighborhood_pairs:
+    range-shuffle + partition-local rank + bucketed window equi-join;
+    no global single-partition sort, no theta-join)."""
+    part = load(spark, sf_dir, "part")
+    records = part.select("p_partkey", *_FS_FIELDS)
+    u_row = L.field_u_probabilities(records, _FS_FIELDS)
+    pairs = L.sorted_neighborhood_pairs(
+        records, "p_partkey", _SNM_PASSES, _SNM_WINDOW, carry=_FS_FIELDS
+    )
+    return L.fs_score(
+        pairs,
+        u_row,
+        _FS_M,
+        match_threshold=_FS_MATCH_T,
+        possible_threshold=_FS_POSSIBLE_T,
+    )
+
+
 # The model's explainability artifact: per field, the data-estimated
 # u probability and the agreement/disagreement evidence weights. One
 # scan, |fields| output rows — the table a linkage reviewer reads

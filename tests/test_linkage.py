@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import math
+
+import pytest
 from itertools import combinations
 
 from pyspark.sql import functions as F
@@ -362,3 +364,69 @@ def test_fs_field_weights_oracle_mirrors_clamp_on_degenerate_u(spark):
     for f in ("konst", "uniq"):
         assert spark_w[f] == duck_w[f], (f, spark_w[f], duck_w[f])
         assert all(math.isfinite(x) for x in spark_w[f])
+
+
+def test_global_sort_index_is_the_total_order_rank(spark):
+    """_snm_idx must equal the brute-force rank under (keys…, id) —
+    including heavy key duplication (ties broken by id) — and be
+    INVARIANT to the partition count: range bounds decide where each
+    rank is computed, never what it is."""
+    rows = [
+        (i, ["b", "a", "c", "a", "b"][i % 5], i % 3) for i in range(57)
+    ]
+    df = spark.createDataFrame(rows, "rid long, k string, n int")
+    expect = {
+        rid: rank + 1
+        for rank, (k, n, rid) in enumerate(
+            sorted((k, n, rid) for rid, k, n in rows)
+        )
+    }
+    for n_parts in (1, 3, 16):
+        got = {
+            r["rid"]: r["_snm_idx"]
+            for r in L.global_sort_index(
+                df, "rid", ["k", "n"], n_parts=n_parts
+            ).collect()
+        }
+        assert got == expect, n_parts
+
+
+def test_sorted_neighborhood_pairs_match_bruteforce_window(spark):
+    """SNM candidates must be EXACTLY the pairs whose total-order ranks
+    differ by < window, per pass, unioned — id-canonical (id_a < id_b)
+    with the carried columns following their ids — and deterministic
+    across repeated evaluation (the global index is pinned to one
+    materialization; a resampled range exchange would corrupt it)."""
+    rows = [(i, ["x", "y", "z"][i % 3], f"v{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "rid long, k string, val string")
+    w = 4
+
+    def brute(keys_of):
+        order = sorted(rows, key=keys_of)
+        pairs = set()
+        for i, a in enumerate(order):
+            for b in order[i + 1 : i + w]:
+                pairs.add((min(a[0], b[0]), max(a[0], b[0])))
+        return pairs
+
+    expect = brute(lambda r: (r[1], r[0])) | brute(lambda r: (r[2], r[0]))
+    out = L.sorted_neighborhood_pairs(
+        df, "rid", [["k"], ["val"]], window=w, carry=["val"]
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == expect
+    # repeated evaluation of the SAME frame: identical (determinism)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == expect
+    # carried columns belong to their ids after the canonical swap
+    vals = dict((r[0], r[2]) for r in rows)
+    for r in out.collect():
+        assert r["val_a"] == vals[r["id_a"]], r
+        assert r["val_b"] == vals[r["id_b"]], r
+    # pair volume bound: ≤ passes · n·(w−1)
+    assert len(got) <= 2 * len(rows) * (w - 1)
+
+
+def test_sorted_neighborhood_window_guard(spark):
+    df = spark.createDataFrame([(1, "a")], "rid long, k string")
+    with pytest.raises(ValueError, match="window"):
+        L.sorted_neighborhood_pairs(df, "rid", [["k"]], window=1, carry=[])
