@@ -423,6 +423,26 @@ def main() -> None:
     ]
     print(("fs matches@10x exact/striped/2-pass", fs_matches), flush=True)
 
+    # SNM comparison row (r12): the sorted-neighborhood generator on
+    # the same corpus/model — how efficiently does a linear pair budget
+    # convert to matched-pair recall when adjacency, not a random
+    # stripe hash, picks the pairs?
+    from bike_data_flow_spark.queries.linkage_q import (
+        _SNM_PASSES,
+        _SNM_WINDOW,
+    )
+
+    u_row10 = LK.field_u_probabilities(part10, _FS_FIELDS)
+    snm_cand = LK.sorted_neighborhood_pairs(
+        part10, "p_partkey", _SNM_PASSES, _SNM_WINDOW, carry=_FS_FIELDS
+    )
+    snm_pairs = snm_cand.count()
+    snm_matches = LK.fs_score(
+        snm_cand, u_row10, _FS_M,
+        match_threshold=_FS_MATCH_T, possible_threshold=_FS_MATCH_T,
+    ).count()
+    print(("snm@10x pairs/matches", [snm_pairs, snm_matches]), flush=True)
+
     # Fixed-Δ probe scaling: the r9 claim under test is that the
     # foreachBatch monitoring probe's cost is O(|Δ| + collisions),
     # INDEPENDENT of store size (persisted bloom = one-row read; Δ's
@@ -685,6 +705,26 @@ def main() -> None:
         "bounds pinned by "
         "tests/test_linkage.py::test_blocked_pairs_rotated_stripe_passes; "
         "gate queries run undialed (exact).",
+        "",
+        f"Sorted-neighborhood comparison (r12): the SNM generator "
+        f"(operators/linkage.sorted_neighborhood_pairs, window "
+        f"{_SNM_WINDOW}, two sort passes — the `snm_linkage_scores` "
+        f"gate query's spelling) on the same 10× corpus/model = "
+        f"{snm_pairs:,} candidate pairs → {snm_matches:,} matches "
+        f"(recall {round(snm_matches / max(fs_matches[0], 1), 4)}) — "
+        f"{round(100 * snm_matches / max(fs_matches[1], 1))}% of the "
+        f"striped recall at "
+        f"{round(100 * snm_pairs / max(fs_pairs[1], 1))}% of the "
+        f"striped pair volume "
+        f"({round((snm_matches / max(snm_pairs, 1)) / (fs_matches[1] / max(fs_pairs[1], 1)), 1)}× "
+        "the match density per candidate). Reading: on this corpus the "
+        "true-match set grows quadratically (verbatim attribute "
+        "copies), so ANY linear-volume candidate generator has recall "
+        "∝ its pair budget — the real dial at scale is the budget, and "
+        "the generator decides how efficiently budget converts to "
+        "recall: adjacency (SNM) converts ~3× better than random "
+        "striping here, and composing both generators (union) buys "
+        "recall additively for additive cost.",
         "",
         f"100× leg (r11): curation_v2 on a 100× documents corpus "
         f"(second-level decorrelated copies, `{HUNX}`) = {t_100x} s vs "
