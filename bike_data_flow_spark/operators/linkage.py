@@ -126,6 +126,7 @@ def blocked_pairs(
     carry: list[str],
     stripe_cap: int | None = None,
     stripe_passes: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Multi-pass blocked candidate pairs: one self-equi-join per key
     list in ``block_keys``, unioned and de-duplicated on the id pair.
@@ -134,7 +135,19 @@ def blocked_pairs(
     the module dial BLOCK_STRIPE_CAP) bounds oversized blocks by hash
     striping; ``stripe_passes`` (defaulting to BLOCK_STRIPE_PASSES)
     unions several rotated stripings to recover cross-stripe recall —
-    see the dials' comments for the trades."""
+    see the dials' comments for the trades.
+
+    ``dedup=False`` skips the id-pair dropDuplicates and returns the
+    raw multiset (a pair repeats once per pass that blocks it, with
+    IDENTICAL carried values — they come from the same record rows).
+    Scoring consumers want this: deduplicating here shuffles the full
+    candidate set WIDE (ids + 2·|carry| strings), and with string
+    carries the plan is a sort-based aggregate (first(string) has no
+    mutable hash-agg buffer) — Exchange + 2×Sort over the fattest
+    frame in the pipeline. A pure per-pair scoring stage is cheaper to
+    run on the ≤|passes|× multiset and dedup AFTER its threshold
+    filter, where rows are few and narrow (see fs_score's
+    ``dedup_pairs``) — same output set either way."""
     cap = BLOCK_STRIPE_CAP if stripe_cap is None else stripe_cap
     passes = BLOCK_STRIPE_PASSES if stripe_passes is None else stripe_passes
     out: DataFrame | None = None
@@ -195,7 +208,7 @@ def blocked_pairs(
             pass_pairs = one_striping(salt)
             out = pass_pairs if out is None else out.unionByName(pass_pairs)
     assert out is not None, "at least one blocking pass required"
-    return out.dropDuplicates(["id_a", "id_b"])
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
 
 
 def global_sort_index(
@@ -266,6 +279,7 @@ def sorted_neighborhood_pairs(
     window: int,
     carry: list[str],
     n_parts: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Multi-pass sorted-neighborhood candidate pairs (Hernández &
     Stolfo's SNM, the classic linkage alternative to hash blocking):
@@ -336,7 +350,10 @@ def sorted_neighborhood_pairs(
         )
         out = pass_pairs if out is None else out.unionByName(pass_pairs)
     assert out is not None, "at least one sort pass required"
-    return out.dropDuplicates(["id_a", "id_b"])
+    # dedup=False: same raw-multiset contract as blocked_pairs — a pair
+    # repeats once per sort pass whose window covers it, carried values
+    # identical; scoring consumers dedup after their threshold filter
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
 
 
 # Degenerate-u guard: a constant compared field gives u = 1.0, making
@@ -394,6 +411,7 @@ def fs_score(
     m_probs: dict[str, float],
     match_threshold: float,
     possible_threshold: float,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Score candidate pairs under the FS model and classify.
 
@@ -402,6 +420,15 @@ def fs_score(
     Output: (id_a, id_b, score, decision) for pairs at or above
     ``possible_threshold`` (below it the pair is a non-match and a
     100 TB run must not materialize it).
+
+    ``dedup_pairs=True`` accepts the raw multiset from
+    ``blocked_pairs(dedup=False)`` / ``sorted_neighborhood_pairs(
+    dedup=False)`` and drops id-pair duplicates AFTER the threshold
+    filter: duplicates carry identical field values, so they score
+    identically and the surviving set is exactly the deduped one — but
+    the dedup exchange now moves only the few narrow rows that passed
+    the threshold instead of every wide candidate (and the per-pair
+    work it duplicates is just the CASE picks over broadcast scalars).
 
     NULL comparisons (either side, including NULL-vs-NULL) score as
     DISAGREEMENT — a missing value is never evidence for a match —
@@ -438,6 +465,7 @@ def fs_score(
     decision = F.when(
         F.col("score") >= match_threshold, F.lit("match")
     ).otherwise(F.lit("possible"))
-    return scored.filter(
-        F.col("score") >= possible_threshold
-    ).withColumn("decision", decision)
+    out = scored.filter(F.col("score") >= possible_threshold)
+    if dedup_pairs:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out.withColumn("decision", decision)

@@ -45,23 +45,37 @@ def hashed_token_features(
     n_buckets: int = LOGREG_BUCKETS,
 ) -> DataFrame:
     """(id, y, x0..x{B-1}): per-doc hashed-bucket token RATIOS (counts
-    over total tokens — bounded features, no normalization pass) via
-    one explode + one conditional aggregation. Empty docs drop (no
-    tokens → no feature signal → nothing to train on)."""
-    toked = df.select(
-        F.col(id_col),
-        (label if label is not None else F.lit(0)).alias("_y"),
-        F.explode(tokens(F.col(text_col))).alias("_tok"),
-    )
-    bucket = md5_hash64(F.col("_tok")) % n_buckets
-    aggs = [
-        (
-            F.sum(F.when(bucket == b, 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias(f"x{b}")
+    over total tokens — bounded features, no normalization pass),
+    MAP-ONLY via array higher-order functions: tokens stay an array,
+    each token's bucket is computed once (`transform`, shared across
+    all B ratio columns by codegen subexpression elimination), and
+    each ratio is a `filter`+`size` count over the bucket array. The
+    former spelling exploded |tokens| rows and shuffled them back
+    through a groupBy(doc) aggregation — this one has NO Exchange at
+    all, and the sum(CASE)/count(*) ints it replaces are exactly
+    size(filter)/size ints, so the divisions are bit-identical. Docs
+    with NULL text drop (explode's null-drop semantics; split() never
+    yields an empty array, so that was the only dropping case)."""
+    toks = tokens(F.col(text_col))
+    buckets = F.transform(toks, lambda t: md5_hash64(t) % n_buckets)
+    n = F.size(buckets)
+
+    # one-arg lambda factory: F.filter treats a TWO-arg lambda as
+    # (element, index) — a `lambda x, _b=b:` spelling silently binds
+    # the element's positional index over the default, so the loop
+    # variable must be closed over via a factory instead
+    def _eq(b: int):
+        return lambda x: x == b
+
+    xs = [
+        (F.size(F.filter(buckets, _eq(b))) / n).alias(f"x{b}")
         for b in range(n_buckets)
     ]
-    return toked.groupBy(id_col, "_y").agg(*aggs)
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        (label if label is not None else F.lit(0)).alias("_y"),
+        *xs,
+    )
 
 
 def _z_expr(weights: list[float], n_buckets: int) -> Column:
@@ -86,8 +100,14 @@ def logreg_train(
     """Full-batch GD from zero weights; returns [bias, w0..w{B-1}]
     after ``n_iter`` rounds. One corpus aggregation per round; every
     arithmetic step mirrors the SQL-oracle spelling (see module
-    docstring) so the learned weights hash-match across engines."""
-    feats = features.cache()
+    docstring) so the learned weights hash-match across engines.
+
+    Cache ownership: only cache (and only unpersist) the feature
+    frame when the CALLER hasn't already — the old unconditional
+    ``unpersist()`` dropped the caller's cache too, so a subsequent
+    ``logreg_score`` over the same frame recomputed every feature."""
+    owned = not features.is_cached
+    feats = features.cache() if owned else features
     weights = [0.0] * (n_buckets + 1)
     for _ in range(n_iter):
         p = _p_expr(weights, n_buckets)
@@ -107,7 +127,8 @@ def logreg_train(
         ]
         row = feats.agg(*updates).first()
         weights = [row[f"w{i}"] for i in range(n_buckets + 1)]
-    feats.unpersist()
+    if owned:
+        feats.unpersist()
     return weights
 
 

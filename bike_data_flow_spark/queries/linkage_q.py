@@ -138,8 +138,13 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("p_name", " "), -1).alias("tok"),
     )
     u_row = L.field_u_probabilities(records, _FS_FIELDS)
+    # dedup=False + dedup_pairs=True: score the raw pass multiset and
+    # dedup the few narrow survivors AFTER the threshold filter instead
+    # of sort-aggregating the full wide candidate set before scoring
+    # (identical output set — duplicates carry identical fields, so
+    # identical scores; see fs_score's contract)
     pairs = L.blocked_pairs(
-        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
+        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS, dedup=False
     )
     return L.fs_score(
         pairs,
@@ -147,6 +152,7 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         _FS_M,
         match_threshold=_FS_MATCH_T,
         possible_threshold=_FS_POSSIBLE_T,
+        dedup_pairs=True,
     )
 
 
@@ -229,7 +235,8 @@ def snm_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = part.select("p_partkey", *_FS_FIELDS)
     u_row = L.field_u_probabilities(records, _FS_FIELDS)
     pairs = L.sorted_neighborhood_pairs(
-        records, "p_partkey", _SNM_PASSES, _SNM_WINDOW, carry=_FS_FIELDS
+        records, "p_partkey", _SNM_PASSES, _SNM_WINDOW, carry=_FS_FIELDS,
+        dedup=False,
     )
     return L.fs_score(
         pairs,
@@ -237,6 +244,7 @@ def snm_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         _FS_M,
         match_threshold=_FS_MATCH_T,
         possible_threshold=_FS_POSSIBLE_T,
+        dedup_pairs=True,
     )
 
 
@@ -328,7 +336,7 @@ def fs_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u_row = L.field_u_probabilities(records, _FS_FIELDS)
     pairs = L.blocked_pairs(
-        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
+        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS, dedup=False
     )
     # the match residue feeds THREE consumers (CC's symmetrized edge
     # materialization, node derivation, membership join) — pin it so
@@ -339,6 +347,7 @@ def fs_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _FS_M,
         match_threshold=_FS_MATCH_T,
         possible_threshold=_FS_MATCH_T,  # matches only
+        dedup_pairs=True,
     ).select("id_a", "id_b").cache()
     nodes = (
         matches.select(F.col("id_a").alias("nid"))
@@ -379,7 +388,7 @@ def fs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u_row = L.field_u_probabilities(records, _FS_FIELDS)
     pairs = L.blocked_pairs(
-        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
+        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS, dedup=False
     )
     scored = pairs.crossJoin(F.broadcast(u_row))
     total = None
@@ -395,9 +404,11 @@ def fs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in _FS_FIELDS
         ],
     )
+    # duplicates from the raw pass multiset carry identical fields →
+    # identical score/flags; dedup the narrow band survivors only
     return out.filter(
         (F.col("score") >= _FS_POSSIBLE_T) & (F.col("score") < _FS_MATCH_T)
-    )
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 # Survivorship — the last step of master-data entity resolution: each
@@ -472,11 +483,12 @@ def fs_canonical_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u_row = L.field_u_probabilities(records, _FS_FIELDS)
     pairs = L.blocked_pairs(
-        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS
+        records, "p_partkey", _FS_BLOCKS, carry=_FS_FIELDS, dedup=False
     )
     matches = L.fs_score(
         pairs, u_row, _FS_M,
         match_threshold=_FS_MATCH_T, possible_threshold=_FS_MATCH_T,
+        dedup_pairs=True,
     ).select("id_a", "id_b").cache()  # three consumers, one compute
     nodes = (
         matches.select(F.col("id_a").alias("nid"))
