@@ -420,9 +420,14 @@ def admit_delta(
     bloom_dir = _bloom_table(table_dir)
     if current_version(bloom_dir) is not None:
         bits, bk = bloom_geometry(table_dir)  # recorded, never the dial
+        # lazy on purpose: the bitmap evaluates inside the CAS write's
+        # plan, so the admission pays ONE action here, not a pinning
+        # action plus the write; a CAS retry (rare — contended
+        # concurrent admitters only) recomputes the same deterministic
+        # aggregate from the caller-pinned delta rows
         delta_bloom = bloom_build(
             delta.select(_combine()), F.col("_bk_comb"), num_bits=bits, k=bk
-        ).localCheckpoint()
+        )
         _commit_bloom_merge(
             spark, bloom_dir, delta_bloom, current_version(table_dir)
         )

@@ -164,6 +164,21 @@ LEFT JOIN sigc ON sigc.doc_id = dec.doc_id
 """
 
 
+def _init_both_stores(sig_init, vec_init) -> None:
+    """Bootstrap the two stores on two driver threads: the inits are
+    independent (different source frames, different table dirs) and
+    each is a serial chain of small jobs (shuffle-write, manifest
+    commit, bloom build), so overlapping them hides one behind the
+    other — same stores, same contents, only the job order changes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sig_fut = pool.submit(sig_init)
+        vec_fut = pool.submit(vec_init)
+        sig_fut.result()
+        vec_fut.result()
+
+
 def _quality_gate(df: DataFrame) -> DataFrame:
     """curation_v2's quality gate, verbatim (token-count band + alpha
     ratio) — the funnel's first stage shares the batch pipeline's
@@ -225,17 +240,19 @@ def incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
 
     delta_flag = F.pmod(F.col("doc_id"), F.lit(4)) == 0
-    signature_store_init(corpus.filter(~delta_flag), sig_dir)
-    vector_store_init(
-        emb.join(
-            corpus.filter(~delta_flag).select(
-                F.col("doc_id").alias("vec_id")
+    _init_both_stores(
+        lambda: signature_store_init(corpus.filter(~delta_flag), sig_dir),
+        lambda: vector_store_init(
+            emb.join(
+                corpus.filter(~delta_flag).select(
+                    F.col("doc_id").alias("vec_id")
+                ),
+                "vec_id",
+                "left_semi",
             ),
-            "vec_id",
-            "left_semi",
+            vec_dir,
+            dim=_DIM,
         ),
-        vec_dir,
-        dim=_DIM,
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -509,15 +526,17 @@ def _day2_fixture_stores(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     vec_dir = os.path.join(base, "vec_store")
 
     store_part = corpus.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
-    signature_store_init(store_part, sig_dir)
-    vector_store_init(
-        emb.join(
-            store_part.select(F.col("doc_id").alias("vec_id")),
-            "vec_id",
-            "left_semi",
+    _init_both_stores(
+        lambda: signature_store_init(store_part, sig_dir),
+        lambda: vector_store_init(
+            emb.join(
+                store_part.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            ),
+            vec_dir,
+            dim=_DIM,
         ),
-        vec_dir,
-        dim=_DIM,
     )
     # day 1 operates for real (fenced admission grows both stores), so
     # day 2 probes YESTERDAY'S GROWN state — the amortized daily shape
@@ -613,15 +632,17 @@ def incremental_curation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(base, "decisions")
 
     store_part = corpus.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
-    signature_store_init(store_part, sig_dir)
-    vector_store_init(
-        emb.join(
-            store_part.select(F.col("doc_id").alias("vec_id")),
-            "vec_id",
-            "left_semi",
+    _init_both_stores(
+        lambda: signature_store_init(store_part, sig_dir),
+        lambda: vector_store_init(
+            emb.join(
+                store_part.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            ),
+            vec_dir,
+            dim=_DIM,
         ),
-        vec_dir,
-        dim=_DIM,
     )
     for batch_id, day_pred in enumerate((0, 4)):
         curation_batch(

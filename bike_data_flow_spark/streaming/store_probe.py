@@ -328,27 +328,49 @@ def curation_batch(
     probe_ids = probe_docs.select(id_col)
 
     # ONE minhash pass and ONE bucketing pass for the whole funnel:
-    # probes, within-joins, and admissions all read these pinned frames
-    sig_delta = band_keys_for(probe_docs, id_col, text_col).localCheckpoint()
-    validate_store_dials(vec_dir, dim)
-    vecs = probe_docs.join(
-        embeddings.select("vec_id", vec_col),
-        probe_docs[id_col] == F.col("vec_id"),
-    ).select("vec_id", vec_col)
-    vec_delta = bucket_rows_for(vecs, dim, "vec_id", vec_col).localCheckpoint()
+    # probes, within-joins, and admissions all read these pinned frames.
+    # The two store chains are INDEPENDENT given probe_docs (different
+    # delta derivation, different store, different probe), and each is
+    # a serial run of small driver-blocking steps (checkpoint
+    # materialization, the occupied-shard collect, manifest reads) —
+    # run them on two driver threads so their jobs overlap instead of
+    # queueing behind each other (guide: overlap independent jobs; the
+    # scheduler back-fills the tail of one chain with the other's
+    # tasks). Same frames, same plans, same results — only the action
+    # ORDER changes.
+    def _sig_chain():
+        sd = band_keys_for(probe_docs, id_col, text_col).localCheckpoint()
+        # _drop_batch_echo keeps replay output byte-identical: a
+        # replayed batch that already admitted would otherwise see its
+        # own documents in the stores and flip decisions (an admitted
+        # doc echoing itself, a within-batch loser re-labelled as a
+        # store collision)
+        tc = _drop_batch_echo(
+            probe_store_pairs(spark, sd, sig_dir, id_col).distinct(),
+            probe_ids,
+        )
+        return sd, tc
 
-    # _drop_batch_echo keeps replay output byte-identical: a replayed
-    # batch that already admitted would otherwise see its own documents
-    # in the stores and flip decisions (an admitted doc echoing itself,
-    # a within-batch loser re-labelled as a store collision)
-    t_cross = _drop_batch_echo(
-        probe_store_pairs(spark, sig_delta, sig_dir, id_col).distinct(),
-        probe_ids,
-    )
-    v_cross = _drop_batch_echo(
-        probe_vector_pairs(spark, vec_delta, vec_dir, tau, "vec_id", vec_col),
-        probe_ids,
-    )
+    def _vec_chain():
+        validate_store_dials(vec_dir, dim)
+        vecs = probe_docs.join(
+            embeddings.select("vec_id", vec_col),
+            probe_docs[id_col] == F.col("vec_id"),
+        ).select("vec_id", vec_col)
+        vd = bucket_rows_for(vecs, dim, "vec_id", vec_col).localCheckpoint()
+        vc = _drop_batch_echo(
+            probe_vector_pairs(spark, vd, vec_dir, tau, "vec_id", vec_col),
+            probe_ids,
+        )
+        return vd, vc
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sig_fut = pool.submit(_sig_chain)
+        vec_fut = pool.submit(_vec_chain)
+        sig_delta, t_cross = sig_fut.result()
+        vec_delta, v_cross = vec_fut.result()
     a = sig_delta.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = sig_delta.select(F.col(id_col).alias("id_b"), "band", "band_key")
     t_within = (
