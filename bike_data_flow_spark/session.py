@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Joins: let the planner pick shuffled-hash over sort-merge when
+        # its size conditions hold (skips both sides' sorts), and let
+        # AQE rewrite a planned sort-merge to shuffled-hash at runtime
+        # when every post-shuffle partition is under the threshold —
+        # the per-partition bound is what keeps the build side safe at
+        # 100 TB (a partition that exceeds it stays sort-merge and
+        # spills gracefully).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         # Day-rebuild semantics (SURVEY ST4): overwrite only touched dt= partitions.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Arrow for pandas interchange / pandas UDFs.

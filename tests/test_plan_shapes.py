@@ -183,8 +183,10 @@ def test_pii_redaction_map_only(spark):
 
 
 def test_classifier_scoring_is_map_only_over_features(spark):
-    """Scoring with literal weights adds NO exchange beyond the feature
-    aggregation itself (one groupBy over the token explode)."""
+    """Scoring with literal weights is FULLY map-only: the hashed
+    features are array transform/filter/size expressions (no token
+    explode, no groupBy — the r12 rewrite) and the sigmoid folds plan
+    literals, so the whole pipeline has NO Exchange at all."""
     from pyspark.sql import functions as F
 
     from bike_data_flow_spark.operators import ml as M
@@ -196,7 +198,7 @@ def test_classifier_scoring_is_map_only_over_features(spark):
     )
     out = M.logreg_score(feats, [0.1] * (M.LOGREG_BUCKETS + 1))
     plan = _plan(out)
-    assert _count(plan, r"\(\d+\) Exchange") == 1, plan
+    assert _count(plan, r"\(\d+\) Exchange") == 0, plan
     assert "Join" not in plan, plan
 
 
