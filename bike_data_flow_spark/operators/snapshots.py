@@ -78,10 +78,32 @@ def current_version(table_dir: str) -> int | None:
 
 
 def _write_pointer(table_dir: str, version: int) -> None:
-    ptmp = f"{_pointer(table_dir)}.tmp.{os.getpid()}"
-    with open(ptmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(ptmp, _pointer(table_dir))
+    """MONOTONIC visibility flip: under a short flock, re-read the
+    pointer and only ever move it FORWARD. Every caller's flip is
+    forward-in-truth (commit flips to the version just published,
+    recovery rolls to the max durable manifest, RESTORE commits a NEW
+    version referencing old dirs), so a pointer write that would
+    regress is by construction a STALE writer — a zombie paused
+    between its version scan and its flip while a faster writer
+    recovered past it and committed. The unguarded os.replace let that
+    zombie briefly regress visibility by one version (documented as
+    staleness, caught live by the concurrent-orphan-recovery race
+    test); the read-check-replace under the lock closes the window.
+    The flock guards only this few-microsecond flip — commits still
+    serialize on the O_EXCL manifest link, not on this lock. Local-fs
+    primitive like the os.link fence beside it; an object-store port
+    swaps both for a conditional put."""
+    import fcntl
+
+    with open(f"{_pointer(table_dir)}.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        cur = current_version(table_dir)
+        if cur is not None and cur >= version:
+            return
+        ptmp = f"{_pointer(table_dir)}.tmp.{os.getpid()}"
+        with open(ptmp, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(ptmp, _pointer(table_dir))
 
 
 def _recover_orphan_manifests(table_dir: str, prev: int | None) -> int | None:
@@ -98,11 +120,11 @@ def _recover_orphan_manifests(table_dir: str, prev: int | None) -> int | None:
     dirs and manifest are already durable: the crash interrupted only
     the visibility flip, exactly like replaying a journal tail.
 
-    Worst case under a live zombie (writer paused between link and
-    pointer move while a new writer recovers past it), the zombie's
-    own pointer write can briefly regress visibility by one version —
-    the next write-start recovery rolls it forward again; versions are
-    never reused and no data is lost (staleness, not corruption).
+    A live zombie (writer paused between its version scan and its
+    pointer flip while a new writer recovers past it and commits)
+    cannot regress visibility: _write_pointer is monotonic — a
+    read-check-replace under a short flock skips any stale flip.
+    Versions are never reused and no data is ever lost.
     """
     base = prev if prev is not None else 0
     v = base

@@ -75,6 +75,10 @@ def test_salted_join_spreads_hot_key_and_beats_naive(spark):
     prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     prev_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    prev_shj = spark.conf.get(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+    )
     try:
         # force shuffle joins and disable AQE's own skew mitigation so
         # the comparison isolates the salting operator; also pin AQE's
@@ -83,6 +87,15 @@ def test_salted_join_spreads_hot_key_and_beats_naive(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # pin the baseline to the SORT-MERGE join this test documents:
+        # the r12 session default (preferSortMergeJoin=false + a 64m AQE
+        # shuffled-hash threshold) would let AQE rewrite the naive join
+        # to shuffled-hash at runtime, skipping the 1.8M-row sort whose
+        # straggler cost is exactly what salting is demonstrated against
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0"
+        )
         # pin the reducer count: tables.tune_session (data-proportional
         # sizing) leaves spark.sql.shuffle.partitions wherever the LAST
         # table load put it — after a tiny-fixture test that can be 2,
@@ -141,3 +154,7 @@ def test_salted_join_spreads_hot_key_and_beats_naive(spark):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coal)
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_smj)
+        spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", prev_shj
+        )

@@ -509,6 +509,25 @@ def test_concurrent_orphan_recovery_single_winner(spark, tmp_path: Path):
     assert {r["k"] for r in snapshot_read(spark, t, 2).collect()} == {1, 2}
 
 
+def test_write_pointer_is_monotonic(spark, tmp_path: Path):
+    """The zombie-regression guard behind the race test above: a stale
+    writer's pointer flip (a version BELOW the current pointer) must be
+    skipped outright — visibility never moves backward. Forward flips
+    still land."""
+    from bike_data_flow_spark.operators.snapshots import _write_pointer
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, [(1, "a")]), t)
+    snapshot_write(_df(spark, [(2, "b")]), t)
+    assert (Path(t) / "_LATEST").read_text().strip() == "2"
+    _write_pointer(t, 1)  # the zombie's stale flip: must be a no-op
+    assert (Path(t) / "_LATEST").read_text().strip() == "2"
+    _write_pointer(t, 2)  # same-version flip: no-op, no error
+    assert (Path(t) / "_LATEST").read_text().strip() == "2"
+    _write_pointer(t, 3)  # forward flip still lands
+    assert (Path(t) / "_LATEST").read_text().strip() == "3"
+
+
 def test_compact_round_trips_meta_layout_and_collapses_union(
     spark, tmp_path: Path
 ):
