@@ -803,9 +803,20 @@ def top_principal_component(
     Scale shape: the double posexplode fans each row into dim² terms
     that PARTIAL-AGGREGATE map-side down to dim² running sums — the
     textbook distributed covariance; nothing corpus-sized shuffles.
-    Every iteration is a matvec over the dim²-row matrix table joined
-    with the dim-row vector (broadcast), so the iterative state is
-    dimension-bounded exactly like TextRank's vocab-bounded ranks.
+    The covariance is a dim×dim MODEL table (≤ dim² rows, bounded by
+    the embedding-dim dial, never corpus-sized): it is collected and
+    the ``n_iter`` matvec+normalize rounds run on the driver — the
+    same bounded-model-state discipline as the k-means centroid and
+    PQ codebook collects. The corpus-sized pass (covariance) stays
+    distributed and unchanged; what moved to the driver is dim²
+    doubles whose per-round matvec previously cost one driver-blocking
+    Spark job EACH over a coalesce(1) single-task frame — pure job
+    latency with no parallelism to lose (measured: 6 jobs → 1 at
+    dim=64; guide §1.2, serial action count is the wall at this
+    scale). Values agree with the SQL spelling at the 6-decimal
+    rounding: both engines' matvecs already sum in their own
+    (unspecified) orders, and absent (i,j) cells contribute exact-zero
+    terms either way.
     The result is sign-fixed (component 1 non-negative) because an
     eigenvector's sign is arbitrary; values round to 6 with the -0.0
     normalization (see queries/textops3.weighted_sample).
@@ -835,7 +846,7 @@ def top_principal_component(
     mj = moments.crossJoin(F.broadcast(ncnt)).select(
         F.col("i").alias("_mj_j"), (F.col("sv") / F.col("_n")).alias("mj")
     )
-    cov = (
+    cov_rows = (
         smat.join(F.broadcast(mi), smat["i"] == mi["_mi_i"])
         .join(F.broadcast(mj), smat["j"] == mj["_mj_j"])
         .crossJoin(F.broadcast(ncnt))
@@ -847,36 +858,37 @@ def top_principal_component(
                 / F.col("_n")
             ).alias("c"),
         )
-        .coalesce(1)
-        .localCheckpoint()
+        .collect()  # ≤ dim² rows — bounded model state, never corpus-sized
     )
-    x = cov.select("i").distinct().select(F.col("i").alias("j"), F.lit(1.0).alias("x"))
+    import numpy as np
+
+    idxs = sorted({int(r["i"]) for r in cov_rows})
+    pos = {i: p for p, i in enumerate(idxs)}
+    mat = np.zeros((len(idxs), len(idxs)), dtype=np.float64)
+    for r in cov_rows:
+        mat[pos[int(r["i"])], pos[int(r["j"])]] = float(r["c"])
+    x = np.ones(len(idxs), dtype=np.float64)
     for _ in range(n_iter):
-        # checkpoint each round's matvec: nrm and the projection both
-        # reference y, so an unmaterialized y doubles the plan every
-        # iteration (2^n_iter subtrees); the dim-row checkpoint keeps
-        # plan growth linear, mirroring the cov checkpoint above
-        y = (
-            cov.join(x, "j")
-            .groupBy(F.col("i"))
-            .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
-            .coalesce(1)
-            .localCheckpoint()
-        )
-        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
-        x = y.crossJoin(F.broadcast(nrm)).select(
-            F.col("i").alias("j"), (F.col("y") / F.col("n")).alias("x")
-        )
-    sg = x.filter(F.col("j") == 1).select(
-        F.when(F.col("x") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sg")
-    )
-    return (
-        x.crossJoin(F.broadcast(sg))
-        .select(
-            F.col("j").alias("idx"),
-            (F.round(F.col("x") * F.col("sg"), 6) + F.lit(0.0)).alias("component"),
-        )
-    )
+        y = mat @ x
+        x = y / float(np.sqrt((y * y).sum()))
+    spark = df.sparkSession
+    schema = "idx INT, component DOUBLE"
+    if 1 not in pos:
+        # mirrors the SQL spelling: sign fixes on component 1, and an
+        # input whose first dimension never appears yields no rows
+        return spark.createDataFrame([], schema)
+    sg = -1.0 if x[pos[1]] < 0 else 1.0
+
+    def _round6_half_up(v: float) -> float:
+        # Spark's F.round / DuckDB's round: HALF_UP (ties away from 0)
+        import math
+
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    rows = [
+        (i, _round6_half_up(float(x[pos[i]]) * sg) + 0.0) for i in idxs
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 def per_label_topk(

@@ -824,12 +824,16 @@ def knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is re-scored exactly, and the top-k re-ranked. This is
     how graph ANN escapes LSH bucket boundaries — recall improves
     every round without ever touching the full cross product."""
-    # multi-consumer intermediate (self-join + union): pin it so the
-    # bucket-join + window plan runs once, not once per consumer
+    # multi-consumer intermediate (self-join + union): cache it so the
+    # bucket-join + window plan runs once, not once per consumer. A
+    # LAZY cache (not localCheckpoint) on purpose: the one noop action
+    # materializes it in-plan, instead of paying a separate serial
+    # driver-blocking job before the main one (guide §1.2 — the wall
+    # at this scale is serial action count × job latency).
     base = (
         knn_graph_edges(spark, sf_dir)
         .select("src_id", "dst_id")
-        .localCheckpoint()
+        .cache()
     )
     hop2 = (
         base.alias("a")
@@ -1117,12 +1121,17 @@ def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmod(conv(substring(md5(concat('smp|', cast(vec_id as string))), "
         f"1, 8), 16, 10), 100) < {_LS_SEED_PCT}"
     )
+    # lazy caches, not localCheckpoints: both frames are multi-consumer
+    # (labels per round + final origin join; edges per round), but a
+    # pin is a serial driver-blocking job each — the single noop action
+    # materializes both in-plan and every later consumer reads the
+    # cached partitions (guide §1.2: serial action count is the wall).
     labels = emb.select(
         "vec_id",
         F.when(F.expr(seed), F.col("label")).alias("lab"),
-    ).localCheckpoint()
+    ).cache()
     edges = (
-        knn_graph_edges(spark, sf_dir).select("src_id", "dst_id").localCheckpoint()
+        knn_graph_edges(spark, sf_dir).select("src_id", "dst_id").cache()
     )
     cur = labels
     w = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("lab"))
@@ -1199,8 +1208,9 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerated exactly once and the wedge join fans out by the LOW
     endpoint's out-degree — bounded by max degree ≤ corpus-wide k
     in a k-NN graph, never by hub in-degree."""
+    # lazy cache, not localCheckpoint — see knn_graph_refined's note
     edges = (
-        knn_graph_edges(spark, sf_dir).select("src_id", "dst_id").localCheckpoint()
+        knn_graph_edges(spark, sf_dir).select("src_id", "dst_id").cache()
     )
     und = edges.select(
         F.least("src_id", "dst_id").alias("u"),
@@ -1224,7 +1234,7 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
-        .localCheckpoint()
+        .cache()
     )
     e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

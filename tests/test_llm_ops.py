@@ -472,6 +472,27 @@ def test_top_principal_component_invariants(spark):
     assert comp[1] > 0.999  # sign-fixed onto the dominant axis
 
 
+def test_top_principal_component_empty_and_schema(spark):
+    """The driver-side power iteration (r12: the dim²-bounded covariance
+    is collected and iterated in numpy — one job instead of one per
+    round) must keep the exact output contract: idx INT + component
+    DOUBLE, and an input with no exploded dimensions yields zero rows
+    (the SQL spelling's sign subquery has nothing to fix on)."""
+    from bike_data_flow_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    empty = spark.createDataFrame(
+        [(1, []), (2, [])], "vec_id long, embedding array<float>"
+    )
+    out = top_principal_component(empty, n_iter=3)
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "idx:int",
+        "component:double",
+    ]
+    assert out.count() == 0
+
+
 def test_capped_block_join_exact_route_matches_plain_blocked_join(spark):
     """Blocks under the cap must yield exactly the plain blocked-join
     pair set (the length banding is lossless for lev <= max_len_diff)."""
