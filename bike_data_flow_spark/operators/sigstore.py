@@ -234,11 +234,24 @@ def signature_store_init(
     text_col: str = "text",
 ) -> int:
     """Bootstrap (or RESET) the store from a corpus; returns version.
-    Also bootstraps/resets the sibling bloom table (built from the
-    freshly written store — one bootstrap-time read, never repeated by
-    probes). Resetting the bloom here is the rebuild invariant: the
-    old bloom covered the old corpus's keys and must not survive an
-    overwrite, or it grows into an ever-less-selective superset.
+    Also bootstraps/resets the sibling bloom table. Resetting the
+    bloom here is the rebuild invariant: the old bloom covered the old
+    corpus's keys and must not survive an overwrite, or it grows into
+    an ever-less-selective superset.
+
+    The band rows are minhashed ONCE (localCheckpoint) and feed BOTH
+    writes, which then run on two driver threads: they are independent
+    outputs of the same pinned rows, and overwrite-bootstrap has no
+    bloom-before-append ordering constraint (that invariant belongs to
+    admit_delta, where a store append must never outrun its bloom
+    bits — here both tables flip atomically to freshly built state).
+    Building the bloom from the pinned rows instead of re-reading the
+    freshly written store is content-identical (the written store IS
+    those rows) and drops the bootstrap-time store rescan. The store
+    version the bloom covers is resolved BEFORE the threads launch
+    (version = current + 1 under this writer's single-bootstrap
+    contract — snapshots.snapshot_write numbers overwrites the same
+    way).
 
     The rows REPARTITION ON _shard before the Hive-partitioned write:
     partitionBy alone writes one file per (task × shard) — every task
@@ -246,31 +259,45 @@ def signature_store_init(
     layout sprays ~8k tiny files and the probe's scan drowns in file
     opens (measured 16× on the composed gate query). Hash-routing each
     shard to one task makes it one file per shard per commit."""
+    from concurrent.futures import ThreadPoolExecutor
+
     n_shards = SIGSTORE_SHARDS
     bits, bk = SIGSTORE_BLOOM_BITS, SIGSTORE_BLOOM_K
-    version = snapshot_write(
-        band_keys_for(docs, id_col, text_col, n_shards=n_shards).repartition(
-            "_shard"
-        ),
-        table_dir,
-        mode="overwrite",
-        meta={"format": "minhash_band_keys", "k": MINHASH_K,
-              "bands": MINHASH_BANDS, "shards": n_shards},
-        partition_by=["_shard"],
-    )
-    spark = docs.sparkSession
-    snapshot_write(
-        bloom_build(
-            snapshot_read(spark, table_dir).select(_combine()),
-            F.col("_bk_comb"),
-            num_bits=bits,
-            k=bk,
-        ),
-        _bloom_table(table_dir),
-        mode="overwrite",
-        meta={"covers_store_version": version, "bits": bits, "k": bk},
-    )
-    return version
+    rows = band_keys_for(
+        docs, id_col, text_col, n_shards=n_shards
+    ).localCheckpoint()
+    next_version = (current_version(table_dir) or 0) + 1
+
+    def _write_store() -> int:
+        return snapshot_write(
+            rows.repartition("_shard"),
+            table_dir,
+            mode="overwrite",
+            meta={"format": "minhash_band_keys", "k": MINHASH_K,
+                  "bands": MINHASH_BANDS, "shards": n_shards},
+            partition_by=["_shard"],
+        )
+
+    def _write_bloom() -> int:
+        return snapshot_write(
+            bloom_build(
+                rows.select(_combine()), F.col("_bk_comb"),
+                num_bits=bits, k=bk,
+            ),
+            _bloom_table(table_dir),
+            mode="overwrite",
+            meta={"covers_store_version": next_version,
+                  "bits": bits, "k": bk},
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        store_fut = pool.submit(_write_store)
+        bloom_fut = pool.submit(_write_bloom)
+        errs = [f.exception() for f in (store_fut, bloom_fut)]
+    for e in errs:
+        if e is not None:
+            raise e
+    return store_fut.result()
 
 
 def _commit_bloom_merge(

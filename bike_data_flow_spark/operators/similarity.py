@@ -673,13 +673,15 @@ def semdedup(
     # down to tau - 5e-7 — the candidate cut must reach at least that
     # far below tau or boundary pairs never reach the verify
     margin = 1e-6
-    # localCheckpoint: (id, cluster) is corpus-row-sized but narrow;
-    # pinning it runs the Arrow assignment pass ONCE instead of once
-    # per consumer (pair generation + survivors anti-join)
+    # lazy cache: (id, cluster) is corpus-row-sized but narrow, and
+    # multi-consumer (pair generation + survivors anti-join) — the
+    # cache runs the Arrow assignment pass ONCE inside the action
+    # instead of once per consumer, without the extra serial
+    # driver-blocking job an eager localCheckpoint pays
     assign = (
         kmeans_lloyd(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
         .select(id_col, "cluster")
-        .localCheckpoint()
+        .cache()
     )
     e = df.select(id_col, vec_col).join(assign, id_col)
     cut = tau - margin

@@ -417,7 +417,14 @@ _MUTUAL_K = 3  # must match vectors._KNN_K so the edge sets agree
 def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectors import knn_graph_edges
 
-    e = knn_graph_edges(spark, sf_dir).select("src_id", "dst_id", "cos_sim")
+    # lazy cache: the reciprocal self-join consumes the k-NN edge plan
+    # twice — without it the bucket-GEMM + window pipeline evaluates
+    # once per side inside the single action
+    e = (
+        knn_graph_edges(spark, sf_dir)
+        .select("src_id", "dst_id", "cos_sim")
+        .cache()
+    )
     a = e.select(
         F.col("src_id").alias("id_a"),
         F.col("dst_id").alias("id_b"),
