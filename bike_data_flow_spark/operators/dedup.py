@@ -437,15 +437,19 @@ def connected_components(
     LIMIT 1 existence probe, not a full count. Raises if max_iter is
     hit — silently-unconverged clusters would be wrong answers.
     """
-    # materialize the symmetrized edge list ONCE — edges is typically an
+    # compute the symmetrized edge list ONCE — edges is typically an
     # expensive candidate pipeline (LSH join / blocked GEMM) and every
-    # round re-reads it
+    # consumer re-reads it. Lazy cache, not localCheckpoint: the
+    # routing count() below is the materializing action either way, so
+    # the eager pin only added one extra serial driver-blocking job
+    # before it (guide §1.2 — serial action count is the wall at
+    # per-batch scale).
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .localCheckpoint()
+        .cache()
     )
     # Work ONLY on edge endpoints: a vertex with no near-dup pair can
     # never change label, so it rejoins the result as its own singleton
