@@ -148,6 +148,17 @@ def blocked_pairs(
     run on the ≤|passes|× multiset and dedup AFTER its threshold
     filter, where rows are few and narrow (see fs_score's
     ``dedup_pairs``) — same output set either way."""
+    from ..tuning import spread_for_map
+
+    # The self-join probe side inherits the RECORDS SCAN's partitioning
+    # (a single small parquet file scans as 1-2 tasks no matter the
+    # core count), and pair formation + downstream scoring fuse into
+    # that stage — measured r12: fs_linkage_scores formed+scored its
+    # whole candidate multiset in a 2-task stage, 2.0 s of task time
+    # with 30 cores idle. spread_for_map round-robins the narrow
+    # record rows up to the cluster's parallelism first (a no-op at
+    # deployment scale, where the scan arrives as many splits).
+    records = spread_for_map(records, id_col)
     cap = BLOCK_STRIPE_CAP if stripe_cap is None else stripe_cap
     passes = BLOCK_STRIPE_PASSES if stripe_passes is None else stripe_passes
     out: DataFrame | None = None

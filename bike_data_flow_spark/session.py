@@ -51,6 +51,16 @@ def get_spark(
         # Scale: adaptive execution re-plans shuffles/joins/skew at runtime.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Parallelism-first coalescing (the default) targets
+        # total/parallelism per stage but is floored by
+        # minPartitionSize, whose 1m default quietly serializes
+        # CPU-dense stages with byte-light shuffles (an exploding
+        # join's ~2 MB map output coalesced to 2 tasks while 30 cores
+        # idled — see tuning.plan_partitions). 64k lets the
+        # parallelism-first target actually bind; genuinely tiny
+        # shuffles still collapse to one task, and at scale partitions
+        # are far above either floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Joins: let the planner pick shuffled-hash over sort-merge when
