@@ -297,6 +297,19 @@ def signature_store_init(
     for e in errs:
         if e is not None:
             raise e
+    # self-check the predicted stamp (ADVICE r12): under the
+    # single-bootstrap contract the store write MUST land exactly on
+    # next_version — if a concurrent writer (or a crashed writer's
+    # recovered orphan manifest) moved the pointer between the predict
+    # and the write, the bloom's covers_store_version meta is stale and
+    # silently wrong; fail loudly instead.
+    if store_fut.result() != next_version:
+        raise SnapshotConflictError(
+            f"signature_store_init bootstrap raced another writer on "
+            f"{table_dir}: predicted store version {next_version}, write "
+            f"landed at {store_fut.result()} — the bloom's "
+            "covers_store_version meta is stale; re-run the bootstrap"
+        )
     return store_fut.result()
 
 

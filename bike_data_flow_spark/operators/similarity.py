@@ -870,22 +870,41 @@ def top_principal_component(
     for r in cov_rows:
         mat[pos[int(r["i"])], pos[int(r["j"])]] = float(r["c"])
     x = np.ones(len(idxs), dtype=np.float64)
+    degenerate = False
     for _ in range(n_iter):
         y = mat @ x
-        x = y / float(np.sqrt((y * y).sum()))
+        nrm = float(np.sqrt((y * y).sum()))
+        if nrm == 0.0 or not np.isfinite(nrm):
+            # zero/constant covariance (single-row corpus, exactly-
+            # constant embeddings): y = 0, and the SQL spelling's
+            # component / norm is a non-ANSI double division by zero
+            # → NULL components, never a crash. Mirror that — this IS
+            # the collapsed-embedding probe's alarm case (ADVICE r12).
+            degenerate = True
+            break
+        x = y / nrm
     spark = df.sparkSession
     schema = "idx INT, component DOUBLE"
     if 1 not in pos:
         # mirrors the SQL spelling: sign fixes on component 1, and an
         # input whose first dimension never appears yields no rows
         return spark.createDataFrame([], schema)
+    if degenerate:
+        return spark.createDataFrame([(i, None) for i in idxs], schema)
     sg = -1.0 if x[pos[1]] < 0 else 1.0
 
     def _round6_half_up(v: float) -> float:
-        # Spark's F.round / DuckDB's round: HALF_UP (ties away from 0)
-        import math
+        # Spark's F.round goes through BigDecimal.valueOf(v), which
+        # rounds the SHORTEST DECIMAL REPR of the double (= repr(v) in
+        # Python), then HALF_UP at 6 digits. floor(abs(v)*1e6 + 0.5)
+        # disagrees on values whose decimal repr ties at the 7th digit
+        # but whose binary value sits just below it (ADVICE r12) —
+        # Decimal(repr(v)) reproduces the BigDecimal semantics exactly.
+        from decimal import ROUND_HALF_UP, Decimal
 
-        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
 
     rows = [
         (i, _round6_half_up(float(x[pos[i]]) * sg) + 0.0) for i in idxs

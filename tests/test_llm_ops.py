@@ -493,6 +493,33 @@ def test_top_principal_component_empty_and_schema(spark):
     assert out.count() == 0
 
 
+def test_top_principal_component_degenerate_input_returns_null_rows(spark):
+    """Zero-covariance input (exactly-constant embeddings, or a single
+    row) drives the power iteration's y to the zero vector. The SQL
+    spelling divides by the zero norm — non-ANSI double division →
+    NULL components, never a crash — and the driver-side iteration
+    must mirror that (ADVICE r12: math.floor(NaN) raised ValueError
+    on exactly the collapsed-embedding case this probe monitors for)."""
+    from bike_data_flow_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    const = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = top_principal_component(const, n_iter=3).collect()
+    assert {r["idx"] for r in out} == {1, 2, 3}
+    assert all(r["component"] is None for r in out)
+
+    single = spark.createDataFrame(
+        [(1, [2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    out1 = top_principal_component(single, n_iter=3).collect()
+    assert {r["idx"] for r in out1} == {1, 2}
+    assert all(r["component"] is None for r in out1)
+
+
 def test_capped_block_join_exact_route_matches_plain_blocked_join(spark):
     """Blocks under the cap must yield exactly the plain blocked-join
     pair set (the length banding is lossless for lev <= max_len_diff)."""
