@@ -467,6 +467,9 @@ def connected_components(
     #    jumping below (O(log diameter) rounds).
     int_ids = dict(sym.dtypes).get("src") in ("int", "bigint")
     if int_ids and sym.count() <= SMALL_GRAPH_EDGES:
+        # the returned union-find plan reads the cached sym, so the
+        # cache cannot be unpersisted here (module Cache policy
+        # applies: MEMORY_AND_DISK, LRU-evicted, session-lifetime)
         uf = sym.coalesce(1).mapInPandas(_unionfind_batches, "id long, label long")
         id_type = dict(vertices.select(F.col(id_col).alias("id")).dtypes)["id"]
         uf = uf.select(F.col("id").cast(id_type).alias("id"),
@@ -516,6 +519,11 @@ def connected_components(
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            # owner-unpersist (ADVICE r12): every remaining consumer
+            # reads the CHECKPOINTED labels, so the cached edge list is
+            # dead weight from here — long-lived sessions composing
+            # this operator repeatedly must not accumulate its blocks
+            sym.unpersist()
             return labels.unionByName(
                 singletons.select("id", F.col("id").alias("label"))
             ).select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -830,6 +830,10 @@ def knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes it in-plan, instead of paying a separate serial
     # driver-blocking job before the main one (guide §1.2 — the wall
     # at this scale is serial action count × job latency).
+    # Ownership: the returned plan reads this cache, so it cannot be
+    # unpersisted here — session-lifetime, MEMORY_AND_DISK/LRU (same
+    # policy as operators/dedup.py's module docstring); callers running
+    # many queries clear between them (bench.py does).
     base = (
         knn_graph_edges(spark, sf_dir)
         .select("src_id", "dst_id")
@@ -1208,9 +1212,17 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerated exactly once and the wedge join fans out by the LOW
     endpoint's out-degree — bounded by max degree ≤ corpus-wide k
     in a k-NN graph, never by hub in-degree."""
-    # lazy cache, not localCheckpoint — see knn_graph_refined's note
+    # EAGER pins here, unlike knn_graph_refined's lazy caches: edges
+    # feeds und, whose FOUR concurrent consumers (two unionAll arms of
+    # deg + the two orientation joins) sit in parallel subtrees of the
+    # one action — a lazy cache is populated per-partition as tasks
+    # run, so cold, every concurrent subtree recomputes the whole GEMM
+    # edge pipeline before any cache block exists (measured r13:
+    # stages 50→89, task_ms 1.2k→3.0k, wall 1.6→2.4 s cold in both
+    # interleave orders). The pin costs one serial job but bounds the
+    # pipeline to exactly one evaluation however many consumers race.
     edges = (
-        knn_graph_edges(spark, sf_dir).select("src_id", "dst_id").cache()
+        knn_graph_edges(spark, sf_dir).select("src_id", "dst_id").localCheckpoint()
     )
     und = edges.select(
         F.least("src_id", "dst_id").alias("u"),
@@ -1234,7 +1246,9 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
-        .cache()
+        # eager pin: e1/e2/e3 are three concurrent consumers — see the
+        # edges pin note above
+        .localCheckpoint()
     )
     e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

@@ -267,6 +267,28 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 1 for i in range(1, 14)}
 
 
+def test_connected_components_iterative_path_releases_edge_cache(spark, monkeypatch):
+    """The iterative branch owner-unpersists the symmetrized edge cache
+    on convergence (ADVICE r12): every remaining consumer reads the
+    CHECKPOINTED labels, so a long-lived session composing the operator
+    repeatedly must not accumulate DataFrame-cache entries. (The
+    union-find fast path's returned plan still reads the cache — that
+    one is documented session-lifetime, not asserted here.)"""
+    from bike_data_flow_spark.operators import dedup
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8)], ["doc_id"])
+    monkeypatch.setattr(dedup, "SMALL_GRAPH_EDGES", 0)  # force iterative
+    out = dedup.connected_components(edges, vertices)
+    assert cm.isEmpty(), "edge cache must be released before returning"
+    assert len(out.collect()) == 5
+
+
 def _tiny_ppm() -> bytes:
     # 2×2 P6 with a comment: pixels (255,0,0) (0,255,0) (0,0,255) (255,255,255)
     return (
