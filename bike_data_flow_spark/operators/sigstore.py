@@ -447,18 +447,35 @@ def admit_delta(
     extra_meta: dict | None = None,
 ) -> int | None:
     """Admit PRECOMPUTED Δ band-key rows into the store: CAS-merge Δ's
-    bitmap into the persisted bloom FIRST, then append the rows — a
-    crash in between leaves extra bits in the bloom (false positives,
-    absorbed by the exact join); the reverse order could leave admitted
-    keys missing from it, and a bloom false NEGATIVE would silently
-    drop real candidates forever. Returns the new store version, or
-    None for an empty Δ (no version bump for a no-op batch).
-    ``extra_meta`` rides on the append manifest beside the carried
-    table properties — the streaming sink's txn fence keys go here."""
+    bitmap into the persisted bloom, and only then let the store append
+    become VISIBLE — a crash in between leaves extra bits in the bloom
+    (false positives, absorbed by the exact join); the reverse order
+    could leave admitted keys missing from it, and a bloom false
+    NEGATIVE would silently drop real candidates forever. Returns the
+    new store version, or None for an empty Δ (no version bump for a
+    no-op batch). ``extra_meta`` rides on the append manifest beside
+    the carried table properties — the streaming sink's txn fence keys
+    go here.
+
+    The two commits are FUSED for wall time (guide §2.6): the bloom
+    CAS runs on a driver thread concurrently with the append's data
+    write, and the append's manifest publish gates on the bloom commit
+    (snapshot_write ``publish_gate``). The bloom-never-lags invariant
+    is about VISIBILITY order, not data-write order: the append's data
+    files are unreferenced until the pointer flips, so every crash
+    cut leaves exactly the same observable states as the old serial
+    order — (bloom unchanged, store unchanged) before the bloom
+    commit, (extra bloom bits, store unchanged) after it — plus inert
+    unreferenced data files, the same garbage class a crashed serial
+    writer already leaves."""
     if delta.isEmpty():
         return None
     bloom_dir = _bloom_table(table_dir)
+    bloom_fut = None
+    pool = None
     if current_version(bloom_dir) is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
         bits, bk = bloom_geometry(table_dir)  # recorded, never the dial
         # lazy on purpose: the bitmap evaluates inside the CAS write's
         # plan, so the admission pays ONE action here, not a pinning
@@ -468,38 +485,49 @@ def admit_delta(
         delta_bloom = bloom_build(
             delta.select(_combine()), F.col("_bk_comb"), num_bits=bits, k=bk
         )
-        _commit_bloom_merge(
-            spark, bloom_dir, delta_bloom, current_version(table_dir)
+        store_version = current_version(table_dir)
+        pool = ThreadPoolExecutor(max_workers=1)
+        bloom_fut = pool.submit(
+            _commit_bloom_merge, spark, bloom_dir, delta_bloom, store_version
         )
-    # carry the table's properties forward so latest_meta/table_layout
-    # survive any number of appends — but never stale txn fence keys
-    # from a previous writer's commit (the fence must only ever see
-    # keys its own commit wrote)
-    props = {
-        k: v
-        for k, v in latest_meta(table_dir).items()
-        if not k.startswith("txn_")
-    }
-    meta = {**props, **(extra_meta or {})}
-    layout = table_layout(table_dir)
-    if "_shard" in layout:
-        # re-derive _shard under the STORE's recorded modulus (the
-        # runtime dial may differ), then route one task per shard: one
-        # file per Hive dir per commit (see signature_store_init's
-        # repartition note) — without this every append sprays
-        # task×shard tiny files and probe scans degrade per day
-        delta = delta.withColumn(
-            "_shard", _shard_expr(store_shards(table_dir))
-        ).repartition(*layout)
-    elif layout:
-        delta = delta.repartition(*layout)
-    return snapshot_write(
-        delta,
-        table_dir,
-        mode="append",
-        meta=meta or None,
-        partition_by=layout or None,
-    )
+    try:
+        # carry the table's properties forward so latest_meta/
+        # table_layout survive any number of appends — but never stale
+        # txn fence keys from a previous writer's commit (the fence
+        # must only ever see keys its own commit wrote)
+        props = {
+            k: v
+            for k, v in latest_meta(table_dir).items()
+            if not k.startswith("txn_")
+        }
+        meta = {**props, **(extra_meta or {})}
+        layout = table_layout(table_dir)
+        if "_shard" in layout:
+            # re-derive _shard under the STORE's recorded modulus (the
+            # runtime dial may differ), then route one task per shard:
+            # one file per Hive dir per commit (see
+            # signature_store_init's repartition note) — without this
+            # every append sprays task×shard tiny files and probe
+            # scans degrade per day
+            delta = delta.withColumn(
+                "_shard", _shard_expr(store_shards(table_dir))
+            ).repartition(*layout)
+        elif layout:
+            delta = delta.repartition(*layout)
+        return snapshot_write(
+            delta,
+            table_dir,
+            mode="append",
+            meta=meta or None,
+            partition_by=layout or None,
+            # happens-before fence: the append is visible only after
+            # the bloom commit succeeded; a bloom failure abandons the
+            # append before any metadata exists
+            publish_gate=bloom_fut.result if bloom_fut is not None else None,
+        )
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
 
 
 def expire_store(table_dir: str, keep_last: int = 2) -> dict:

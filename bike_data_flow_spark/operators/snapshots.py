@@ -246,6 +246,7 @@ def snapshot_write(
     partition_by: list[str] | None = None,
     expected_version: int | None = None,
     maintenance: dict | None = None,
+    publish_gate=None,
 ) -> int:
     """Commit df as a new snapshot; returns the new version number.
     ``meta`` (JSON-able) is stored on the manifest — e.g. a streaming
@@ -276,7 +277,20 @@ def snapshot_write(
     ``meta`` — maintenance markers (compaction) must not displace the
     table properties ``meta`` carries (a store's planes/dim dials), and
     ``latest_meta`` consumers must keep seeing those properties across
-    maintenance commits."""
+    maintenance commits.
+
+    ``publish_gate`` (callable, optional) runs AFTER the data write but
+    BEFORE the manifest publish / pointer flip. It is the
+    happens-before hook for cross-table ordering invariants: a caller
+    that must commit table B before THIS commit becomes visible (e.g.
+    sigstore's bloom-never-lags-the-store rule) can run B's commit on a
+    driver thread concurrently with this data write and pass
+    ``bloom_future.result`` as the gate — the heavy data writes
+    overlap, but visibility order is exactly the serial order. If the
+    gate raises, this commit is abandoned BEFORE any metadata exists:
+    the data dir is unreferenced garbage (same crash class as a writer
+    dying mid-write, already documented below) and the table pointer
+    never moves."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
@@ -320,6 +334,9 @@ def snapshot_write(
     if layout:
         writer = writer.partitionBy(*layout)
     writer.parquet(data_dir)
+
+    if publish_gate is not None:
+        publish_gate()
 
     dirs = [rel_dir]
     if mode == "append" and prev is not None:

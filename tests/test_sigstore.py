@@ -452,3 +452,142 @@ def test_bloom_geometry_dial_recorded_and_migration_safe(
     assert list(stored) == list(scratch)
     assert G.bloom_geometry(store_dir) == (1 << 12, 4)  # props carried
     assert G.bloom_saturation(spark, store_dir) >= sat0  # monotone
+
+
+def test_fused_admission_bloom_commits_before_store_pointer(
+    spark, store_dir, monkeypatch
+):
+    """r13 fuses each admission's bloom CAS with the append's data
+    write (the CAS runs on a driver thread; the append's manifest
+    publish gates on it). The bloom-never-lags invariant is a
+    VISIBILITY order: the bloom table's pointer must flip before the
+    store table's pointer — pin it by recording every pointer write."""
+    from bike_data_flow_spark.operators import snapshots as S
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+
+    order = []
+    real = S._write_pointer
+
+    def spy(table_dir, version):
+        order.append((os.path.basename(table_dir), version))
+        return real(table_dir, version)
+
+    monkeypatch.setattr(S, "_write_pointer", spy)
+    delta = G.band_keys_for(docs.filter(part == 1)).localCheckpoint()
+    v = G.admit_delta(spark, delta, store_dir)
+    assert v == 2
+    names = [n for n, _ in order]
+    assert names.index("sigs_bloom") < names.index("sigs"), order
+
+
+def test_fused_admission_bloom_failure_leaves_store_invisible(
+    spark, store_dir, monkeypatch
+):
+    """If the bloom CAS fails, the gated append must be abandoned
+    BEFORE any store metadata exists: pointer unchanged, reads
+    unchanged — an append that became visible with a lagging bloom
+    would silently drop candidates via bloom false negatives forever."""
+    from bike_data_flow_spark.operators.snapshots import (
+        SnapshotConflictError,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+    v0 = current_version(store_dir)
+    rows0 = snapshot_read(spark, store_dir).count()
+
+    def boom(*a, **kw):
+        raise SnapshotConflictError("injected bloom CAS failure")
+
+    monkeypatch.setattr(G, "_commit_bloom_merge", boom)
+    delta = G.band_keys_for(docs.filter(part == 1)).localCheckpoint()
+    with pytest.raises(SnapshotConflictError, match="injected"):
+        G.admit_delta(spark, delta, store_dir)
+    assert current_version(store_dir) == v0
+    assert snapshot_read(spark, store_dir).count() == rows0
+
+    # recovery: the same Δ admits cleanly afterwards (no orphan state
+    # interferes) and the store holds exactly one copy of part0+part1
+    monkeypatch.undo()
+    v = G.admit_delta(spark, delta, store_dir)
+    assert v == v0 + 1
+    stored = {
+        tuple(r)
+        for r in snapshot_read(spark, store_dir)
+        .select("doc_id", "band", "band_key")
+        .collect()
+    }
+    want_keys = {
+        tuple(r)
+        for r in G.band_keys_for(docs.filter(part != 2))
+        .select("doc_id", "band", "band_key")
+        .collect()
+    }
+    assert stored == want_keys
+
+
+def test_fused_admission_store_publish_crash_is_recoverable(
+    spark, store_dir, monkeypatch
+):
+    """Crash AFTER the bloom commit but BEFORE the store publish (the
+    new overlap window = the old serial order's between-commits
+    window): the bloom carries extra bits (false positives only —
+    absorbed by the exact join), the store is unchanged, and the
+    retried admission lands exactly one copy of Δ."""
+    from bike_data_flow_spark.operators import snapshots as S
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    G.signature_store_init(docs.filter(part == 0), store_dir)
+    v0 = current_version(store_dir)
+    bloom_v0 = current_version(G._bloom_table(store_dir))
+
+    real = S._publish_manifest
+
+    def crash_store_publish(table_dir, version, manifest):
+        if os.path.basename(table_dir) == "sigs":
+            raise RuntimeError("injected crash before store publish")
+        return real(table_dir, version, manifest)
+
+    monkeypatch.setattr(S, "_publish_manifest", crash_store_publish)
+    delta = G.band_keys_for(docs.filter(part == 1)).localCheckpoint()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        G.admit_delta(spark, delta, store_dir)
+    monkeypatch.undo()
+
+    # bloom committed (extra bits — never false negatives), store not
+    assert current_version(G._bloom_table(store_dir)) == bloom_v0 + 1
+    assert current_version(store_dir) == v0
+
+    # retry: store lands exactly one copy; full probe parity holds
+    v = G.admit_delta(spark, delta, store_dir)
+    assert v == v0 + 1
+    stored = {
+        tuple(r)
+        for r in snapshot_read(spark, store_dir)
+        .select("doc_id", "band", "band_key")
+        .collect()
+    }
+    want_keys = {
+        tuple(r)
+        for r in G.band_keys_for(docs.filter(part != 2))
+        .select("doc_id", "band", "band_key")
+        .collect()
+    }
+    assert stored == want_keys
+    got = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 2), store_dir, commit=False
+        )
+    )
+    want = _pairs(
+        G.incremental_lsh_pairs(
+            spark, docs.filter(part == 2), store_dir, commit=False,
+            use_bloom=False,
+        )
+    )
+    assert got == want
