@@ -316,9 +316,24 @@ def sorted_neighborhood_pairs(
     if window < 2:
         raise ValueError(f"window must be ≥ 2, got {window}")
     u = window - 1
+    # The per-pass ranked frames are independent until the union, and
+    # each global_sort_index pays serial driver-blocking jobs (range-
+    # bound sampling + the determinism pin's materialization) — build
+    # them on driver threads so one pass's stragglers back-fill with
+    # the other's tasks (guide §2.6). Pass ORDER is preserved in the
+    # output construction below, and each pass's pin is still exactly
+    # one materialization, so the rank-invariance/determinism contract
+    # is untouched.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, len(sort_passes))) as pool:
+        idx_futs = [
+            pool.submit(global_sort_index, records, id_col, keys, n_parts)
+            for keys in sort_passes
+        ]
+        idxs = [f.result() for f in idx_futs]
     out: DataFrame | None = None
-    for keys in sort_passes:
-        idx = global_sort_index(records, id_col, keys, n_parts)
+    for idx in idxs:
         left = idx.select(
             F.col(id_col).alias("_id_l"),
             *[F.col(c).alias(f"_{c}_l") for c in carry],
