@@ -39,9 +39,12 @@ def main() -> None:
     spark = get_spark("plans-r13")
     registry = load_all()
     for q in registry.values():
-        if not q.bench:
-            continue
-        if only and q.name not in only:
+        # an explicit query list may name gate-only queries (r13: the
+        # snm generator is gate-only but optimization-touched)
+        if only:
+            if q.name not in only:
+                continue
+        elif not q.bench:
             continue
         try:
             df = q.fn(spark, sf_dir)
