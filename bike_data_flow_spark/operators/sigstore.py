@@ -559,6 +559,7 @@ def incremental_lsh_pairs(
     commit: bool = True,
     use_bloom: bool = True,
     include_within: bool = True,
+    delta_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) that TOUCH the
     new batch: Δ×store band collisions plus (``include_within``) Δ×Δ
@@ -575,8 +576,18 @@ def incremental_lsh_pairs(
     runs exactly once per batch and the commit cannot observe a
     different recomputation than the probe did. An EMPTY Δ commits
     nothing (no version bump for a no-op day).
+
+    ``delta_rows``: precomputed (ideally pinned) ``band_keys_for``-
+    format rows for Δ, replacing the in-call minhash pin — the overlap
+    hook for callers whose Δ derivation is independent of other
+    blocking setup (e.g. a store bootstrap on a driver thread): Δ's
+    minhash is the one serial job here a caller can hoist.
     """
-    delta = band_keys_for(new_docs, id_col, text_col).localCheckpoint()
+    delta = (
+        delta_rows
+        if delta_rows is not None
+        else band_keys_for(new_docs, id_col, text_col).localCheckpoint()
+    )
     cross = probe_store_pairs(spark, delta, table_dir, id_col, use_bloom)
     if include_within:
         a = delta.select(F.col(id_col).alias("id_a"), "band", "band_key")

@@ -305,9 +305,26 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(table, ignore_errors=True)
     delta_flag = F.pmod(F.col("doc_id"), F.lit(4)) == 0
-    signature_store_init(docs.filter(~delta_flag), table)
+    # the store bootstrap and Δ's minhash pin are independent until the
+    # probe — overlap them on driver threads (guide §2.6): the Δ pin's
+    # serial materialization hides entirely inside the bootstrap's
+    # longer wall, and the probe/admit (which read store metadata at
+    # call time) start only after both have finished
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.sigstore import band_keys_for
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        init_fut = pool.submit(
+            signature_store_init, docs.filter(~delta_flag), table
+        )
+        delta_fut = pool.submit(
+            lambda: band_keys_for(docs.filter(delta_flag)).localCheckpoint()
+        )
+        init_fut.result()
+        delta = delta_fut.result()
     return incremental_lsh_pairs(
-        spark, docs.filter(delta_flag), table, commit=True
+        spark, docs.filter(delta_flag), table, commit=True, delta_rows=delta
     )
 
 
